@@ -1,0 +1,221 @@
+"""Micro-batch CDC replay driver: the engine's JobContainer.
+
+Lifecycle per epoch (the reference's fixed pipeline
+``JobContainer.java:96-128`` init→prepare→split→schedule→post, recast
+as a micro-batch loop):
+
+    1. idempotence gate  — skip epochs <= the table's committed
+       watermark (exactly-once; analog: otsstreamreader checkpoint
+       recovery, ``OTSStreamReaderSlaveProxy.java:40-107``)
+    2. read epoch slice  — parquet scan of ``events_root/epoch=N``
+    3. vectorized transforms — optional Arrow pandas-UDF content
+       transforms (never per-row Python; north_star requirement)
+    4. LWW dedup          — max-(commit,lsn) per (repo,path), salted
+       two-stage reduction for hot-key skew (operators.lww_dedup)
+    5. MERGE              — bucket-pruned copy-on-write merge into the
+       lake table (lake.merge_into), additive schema evolution
+    6. two-phase commit   — atomic manifest swap carrying the epoch
+       watermark (lake.LakeTable.commit)
+    7. lineage metrics    — per-(epoch,bucket) offsets/rows/bytes/
+       latency (engine.metrics), written idempotently
+
+Crash-safety: a crash anywhere before step 6 leaves the previous
+snapshot live; re-running the engine replays the epoch from scratch
+and converges to the identical state (orphan data files are ignored,
+``vacuum`` reclaims them). A crash after step 6 skips the epoch on
+replay via the watermark. ``failpoints`` injects crashes between
+phases for tests.
+"""
+
+from __future__ import annotations
+
+import glob
+import os
+import re
+import time
+from collections.abc import Callable, Sequence
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from datax_spark.engine.metrics import write_epoch_metrics
+from datax_spark.lake.merge import merge_into
+from datax_spark.lake.table import LakeTable
+from datax_spark.operators.dedup import lww_dedup
+
+
+class ReplayCrash(RuntimeError):
+    """Injected crash (tests only)."""
+
+
+@dataclass(frozen=True)
+class ReplayConfig:
+    keys: tuple[str, ...] = ("repo", "path")
+    order_cols: tuple[str, ...] = ("commit", "lsn")
+    op_col: str = "op"
+    delete_op: str = "D"
+    lsn_col: str = "lsn"
+    num_buckets: int = 64
+    salt_buckets: int | None = 16  # hot-key two-stage dedup
+    # Arrow-vectorized content transforms, applied post-dedup to the
+    # winning event images: each fn takes and returns a DataFrame.
+    transforms: tuple[Callable[[DataFrame], DataFrame], ...] = ()
+
+
+@dataclass
+class EpochResult:
+    epoch: int
+    skipped: bool
+    n_events: int = 0
+    n_keys: int = 0
+    n_deletes: int = 0
+    rows_after: int = 0
+    affected_buckets: int = 0
+    apply_ms: float = 0.0
+    version: int | None = None
+
+
+@dataclass
+class ReplayEngine:
+    spark: SparkSession
+    events_root: str
+    table_root: str
+    metrics_root: str
+    config: ReplayConfig = field(default_factory=ReplayConfig)
+
+    # ---------- discovery / resume ----------
+    def discover_epochs(self) -> list[int]:
+        out = []
+        for d in glob.glob(os.path.join(self.events_root, "epoch=*")):
+            m = re.search(r"epoch=(\d+)$", d)
+            if m:
+                out.append(int(m.group(1)))
+        return sorted(out)
+
+    def table(self) -> LakeTable:
+        return LakeTable.load(self.spark, self.table_root)
+
+    def _ensure_table(self, first_epoch_df: DataFrame) -> LakeTable:
+        if LakeTable.exists(self.table_root):
+            return self.table()
+        schema = first_epoch_df.drop(self.config.op_col).schema
+        return LakeTable.create(
+            self.spark,
+            self.table_root,
+            schema=schema,
+            key_cols=list(self.config.keys),
+            num_buckets=self.config.num_buckets,
+        )
+
+    def resume_epoch(self) -> int:
+        """Next epoch to apply (checkpoint = committed manifest watermark)."""
+        if not LakeTable.exists(self.table_root):
+            return 0
+        return self.table().last_epoch + 1
+
+    # ---------- run ----------
+    def run(
+        self,
+        through_epoch: int | None = None,
+        failpoints: Sequence[str] = (),
+    ) -> list[EpochResult]:
+        results = []
+        for e in self.discover_epochs():
+            if through_epoch is not None and e > through_epoch:
+                break
+            results.append(self.apply_epoch(e, failpoints=failpoints))
+        return results
+
+    def apply_epoch(self, epoch: int, failpoints: Sequence[str] = ()) -> EpochResult:
+        cfg = self.config
+        t0 = time.monotonic()
+        ev = self.spark.read.parquet(os.path.join(self.events_root, f"epoch={epoch}"))
+        table = self._ensure_table(ev)
+
+        last = table.last_epoch
+        if epoch <= last:
+            return EpochResult(epoch=epoch, skipped=True)  # exactly-once gate
+        if epoch != last + 1:
+            raise ValueError(f"out-of-order epoch {epoch}; committed watermark is {last}")
+
+        # --- per-bucket lineage pre-aggregation (one job, map-side agg) ---
+        bucket = F.pmod(
+            F.xxhash64(*[F.col(k) for k in cfg.keys]), F.lit(cfg.num_buckets)
+        ).cast("int")
+        content_col = "content" if "content" in ev.columns else None
+        aggs = [
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum((F.col(cfg.op_col) == cfg.delete_op).cast("long")).alias("n_deletes"),
+            F.min(cfg.lsn_col).alias("min_lsn"),
+            F.max(cfg.lsn_col).alias("max_lsn"),
+            (
+                F.sum(F.coalesce(F.octet_length(content_col), F.lit(0)))
+                if content_col
+                else F.lit(0)
+            ).alias("bytes_in"),
+        ]
+        lineage = {r["bucket"]: r.asDict() for r in ev.groupBy(bucket.alias("bucket")).agg(*aggs).collect()}
+
+        # --- dedup (LWW, salted) + vectorized transforms ---
+        deduped = lww_dedup(
+            ev, keys=list(cfg.keys), order_cols=list(cfg.order_cols), salt_buckets=cfg.salt_buckets
+        )
+        for fn in cfg.transforms:
+            deduped = fn(deduped)
+        deduped = deduped.persist()
+        try:
+            key_counts = {
+                r["bucket"]: r["n"]
+                for r in deduped.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n")).collect()
+            }
+            if "after_dedup" in failpoints:
+                raise ReplayCrash("after_dedup")
+
+            # --- MERGE (phase 1: data files) ---
+            pending = merge_into(table, deduped, op_col=cfg.op_col, delete_op=cfg.delete_op)
+            if "after_write" in failpoints:
+                raise ReplayCrash("after_write")
+
+            # --- lineage metrics, written BEFORE the commit point so a
+            # crash after commit leaves no metrics hole (the overwrite
+            # in write_epoch_metrics makes a pre-commit crash replay
+            # them cleanly) ---
+            apply_ms = (time.monotonic() - t0) * 1000.0
+            rows = []
+            for b in sorted(set(lineage) | set(pending.stats.bucket_rows_after)):
+                li = lineage.get(b, {})
+                rows.append(
+                    {
+                        "epoch": epoch,
+                        "bucket": b,
+                        "n_events": li.get("n_events", 0),
+                        "n_deletes": li.get("n_deletes", 0),
+                        "min_lsn": li.get("min_lsn"),
+                        "max_lsn": li.get("max_lsn"),
+                        "bytes_in": li.get("bytes_in", 0),
+                        "n_keys_after_dedup": key_counts.get(b, 0),
+                        "rows_after_merge": pending.stats.bucket_rows_after.get(b, 0),
+                        "apply_ms": apply_ms,
+                    }
+                )
+            write_epoch_metrics(self.metrics_root, epoch, rows)
+
+            # --- commit (phase 2: atomic snapshot swap + epoch watermark) ---
+            version = pending.commit(summary={"last_epoch": epoch})
+            if "after_commit" in failpoints:
+                raise ReplayCrash("after_commit")
+        finally:
+            deduped.unpersist()
+
+        return EpochResult(
+            epoch=epoch,
+            skipped=False,
+            n_events=sum(r["n_events"] for r in rows),
+            n_keys=sum(key_counts.values()),
+            n_deletes=sum(r["n_deletes"] for r in rows),
+            rows_after=pending.stats.rows_after,
+            affected_buckets=len(pending.stats.affected_buckets),
+            apply_ms=apply_ms,
+            version=version,
+        )

@@ -1,0 +1,4 @@
+from datax_spark.lake.merge import MergeStats, merge_into
+from datax_spark.lake.table import LakeTable, Manifest
+
+__all__ = ["LakeTable", "Manifest", "merge_into", "MergeStats"]
