@@ -1,0 +1,164 @@
+"""Document deduplication operators: exact, MinHash+LSH, SimHash,
+n-gram Jaccard.
+
+Scale design:
+* Exact dedup is a hash groupBy (map-side combine → tiny shuffle).
+* MinHash signatures are computed entirely JVM-side — shingling via
+  ``sequence``+``transform``+``substring`` and per-permutation minima
+  via ``array_min(transform(xxhash64))`` — so the signature stage is
+  whole-stage-codegen'd, no Python. LSH banding then explodes to
+  (band, band_hash) and self-joins per band bucket: candidate
+  generation is O(sum of bucket^2) instead of O(n^2) — the standard
+  shingle→minhash→band→bucket-join pipeline, all shuffles on band
+  hashes which are uniform by construction (no skew).
+* SimHash runs as an Arrow pandas UDF (per-bit majority vote over
+  token hashes is not expressible as cheap Column algebra).
+* Verification of candidate pairs (true Jaccard) is JVM-side
+  ``array_intersect``/``array_union`` on distinct-shingle arrays.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+# ---------- exact ----------
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """One representative (min id) per exact text; keeps dup count."""
+    return df.groupBy(text_col).agg(
+        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+# ---------- shingling (JVM-side) ----------
+def shingle_array(col: Column | str, k: int = 5) -> Column:
+    """Array of all k-char shingles of a string (empty if too short)."""
+    c = F.col(col) if isinstance(col, str) else col
+    n = F.length(c) - (k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(F.array().cast("array<int>"))
+    return F.transform(idx, lambda i: F.substring(c, i, k))
+
+
+def minhash_signature(col: Column | str, num_hashes: int = 64, k: int = 5, seed: int = 42) -> Column:
+    """MinHash signature: per permutation p, min over shingles of
+    xxhash64(shingle, seed_p). Entirely JVM-side."""
+    sh = F.array_distinct(shingle_array(col, k))
+    parts = [
+        F.array_min(F.transform(sh, lambda s: F.xxhash64(s, F.lit(seed * 7919 + p))))
+        for p in range(num_hashes)
+    ]
+    return F.array(*parts)
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+    seed: int = 42,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (id_a < id_b) via LSH banding."""
+    rows = num_hashes // bands
+    sig = df.select(
+        F.col(id_col).alias("__id"),
+        minhash_signature(text_col, num_hashes, k, seed).alias("__sig"),
+    )
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(F.slice("__sig", b * rows + 1, rows).cast("string")).alias("bh"),
+            )
+            for b in range(bands)
+        ]
+    )
+    banded = sig.select("__id", F.explode(band_structs).alias("e")).select(
+        "__id", F.col("e.band").alias("band"), F.col("e.bh").alias("bh")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(b, on=["band", "bh"], how="inner")
+        .filter(F.col("a.__id") < F.col("b.__id"))
+        .select(F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b"))
+        .distinct()
+    )
+
+
+def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
+    """Exact k-gram Jaccard for candidate pairs (verification stage).
+
+    ``df_pairs`` has (id_a, id_b); ``docs`` maps id -> text. The doc
+    side is joined twice; Spark broadcast-joins it automatically when
+    small, else sort-merge on ids.
+    """
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(shingle_array(text_col, k)).alias("__sh"),
+    )
+    j = (
+        df_pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.when(union == 0, F.lit(0.0)).otherwise(inter / union).alias("jaccard"),
+    )
+
+
+def minhash_dedup(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    threshold: float = 0.8,
+    num_hashes: int = 64,
+    bands: int = 16,
+    k: int = 5,
+) -> DataFrame:
+    """Full near-dup pipeline: shingle → minhash → band → bucket join →
+    Jaccard verify. Returns confirmed pairs with jaccard >= threshold."""
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
+    return ngram_jaccard(cands, df, text_col, id_col, k).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+# ---------- SimHash (Arrow UDF) ----------
+@pandas_udf(T.LongType())
+def simhash64(s: pd.Series) -> pd.Series:
+    """64-bit SimHash over whitespace tokens (Arrow-batched)."""
+    import numpy as np
+
+    def fnv64(tok: str) -> int:
+        # deterministic across processes (builtin hash() is seeded)
+        h = 1469598103934665603
+        for ch in tok.encode("utf-8"):
+            h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        return h
+
+    def sh(text: str | None) -> int | None:
+        if text is None:
+            return None
+        acc = np.zeros(64, dtype=np.int64)
+        for tok in text.split():
+            h = fnv64(tok)
+            bits = np.unpackbits(
+                np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8), bitorder="little"
+            )
+            acc += np.where(bits == 1, 1, -1)
+        v = 0
+        for i in range(64):
+            if acc[i] > 0:
+                v |= 1 << i
+        return v - (1 << 64) if v >= (1 << 63) else v
+
+    return s.map(sh).astype("Int64")

@@ -1,0 +1,95 @@
+"""Similarity search over embedding columns (array<float>).
+
+* ``cosine_topk`` — brute-force baseline, entirely JVM-side
+  (``zip_with`` dot product + ``aggregate`` fold): correct at any
+  scale, O(n·d) per query, one pass, no Python.
+* ``lsh_bucket_topk`` — the scale path: random-hyperplane LSH.
+  Signatures come from a deterministic numpy matrix applied in one
+  Arrow pandas UDF (matrix-vector products batch-vectorized); search
+  touches only the query's bucket (optionally multi-probe), so cost
+  drops from O(n) to O(n / 2^bits) rows scanned. At 100 TB you would
+  persist the bucketed table partitioned by signature and get
+  partition pruning on the probe.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.functions import pandas_udf
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def cosine_sim(vec_col: Column | str, query: list[float]) -> Column:
+    """Cosine similarity of an array<float> column vs a literal query."""
+    v = F.col(vec_col) if isinstance(vec_col, str) else vec_col
+    v = F.transform(v, lambda x: x.cast("double"))
+    q = F.array(*[F.lit(float(x)) for x in query])
+    dot = _dot(v, q)
+    nv = F.sqrt(_dot(v, v))
+    nq = float(np.sqrt(np.dot(query, query)))
+    return F.when(nv == 0, F.lit(0.0)).otherwise(dot / (nv * F.lit(nq)))
+
+
+def cosine_topk(
+    df: DataFrame, vec_col: str, id_col: str, query: list[float], k: int = 10
+) -> DataFrame:
+    """Brute-force top-k by cosine similarity (deterministic tie-break
+    on id). orderBy+limit compiles to TakeOrderedAndProject — each
+    partition keeps only its local top-k, the driver merges k·p rows."""
+    return (
+        df.select(F.col(id_col), cosine_sim(vec_col, query).alias("cosine_sim"))
+        .orderBy(F.desc("cosine_sim"), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _planes(dim: int, bits: int, seed: int) -> np.ndarray:
+    rng = np.random.default_rng(seed)
+    return rng.standard_normal((bits, dim)).astype(np.float64)
+
+
+def hyperplane_signature_udf(dim: int, bits: int = 12, seed: int = 42):
+    """Arrow pandas UDF: array<float> -> int LSH bucket signature."""
+    planes = _planes(dim, bits, seed)
+
+    @pandas_udf(T.IntegerType())
+    def sig(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.map(lambda x: np.asarray(x, dtype=np.float64)).values)
+        bitsarr = (mat @ planes.T) > 0  # (n, bits) — one BLAS call per Arrow batch
+        weights = 1 << np.arange(bits)
+        return pd.Series((bitsarr @ weights).astype(np.int32))
+
+    return sig
+
+
+def lsh_bucket_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    bits: int = 12,
+    seed: int = 42,
+    multiprobe: int = 0,
+) -> DataFrame:
+    """ANN top-k: scan only the query's hyperplane bucket (plus
+    ``multiprobe`` single-bit-flip neighbor buckets for recall)."""
+    dim = len(query)
+    planes = _planes(dim, bits, seed)
+    qsig = int(((np.asarray(query) @ planes.T) > 0) @ (1 << np.arange(bits)))
+    probe = [qsig] + [qsig ^ (1 << b) for b in range(min(multiprobe, bits))]
+    sig = hyperplane_signature_udf(dim, bits, seed)
+    bucketed = df.withColumn("__sig", sig(F.col(vec_col)))
+    cand = bucketed.filter(F.col("__sig").isin(probe))
+    return cosine_topk(cand, vec_col, id_col, query, k)

@@ -66,6 +66,7 @@ class PendingMerge:
     """
 
     table: LakeTable
+    base_version: int
     replaced_buckets: list[int]
     new_files: dict[int, list[str]]
     new_row_counts: dict[int, int]
@@ -79,6 +80,7 @@ class PendingMerge:
             self.new_row_counts,
             schema=self.schema,
             summary=summary,
+            base_version=self.base_version,
         )
 
 
@@ -153,6 +155,7 @@ def merge_into(
     )
     return PendingMerge(
         table=table,
+        base_version=m.version,
         replaced_buckets=affected,
         new_files=new_files,
         new_row_counts=new_counts,

@@ -213,9 +213,20 @@ class LakeTable:
         new_row_counts: dict[int, int],
         schema: T.StructType | None = None,
         summary: dict | None = None,
+        base_version: int | None = None,
     ) -> int:
         """Commit a new snapshot: replaced buckets take the new file
-        lists; untouched buckets carry over from the parent. Atomic."""
+        lists; untouched buckets carry over from the parent. Atomic.
+
+        ``base_version`` anchors optimistic concurrency: if another
+        commit landed since the writer read that version, raise
+        CommitConflictError instead of silently clobbering it.
+        """
+        if base_version is not None and self.current_version() != base_version:
+            raise CommitConflictError(
+                f"commit conflict: table moved from v{base_version} "
+                f"to v{self.current_version()} since this merge started"
+            )
         parent = self.manifest()
         files = dict(parent.files)
         counts = dict(parent.row_counts)

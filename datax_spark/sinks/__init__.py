@@ -1,0 +1,3 @@
+from datax_spark.sinks.writers import write_sink
+
+__all__ = ["write_sink"]

@@ -1,0 +1,9 @@
+import pytest
+
+from datax_spark.session import get_spark
+
+
+@pytest.fixture(scope="session")
+def spark():
+    s = get_spark(app_name="datax_spark_tests", cores=8, shuffle_partitions=8)
+    yield s

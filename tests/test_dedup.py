@@ -1,0 +1,57 @@
+"""LWW dedup: plain vs salted equivalence, delete/resurrect ordering."""
+
+import pyspark.sql.functions as F
+
+from datax_spark.operators import lww_dedup
+
+
+def _events(spark):
+    rows = [
+        # key A: update at lsn 3 wins over lsn 1, despite file order
+        ("r1", "a", "U", "c03", 3, "new"),
+        ("r1", "a", "U", "c01", 1, "old"),
+        # key B: delete at lsn 5 wins (later re-insert in next batch)
+        ("r1", "b", "I", "c02", 2, "b0"),
+        ("r1", "b", "D", "c05", 5, None),
+        # key C: delete then re-insert at higher lsn => resurrect
+        ("r2", "c", "D", "c04", 4, None),
+        ("r2", "c", "I", "c06", 6, "c-back"),
+    ]
+    return spark.createDataFrame(rows, "repo string, path string, op string, commit string, lsn long, content string")
+
+
+def test_lww_plain(spark):
+    out = lww_dedup(_events(spark), ["repo", "path"], ["commit", "lsn"])
+    got = {(r.repo, r.path): (r.op, r.lsn, r.content) for r in out.collect()}
+    assert got[("r1", "a")] == ("U", 3, "new")
+    assert got[("r1", "b")] == ("D", 5, None)  # delete wins within batch
+    assert got[("r2", "c")] == ("I", 6, "c-back")  # resurrect
+
+
+def test_salted_equals_plain(spark):
+    df = _events(spark)
+    plain = lww_dedup(df, ["repo", "path"], ["commit", "lsn"]).orderBy("repo", "path")
+    salted = lww_dedup(df, ["repo", "path"], ["commit", "lsn"], salt_buckets=4).orderBy(
+        "repo", "path"
+    )
+    assert plain.collect() == salted.collect()
+
+
+def test_salted_equals_plain_large(spark):
+    n = 20_000
+    df = (
+        spark.range(n)
+        .select(
+            (F.col("id") % 7).cast("string").alias("repo"),
+            (F.col("id") % 97).cast("string").alias("path"),
+            F.lit("U").alias("op"),
+            F.lpad(F.hex(F.col("id")), 12, "0").alias("commit"),
+            F.col("id").alias("lsn"),
+            F.sha2(F.col("id").cast("string"), 256).alias("content"),
+        )
+    )
+    plain = lww_dedup(df, ["repo", "path"], ["commit", "lsn"])
+    salted = lww_dedup(df, ["repo", "path"], ["commit", "lsn"], salt_buckets=16)
+    assert plain.exceptAll(salted).count() == 0
+    assert salted.exceptAll(plain).count() == 0
+    assert salted.count() == 679  # one row per distinct (id%7, id%97) key

@@ -1,0 +1,118 @@
+"""End-to-end CDC replay vs the sequential-apply oracle — the
+correctness gate (BASELINE.json: per-row content sha256 equality),
+including crash-replay exactly-once and checkpoint resume."""
+
+import os
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from datax_spark.engine import ReplayConfig, ReplayCrash, ReplayEngine
+from datax_spark.engine.metrics import read_metrics
+from datax_spark.fixtures import ChangelogSpec, write_events
+from datax_spark.oracle import sequential_apply
+
+SPEC = ChangelogSpec(
+    n_events=12_000,
+    n_repos=40,
+    paths_per_repo=90,
+    events_per_epoch=3_000,
+    evolve_from_epoch=2,
+    seed=11,
+)
+CFG = ReplayConfig(num_buckets=16, salt_buckets=8)
+COLS = ["repo", "path", "commit", "lsn", "lang", "h", "lang_variant"]
+
+
+@pytest.fixture(scope="module")
+def events_root(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("ev") / "events")
+    write_events(spark, SPEC, root)
+    return root
+
+
+@pytest.fixture(scope="module")
+def expected(events_root):
+    exp = sequential_apply(events_root).rename(columns={"content_sha256": "h"})
+    return exp[COLS].reset_index(drop=True)
+
+
+def _engine(spark, events_root, tmp_path, name):
+    return ReplayEngine(
+        spark,
+        events_root,
+        str(tmp_path / f"table_{name}"),
+        str(tmp_path / f"metrics_{name}"),
+        CFG,
+    )
+
+
+def _state(eng):
+    df = eng.table().read().withColumn("h", F.sha2("content", 256))
+    for c in COLS:  # pre-evolution snapshots legitimately lack lang_variant
+        if c not in df.columns:
+            df = df.withColumn(c, F.lit(None).cast("string"))
+    return (
+        df.select(*COLS).toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+
+
+def _assert_match(eng, expected):
+    pd.testing.assert_frame_equal(
+        _state(eng).fillna("∅"), expected.fillna("∅"), check_dtype=False
+    )
+
+
+def test_full_replay_matches_oracle(spark, events_root, expected, tmp_path):
+    eng = _engine(spark, events_root, tmp_path, "full")
+    results = eng.run()
+    assert [r.epoch for r in results] == [0, 1, 2, 3]
+    assert not any(r.skipped for r in results)
+    _assert_match(eng, expected)
+    # schema evolved mid-stream: lang_variant present and non-null somewhere
+    assert expected["lang_variant"].notna().any()
+
+    # lineage metrics: every input event accounted for
+    met = read_metrics(spark, eng.metrics_root)
+    assert met.agg(F.sum("n_events")).collect()[0][0] == SPEC.n_events
+    assert met.select("bucket").distinct().count() <= CFG.num_buckets
+
+
+@pytest.mark.parametrize("failpoint", ["after_dedup", "after_write", "after_commit"])
+def test_crash_replay_exactly_once(spark, events_root, expected, tmp_path, failpoint):
+    eng = _engine(spark, events_root, tmp_path, f"crash_{failpoint}")
+    eng.run(through_epoch=1)
+    with pytest.raises(ReplayCrash):
+        eng.apply_epoch(2, failpoints=[failpoint])
+    eng.run()  # restart from checkpoint; must converge
+    _assert_match(eng, expected)
+    eng.table().vacuum()
+    _assert_match(eng, expected)  # vacuum never changes readable state
+
+
+def test_duplicate_epoch_skipped(spark, events_root, expected, tmp_path):
+    eng = _engine(spark, events_root, tmp_path, "dup")
+    eng.run()
+    r = eng.apply_epoch(2)
+    assert r.skipped
+    _assert_match(eng, expected)
+
+
+def test_resume_and_ordering(spark, events_root, tmp_path):
+    eng = _engine(spark, events_root, tmp_path, "resume")
+    eng.run(through_epoch=1)
+    fresh = ReplayEngine(spark, events_root, eng.table_root, eng.metrics_root, CFG)
+    assert fresh.resume_epoch() == 2
+    with pytest.raises(ValueError):
+        fresh.apply_epoch(3)  # gap => out-of-order rejected
+
+
+def test_intermediate_epoch_matches_oracle(spark, events_root, tmp_path):
+    eng = _engine(spark, events_root, tmp_path, "mid")
+    eng.run(through_epoch=1)
+    exp = sequential_apply(events_root, max_epoch=1).rename(columns={"content_sha256": "h"})
+    _assert_match_mid = exp[COLS].reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        _state(eng).fillna("∅"), _assert_match_mid.fillna("∅"), check_dtype=False
+    )

@@ -1,0 +1,135 @@
+"""Text analysis, near-dup dedup, similarity search."""
+
+import numpy as np
+import pyspark.sql.functions as F
+
+from datax_spark.functions.content import (
+    normalize_trailing_ws,
+    rolling_fingerprint,
+    sha256_hex,
+    token_count_bpeish,
+)
+from datax_spark.functions.dedup_text import (
+    exact_dedup,
+    minhash_dedup,
+    minhash_lsh_candidates,
+    ngram_jaccard,
+    simhash64,
+)
+from datax_spark.functions.similarity import cosine_topk, lsh_bucket_topk
+from datax_spark.functions.text import lang_id_en, quality_score, token_count
+
+
+def test_content_udfs(spark):
+    df = spark.createDataFrame(
+        [(1, "hello  \nworld  "), (2, None)], "id long, t string"
+    )
+    row = (
+        df.select(
+            sha256_hex("t").alias("h"),
+            normalize_trailing_ws("t").alias("n"),
+            token_count_bpeish("t").alias("c"),
+            rolling_fingerprint("t").alias("f"),
+        )
+        .orderBy(F.desc("h"))
+        .collect()
+    )
+    import hashlib
+
+    vals = {r["h"]: r for r in row}
+    expect_h = hashlib.sha256(b"hello  \nworld  ").hexdigest()
+    assert expect_h in vals
+    assert vals[expect_h]["n"] == "hello\nworld"
+    assert vals[expect_h]["c"] == 2
+    none_row = [r for r in row if r["h"] is None][0]
+    assert none_row["n"] is None and none_row["f"] is None
+
+
+def test_text_metrics(spark):
+    df = spark.createDataFrame(
+        [(1, "the cat and the dog is onated mats of all"), (2, "xxxx")],
+        "id long, t string",
+    )
+    got = {
+        r["id"]: r
+        for r in df.select(
+            "id",
+            token_count("t").alias("tok"),
+            quality_score("t").alias("q"),
+            lang_id_en("t").alias("lang"),
+        ).collect()
+    }
+    assert got[1]["tok"] == 10
+    assert got[1]["lang"] == "en" and got[2]["lang"] == "other"
+    assert got[1]["q"] > got[2]["q"]
+
+
+def _docs(spark):
+    base = "the quick brown fox jumps over the lazy dog " * 8
+    rows = [
+        (0, base),
+        (1, base + "extra tail words"),  # near-dup of 0
+        (2, base.replace("quick", "rapid")),  # near-dup of 0
+        (3, "completely different content about spark shuffles " * 6),
+        (4, base),  # exact dup of 0
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark):
+    out = exact_dedup(_docs(spark), "text", "doc_id")
+    dups = {r["keep_id"]: r["n_dups"] for r in out.collect()}
+    assert dups[0] == 2  # docs 0 and 4 identical
+
+
+def test_minhash_near_dup(spark):
+    docs = _docs(spark)
+    cands = minhash_lsh_candidates(docs, "text", "doc_id", num_hashes=64, bands=16)
+    pairs = {(r.id_a, r.id_b) for r in cands.collect()}
+    assert (0, 4) in pairs and (0, 1) in pairs
+    confirmed = minhash_dedup(docs, "text", "doc_id", threshold=0.8)
+    got = {(r.id_a, r.id_b): r.jaccard for r in confirmed.collect()}
+    assert got[(0, 4)] == 1.0
+    assert all(j >= 0.8 for j in got.values())
+    assert not any(3 in p for p in got)  # doc 3 unrelated
+
+
+def test_ngram_jaccard_exact_values(spark):
+    docs = spark.createDataFrame(
+        [(0, "abcdef"), (1, "abcdef"), (2, "zzzzzz")], "doc_id long, text string"
+    )
+    pairs = spark.createDataFrame([(0, 1), (0, 2)], "id_a long, id_b long")
+    out = {(r.id_a, r.id_b): r.jaccard for r in ngram_jaccard(pairs, docs, "text", "doc_id", k=3).collect()}
+    assert out[(0, 1)] == 1.0
+    assert out[(0, 2)] == 0.0
+
+
+def test_simhash_deterministic_and_similar(spark):
+    docs = _docs(spark)
+    h = {r.doc_id: r.h for r in docs.select("doc_id", simhash64("text").alias("h")).collect()}
+    h2 = {r.doc_id: r.h for r in docs.select("doc_id", simhash64("text").alias("h")).collect()}
+    assert h == h2  # deterministic across runs
+    def ham(a, b):
+        return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")
+    assert ham(h[0], h[4]) == 0
+    assert ham(h[0], h[1]) < ham(h[0], h[3])
+
+
+def test_cosine_topk_matches_numpy(spark):
+    rng = np.random.default_rng(0)
+    vecs = rng.standard_normal((100, 8)).astype(np.float32)
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in vecs[i]]) for i in range(100)],
+        "vec_id long, embedding array<float>",
+    )
+    q = [float(x) for x in vecs[7]]
+    got = [r.vec_id for r in cosine_topk(df, "embedding", "vec_id", q, k=5).collect()]
+    sims = (vecs @ np.asarray(q)) / (np.linalg.norm(vecs, axis=1) * np.linalg.norm(q))
+    exp = list(np.lexsort((np.arange(100), -sims))[:5])
+    assert got == exp
+    assert got[0] == 7  # self is most similar
+
+    # LSH bucket search returns a subset ranked identically
+    ann = [r.vec_id for r in lsh_bucket_topk(df, "embedding", "vec_id", q, k=5, bits=6, multiprobe=3).collect()]
+    assert ann[0] == 7
+    assert set(ann) <= set(np.lexsort((np.arange(100), -sims))[:50].tolist())
