@@ -1,0 +1,121 @@
+"""Benchmark harness: headline queries + full CDC replay throughput.
+
+Runs at ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
+``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {name: sec, ...}, "sf": <sf>, ...extras}
+
+The flagship number is the replay pipeline: a deterministic synthetic
+change-event log (sized to sf) is written untimed, then replayed —
+dedup (salted LWW) -> bucketed CoW merge -> two-phase epoch commits ->
+lineage metrics — and reported as events/s in the extras.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+
+def _sf_from_dir(sf_dir: str) -> float:
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    return float(m.group(1)) if m else 0.0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = _sf_from_dir(sf_dir)
+
+    from datax_spark.session import get_spark
+
+    spark = get_spark("datax-spark-bench", cores=cpus)
+
+    import __spark_entry__ as entrymod
+
+    qs = entrymod.queries()
+    # headline subset: one per operator family, heavy enough to measure
+    headline = [
+        "cdc_lww_latest_state",      # LWW dedup (hash agg) over events
+        "tpch_q1",                   # wide agg scan
+        "region_revenue",            # broadcast star join
+        "window_topk_orders",        # window topk
+        "exact_dedup_docs",          # exact dedup
+        "ngram_jaccard_pairs",       # shingle jaccard self-join
+        "minhash_lsh_pairs",         # minhash+LSH banding pipeline
+        "simhash_docs",              # Arrow UDF simhash
+        "embedding_cosine_topk",     # brute-force ANN baseline
+        "embedding_lsh_topk",        # LSH ANN probe
+        "text_quality",              # codegen'd text scoring
+        "token_count_bpeish",        # Arrow UDF tokenizer
+        "multimodal_features",       # mapInPandas binary plumbing
+    ]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        fn = qs[name]
+        t0 = time.monotonic()
+        df = fn(spark, sf_dir)
+        # noop sink: full distributed compute, no driver collect
+        df.write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # ---- flagship: CDC replay throughput ----
+    from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+    from datax_spark.fixtures.changelog import ChangelogSpec, write_events
+
+    n_events = max(200_000, int(40_000_000 * sf))
+    spec = ChangelogSpec(
+        n_events=n_events,
+        n_repos=max(50, int(2_000 * sf)),
+        paths_per_repo=400,
+        events_per_epoch=max(100_000, n_events // 4),
+        evolve_from_epoch=2,
+        seed=42,
+    )
+    root = tempfile.mkdtemp(prefix="datax_spark_bench_")
+    try:
+        write_events(spark, spec, os.path.join(root, "events"))  # untimed
+        eng = ReplayEngine(
+            spark,
+            events_root=os.path.join(root, "events"),
+            table_root=os.path.join(root, "table"),
+            metrics_root=os.path.join(root, "metrics"),
+            config=ReplayConfig(num_buckets=max(64, 4 * cpus), salt_buckets=cpus),
+        )
+        t0 = time.monotonic()
+        results = eng.run()
+        replay_sec = time.monotonic() - t0
+        rows_after = results[-1].rows_after if results else 0
+        timings["cdc_replay"] = round(replay_sec, 3)
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "total_headline_sec",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": cpus,
+                "replay_events": n_events,
+                "replay_events_per_sec": round(n_events / replay_sec, 1),
+                "replay_rows_after": rows_after,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -90,10 +90,19 @@ def merge_into(
     op_col: str = "op",
     delete_op: str = "D",
     write_partitions: int | None = None,
+    order_cols: list[str] | None = None,
 ) -> PendingMerge:
     """Write phase of MERGE. ``updates`` must be deduplicated (one row
     per key — run ``operators.lww_dedup`` first) and contain the key
     columns, ``op_col``, and the payload columns.
+
+    ``order_cols`` (e.g. ``["commit", "lsn"]``) enables the cross-batch
+    LWW guard: an update only applies when its order tuple is strictly
+    greater than the current table row's — the conditional-merge form
+    ``WHEN MATCHED AND s.order > t.order THEN UPDATE`` that makes
+    re-delivered or out-of-order micro-batches unable to regress a key
+    (used by the streaming sink; the in-order batch engine skips it
+    because its epoch watermark already enforces order).
     """
     m = table.manifest()
     keys = m.key_cols
@@ -110,6 +119,19 @@ def merge_into(
     )  # at most num_buckets ints — tiny driver collect
 
     current = union_by_name(table.read(buckets=affected), evolved)
+
+    if order_cols:
+        cur_ord = current.select(
+            *keys, F.struct(*[F.col(c) for c in order_cols]).alias("__cur_ord")
+        )
+        upd = (
+            upd.join(cur_ord, on=keys, how="left")
+            .filter(
+                F.col("__cur_ord").isNull()
+                | (F.struct(*[F.col(c) for c in order_cols]) > F.col("__cur_ord"))
+            )
+            .drop("__cur_ord")
+        )
     # anti-join: current rows whose key received ANY event (upsert or
     # delete) are dropped; the upsert rows below carry the new image.
     upd_keys = upd.select(*keys)

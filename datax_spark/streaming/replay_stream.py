@@ -1,0 +1,148 @@
+"""Structured-Streaming CDC replay: the continuous form of the engine.
+
+The batch ``ReplayEngine`` replays explicit ``epoch=N`` directories;
+this module tails the SAME change log as a stream — the true analog of
+the reference's otsstreamreader shard-tailing loop
+(``OTSStreamReaderSlaveProxy.java:141-239``: iterate shard records →
+emit op-typed events → checkpoint each boundary):
+
+* source: ``spark.readStream`` over the event-log directory (file
+  source; swap ``format('kafka')`` + ``from_json`` for a broker feed —
+  the kafkareader analog, ``KafkaReader.java:131-181``);
+* rate limiting: ``maxFilesPerTrigger`` bounds each micro-batch — the
+  channel bps/tps throttle (``Channel.java:176-239``) expressed as
+  micro-batch sizing;
+* per micro-batch (``foreachBatch``): LWW dedup → order-guarded MERGE
+  into the LakeTable → atomic snapshot commit stamped with the batch
+  id;
+* exactly-once: Spark's streaming checkpoint makes batch ids stable
+  across restarts, and the sink skips any batch id <= the table's
+  committed watermark — the same two-sided idempotence Iceberg's
+  streaming sink uses. A crash mid-batch replays the identical batch;
+  the guard makes the second apply a no-op or an identical commit.
+
+Ordering note: within one micro-batch, LWW picks max (commit, lsn)
+per key. ACROSS batches, upserts are order-guarded against the
+current table row (``order_cols`` in ``merge_into``), so a late batch
+carrying older images cannot regress a key. Deletes are applied only
+when newer than the current row; a delete followed by an EARLIER
+update arriving in a later batch would need tombstone retention to
+suppress — out of scope here and in the reference (its writers apply
+deletes immediately too; otsstreamreader guarantees in-order delivery
+per key via parent-before-child shard ordering,
+``ShardStatusChecker.java:21-36``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F  # noqa: F401  (re-exported for callers)
+from pyspark.sql import types as T
+
+from datax_spark.engine.replay import ReplayConfig
+from datax_spark.lake.merge import merge_into
+from datax_spark.lake.table import LakeTable
+from datax_spark.operators.dedup import lww_dedup
+
+
+@dataclass
+class StreamReplay:
+    spark: SparkSession
+    events_root: str
+    table_root: str
+    checkpoint_root: str
+    config: ReplayConfig = field(default_factory=ReplayConfig)
+    max_files_per_trigger: int | None = None
+    schema: T.StructType | None = None
+
+    applied_batches: list[int] = field(default_factory=list)
+
+    def _event_schema(self) -> T.StructType:
+        if self.schema is not None:
+            return self.schema
+        # Infer once from the existing files (static read, driver-side).
+        # The `epoch` directory-partition column is excluded: with
+        # recursiveFileLookup the stream does no partition inference,
+        # and batch assignment (Spark's batch id) replaces it.
+        inferred = self.spark.read.parquet(self.events_root).schema
+        return T.StructType([f for f in inferred.fields if f.name != "epoch"])
+
+    def _ensure_table(self, batch_df: DataFrame) -> LakeTable:
+        if LakeTable.exists(self.table_root):
+            return LakeTable.load(self.spark, self.table_root)
+        return LakeTable.create(
+            self.spark,
+            self.table_root,
+            schema=batch_df.drop(self.config.op_col).schema,
+            key_cols=list(self.config.keys),
+            num_buckets=self.config.num_buckets,
+        )
+
+    def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
+        cfg = self.config
+        if batch_df.isEmpty():
+            return
+        table = self._ensure_table(batch_df)
+        if batch_id <= table.last_epoch:
+            return  # replayed batch after restart — exactly-once skip
+        deduped = lww_dedup(
+            batch_df,
+            keys=list(cfg.keys),
+            order_cols=list(cfg.order_cols),
+            salt_buckets=cfg.salt_buckets,
+        )
+        for fn in cfg.transforms:
+            deduped = fn(deduped)
+        pending = merge_into(
+            table,
+            deduped,
+            op_col=cfg.op_col,
+            delete_op=cfg.delete_op,
+            order_cols=list(cfg.order_cols),  # cross-batch LWW guard
+        )
+        pending.commit(summary={"last_epoch": batch_id})
+        self.applied_batches.append(batch_id)
+
+    def run_available_now(self) -> None:
+        """Drain everything currently in the log, then stop (the batch
+        window mode of otsstreamreader: [startTs, endTs) then exit)."""
+        reader = (
+            self.spark.readStream.schema(self._event_schema())
+            .option("recursiveFileLookup", "true")
+        )
+        if self.max_files_per_trigger:
+            reader = reader.option("maxFilesPerTrigger", self.max_files_per_trigger)
+        stream = reader.parquet(self.events_root)
+        q = (
+            stream.writeStream.foreachBatch(self._apply_batch)
+            .option("checkpointLocation", self.checkpoint_root)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    def table(self) -> LakeTable:
+        return LakeTable.load(self.spark, self.table_root)
+
+
+def stream_replay(
+    spark: SparkSession,
+    events_root: str,
+    table_root: str,
+    checkpoint_root: str,
+    config: ReplayConfig | None = None,
+    max_files_per_trigger: int | None = None,
+) -> LakeTable:
+    """One-call availableNow replay; returns the resulting table."""
+    sr = StreamReplay(
+        spark,
+        events_root,
+        table_root,
+        checkpoint_root,
+        config=config or ReplayConfig(),
+        max_files_per_trigger=max_files_per_trigger,
+    )
+    sr.run_available_now()
+    return sr.table()

@@ -1,0 +1,101 @@
+"""Structured-Streaming replay: availableNow drains, multi-batch
+order-guard, and checkpointed restart-resume — all against the
+sequential-apply oracle."""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import functions as F
+
+from datax_spark.engine.replay import ReplayConfig
+from datax_spark.fixtures.changelog import ChangelogSpec, events_df, write_events
+from datax_spark.oracle.apply import sequential_apply
+from datax_spark.streaming import StreamReplay
+
+
+def _state(table_df) -> pd.DataFrame:
+    return (
+        table_df.select(
+            "repo", "path", "commit", "lsn", "lang",
+            F.sha2("content", 256).alias("content_sha256"),
+        )
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+def _oracle(events_root: str) -> pd.DataFrame:
+    o = sequential_apply(events_root)
+    return (
+        o[["repo", "path", "commit", "lsn", "lang", "content_sha256"]]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+
+
+def _assert_matches(table_df, events_root):
+    got, want = _state(table_df), _oracle(events_root)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+CFG = ReplayConfig(num_buckets=8, salt_buckets=4)
+
+
+def test_stream_replay_single_drain(spark, tmp_path):
+    spec = ChangelogSpec(n_events=6_000, n_repos=20, paths_per_repo=60,
+                         events_per_epoch=2_000, seed=7)
+    write_events(spark, spec, str(tmp_path / "events"))
+    sr = StreamReplay(
+        spark, str(tmp_path / "events"), str(tmp_path / "table"),
+        str(tmp_path / "ckpt"), config=CFG,
+    )
+    sr.run_available_now()
+    assert sr.applied_batches  # at least one batch applied
+    _assert_matches(sr.table().read(), str(tmp_path / "events"))
+
+
+def test_stream_multi_batch_upserts_any_order(spark, tmp_path):
+    """Upsert-only log split over many micro-batches in file-discovery
+    order: the cross-batch order guard must converge to the oracle
+    regardless of which batch a key's events land in."""
+    spec = ChangelogSpec(n_events=6_000, n_repos=10, paths_per_repo=40,
+                         events_per_epoch=1_000, seed=13)
+    ev = events_df(spark, spec).filter(F.col("op") != "D")
+    ev.write.partitionBy("epoch").parquet(str(tmp_path / "events"))
+    sr = StreamReplay(
+        spark, str(tmp_path / "events"), str(tmp_path / "table"),
+        str(tmp_path / "ckpt"), config=CFG, max_files_per_trigger=3,
+    )
+    sr.run_available_now()
+    assert len(sr.applied_batches) > 1, "expected multiple micro-batches"
+    _assert_matches(sr.table().read(), str(tmp_path / "events"))
+
+
+def test_stream_restart_resume(spark, tmp_path):
+    """Drain, then append more of the log, then drain again with the
+    same checkpoint: new events apply, watermark advances, state
+    matches the full-log oracle (otsstreamreader resume analog)."""
+    spec = ChangelogSpec(n_events=8_000, n_repos=15, paths_per_repo=50,
+                         events_per_epoch=2_000, seed=23)
+    full = events_df(spark, spec)
+    first = full.filter(F.col("epoch") <= 1)
+    rest = full.filter(F.col("epoch") > 1)
+
+    first.write.partitionBy("epoch").parquet(str(tmp_path / "events"))
+    sr = StreamReplay(
+        spark, str(tmp_path / "events"), str(tmp_path / "table"),
+        str(tmp_path / "ckpt"), config=CFG,
+    )
+    sr.run_available_now()
+    wm1 = sr.table().last_epoch
+
+    rest.write.mode("append").partitionBy("epoch").parquet(str(tmp_path / "events"))
+    sr2 = StreamReplay(
+        spark, str(tmp_path / "events"), str(tmp_path / "table"),
+        str(tmp_path / "ckpt"), config=CFG,
+    )
+    sr2.run_available_now()
+    assert sr2.table().last_epoch > wm1
+    assert sr2.applied_batches, "restart must apply the appended events"
+    _assert_matches(sr2.table().read(), str(tmp_path / "events"))
