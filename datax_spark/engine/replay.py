@@ -57,7 +57,16 @@ class ReplayConfig:
     delete_op: str = "D"
     lsn_col: str = "lsn"
     num_buckets: int = 64
-    salt_buckets: int | None = 16  # hot-key two-stage dedup
+    # Salted two-stage dedup is OFF by default, deliberately: with
+    # composite keys (repo, path), a hot *repo* does not produce a hot
+    # *shuffle key* — its paths hash uniformly across reducers, so the
+    # plain max_by hash-agg (map-side combined) already defeats
+    # repo-level skew, and the salted path's extra shuffle measured
+    # 2.4x slower at 4M events. Set salt_buckets when a SINGLE key
+    # receives a pathological share of one epoch's events (e.g. keys
+    # = (repo,) alone, or one file rewritten millions of times per
+    # window) — then it bounds reducer fan-in at `salt_buckets`.
+    salt_buckets: int | None = None
     # Arrow-vectorized content transforms, applied post-dedup to the
     # winning event images: each fn takes and returns a DataFrame.
     transforms: tuple[Callable[[DataFrame], DataFrame], ...] = ()
@@ -172,8 +181,15 @@ class ReplayEngine:
             if "after_dedup" in failpoints:
                 raise ReplayCrash("after_dedup")
 
-            # --- MERGE (phase 1: data files) ---
-            pending = merge_into(table, deduped, op_col=cfg.op_col, delete_op=cfg.delete_op)
+            # --- MERGE (phase 1: data files); affected buckets are
+            # already known from key_counts — saves a discovery job ---
+            pending = merge_into(
+                table,
+                deduped,
+                op_col=cfg.op_col,
+                delete_op=cfg.delete_op,
+                affected_buckets=sorted(key_counts),
+            )
             if "after_write" in failpoints:
                 raise ReplayCrash("after_write")
 

@@ -133,6 +133,32 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: s
     )
 
 
+def _jaccard_hashed(
+    df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, k: int, seed: int
+) -> DataFrame:
+    """Exact Jaccard over xxhash64'd shingle sets: identical to the
+    string form up to hash collisions (~|sh|^2/2^64 per doc, negligible)
+    but array_intersect/array_union run over int64 instead of strings —
+    markedly cheaper at verification scale."""
+    sh = docs.select(
+        F.col(id_col).alias("__id"),
+        F.array_distinct(
+            F.transform(shingle_array(text_col, k), lambda s: F.xxhash64(s, F.lit(seed)))
+        ).alias("__sh"),
+    )
+    j = (
+        df_pairs.join(sh.withColumnRenamed("__id", "id_a").withColumnRenamed("__sh", "sh_a"), "id_a")
+        .join(sh.withColumnRenamed("__id", "id_b").withColumnRenamed("__sh", "sh_b"), "id_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return j.select(
+        "id_a",
+        "id_b",
+        F.when(union == 0, F.lit(0.0)).otherwise(inter / union).alias("jaccard"),
+    )
+
+
 def minhash_dedup(
     df: DataFrame,
     text_col: str,
@@ -141,11 +167,12 @@ def minhash_dedup(
     num_hashes: int = 64,
     bands: int = 16,
     k: int = 5,
+    seed: int = 42,
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → band → bucket join →
     Jaccard verify. Returns confirmed pairs with jaccard >= threshold."""
-    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k)
-    return ngram_jaccard(cands, df, text_col, id_col, k).filter(
+    cands = minhash_lsh_candidates(df, text_col, id_col, num_hashes, bands, k, seed)
+    return _jaccard_hashed(cands, df, text_col, id_col, k, seed).filter(
         F.col("jaccard") >= threshold
     )
 

@@ -91,6 +91,7 @@ def merge_into(
     delete_op: str = "D",
     write_partitions: int | None = None,
     order_cols: list[str] | None = None,
+    affected_buckets: list[int] | None = None,
 ) -> PendingMerge:
     """Write phase of MERGE. ``updates`` must be deduplicated (one row
     per key — run ``operators.lww_dedup`` first) and contain the key
@@ -114,9 +115,12 @@ def merge_into(
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nb)).cast("int")
     upd = updates.withColumn("__b", bucket)
 
-    affected = sorted(
-        r["__b"] for r in upd.select("__b").distinct().collect()
-    )  # at most num_buckets ints — tiny driver collect
+    if affected_buckets is not None:
+        affected = sorted(affected_buckets)  # caller already knows (saves a job)
+    else:
+        affected = sorted(
+            r["__b"] for r in upd.select("__b").distinct().collect()
+        )  # at most num_buckets ints — tiny driver collect
 
     current = union_by_name(table.read(buckets=affected), evolved)
 
