@@ -176,6 +176,35 @@ def _q_dx_filter_null_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_dx_encryption_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dx_encryption parity (AES-ECB as the public analog of the
+    fork's SM4): the oracle can't run AES, but the roundtrip count is
+    oracle-checkable — Spark must decrypt(encrypt(x)) == x for every
+    row to match the plain count."""
+    from datax_spark.functions.transforms import dx_encryption
+
+    part = spark.read.parquet(_p(sf_dir, "part"))
+    key = "0123456789abcdef"
+    enc = part.select(
+        "p_name", dx_encryption("p_name", key, "encrypt").alias("ct")
+    )
+    rt = enc.select(
+        "p_name", dx_encryption("ct", key, "decrypt").alias("pt")
+    )
+    return rt.agg(
+        F.count(F.lit(1)).alias("total"),
+        F.sum((F.col("pt") == F.col("p_name")).cast("long")).alias("n_roundtrip_ok"),
+    )
+
+
+def _q_doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling-hash document fingerprint via Arrow UDF (rows-only)."""
+    from datax_spark.functions.content import rolling_fingerprint
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    return docs.select("doc_id", rolling_fingerprint("text").alias("fingerprint"))
+
+
 def _q_dx_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datax_spark.functions.transforms import dx_json
 
@@ -487,6 +516,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dx_substr_pad_replace": _q_dx_substr_pad_replace,
         "dx_filter_null_rules": _q_dx_filter_null_rules,
         "dx_json_extract": _q_dx_json_extract,
+        "dx_encryption_roundtrip": _q_dx_encryption_roundtrip,
+        "doc_fingerprint": _q_doc_fingerprint,
         "range_split_scan": _q_range_split_scan,
         "hot_key_salted_agg": _q_hot_key_salted_agg,
         "dirty_data_split": _q_dirty_data_split,
@@ -562,6 +593,9 @@ def oracle_sql() -> dict[str, str]:
             SELECT event_id,
                    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
             FROM events
+        """,
+        "dx_encryption_roundtrip": """
+            SELECT count(*) AS total, count(*) AS n_roundtrip_ok FROM part
         """,
         "range_split_scan": """
             SELECT least(((l_orderkey - mn) * 8) // (mx - mn + 1), 7) AS bucket,

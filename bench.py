@@ -70,9 +70,25 @@ def main() -> None:
         df.write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
-    # ---- flagship: CDC replay throughput ----
+    # ---- flagship: CDC replay throughput (full contractual pipeline:
+    # dedup+stats one-shuffle, Arrow content transforms, CoW merge,
+    # two-phase commits) ----
     from datax_spark.engine.replay import ReplayConfig, ReplayEngine
     from datax_spark.fixtures.changelog import ChangelogSpec, write_events
+    from datax_spark.functions.content import (
+        normalize_trailing_ws,
+        sha256_hex,
+        token_count_bpeish,
+    )
+
+    def content_transforms(df):
+        if "content" not in df.columns:
+            return df
+        return (
+            df.withColumn("content", normalize_trailing_ws("content"))
+            .withColumn("content_sha256", sha256_hex("content"))
+            .withColumn("n_tokens", token_count_bpeish("content"))
+        )
 
     n_events = max(200_000, int(40_000_000 * sf))
     spec = ChangelogSpec(
@@ -91,7 +107,7 @@ def main() -> None:
             events_root=os.path.join(root, "events"),
             table_root=os.path.join(root, "table"),
             metrics_root=os.path.join(root, "metrics"),
-            config=ReplayConfig(num_buckets=max(64, 4 * cpus)),
+            config=ReplayConfig(num_buckets=64, transforms=(content_transforms,)),
         )
         t0 = time.monotonic()
         results = eng.run()

@@ -8,10 +8,14 @@ as a micro-batch loop):
        watermark (exactly-once; analog: otsstreamreader checkpoint
        recovery, ``OTSStreamReaderSlaveProxy.java:40-107``)
     2. read epoch slice  — parquet scan of ``events_root/epoch=N``
-    3. vectorized transforms — optional Arrow pandas-UDF content
-       transforms (never per-row Python; north_star requirement)
-    4. LWW dedup          — max-(commit,lsn) per (repo,path), salted
-       two-stage reduction for hot-key skew (operators.lww_dedup)
+    3. LWW dedup + lineage stats — max-(commit,lsn) per (repo,path)
+       with per-key offset/count/byte counters riding the SAME
+       map-side-combined aggregation (operators.lww_dedup_stats);
+       the salted two-stage variant for single-hot-key streams pays a
+       separate lineage scan instead
+    4. vectorized transforms — Arrow pandas-UDF content transforms on
+       the winning images only (never per-row Python; north_star
+       requirement), computed lazily exactly once inside the merge
     5. MERGE              — bucket-pruned copy-on-write merge into the
        lake table (lake.merge_into), additive schema evolution
     6. two-phase commit   — atomic manifest swap carrying the epoch
@@ -42,7 +46,7 @@ from pyspark.sql import functions as F
 from datax_spark.engine.metrics import write_epoch_metrics
 from datax_spark.lake.merge import merge_into
 from datax_spark.lake.table import LakeTable
-from datax_spark.operators.dedup import lww_dedup
+from datax_spark.operators.dedup import STAT_COLS, lww_dedup, lww_dedup_stats
 
 
 class ReplayCrash(RuntimeError):
@@ -83,6 +87,7 @@ class EpochResult:
     affected_buckets: int = 0
     apply_ms: float = 0.0
     version: int | None = None
+    phase_ms: dict = field(default_factory=dict)
 
 
 @dataclass
@@ -148,48 +153,99 @@ class ReplayEngine:
         if epoch != last + 1:
             raise ValueError(f"out-of-order epoch {epoch}; committed watermark is {last}")
 
-        # --- per-bucket lineage pre-aggregation (one job, map-side agg) ---
         bucket = F.pmod(
             F.xxhash64(*[F.col(k) for k in cfg.keys]), F.lit(cfg.num_buckets)
         ).cast("int")
-        content_col = "content" if "content" in ev.columns else None
-        aggs = [
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum((F.col(cfg.op_col) == cfg.delete_op).cast("long")).alias("n_deletes"),
-            F.min(cfg.lsn_col).alias("min_lsn"),
-            F.max(cfg.lsn_col).alias("max_lsn"),
-            (
-                F.sum(F.coalesce(F.octet_length(content_col), F.lit(0)))
-                if content_col
-                else F.lit(0)
-            ).alias("bytes_in"),
-        ]
-        lineage = {r["bucket"]: r.asDict() for r in ev.groupBy(bucket.alias("bucket")).agg(*aggs).collect()}
+        ph: dict[str, float] = {}
 
-        # --- dedup (LWW, salted) + vectorized transforms ---
-        deduped = lww_dedup(
-            ev, keys=list(cfg.keys), order_cols=list(cfg.order_cols), salt_buckets=cfg.salt_buckets
-        )
+        # --- dedup + per-key lineage stats in ONE shuffle ---
+        # The unsalted path rides the lineage counters on the dedup
+        # aggregation itself (lww_dedup_stats: primitive aggs, map-side
+        # combined — no separate scan of the raw events). The salted
+        # path cannot carry exact per-key stats through two stages, so
+        # it pays a dedicated lineage aggregation job instead.
+        if cfg.salt_buckets:
+            content_col = "content" if "content" in ev.columns else None
+            aggs = [
+                F.count(F.lit(1)).alias("n_events"),
+                F.sum((F.col(cfg.op_col) == cfg.delete_op).cast("long")).alias("n_deletes"),
+                F.min(cfg.lsn_col).alias("min_lsn"),
+                F.max(cfg.lsn_col).alias("max_lsn"),
+                (
+                    F.sum(F.coalesce(F.octet_length(content_col), F.lit(0)))
+                    if content_col
+                    else F.lit(0)
+                ).alias("bytes_in"),
+            ]
+            tp = time.monotonic()
+            lineage = {
+                r["bucket"]: r.asDict()
+                for r in ev.groupBy(bucket.alias("bucket")).agg(*aggs).collect()
+            }
+            ph["lineage"] = (time.monotonic() - tp) * 1000
+            stats_df = lww_dedup(
+                ev,
+                keys=list(cfg.keys),
+                order_cols=list(cfg.order_cols),
+                salt_buckets=cfg.salt_buckets,
+            ).persist()
+        else:
+            stats_df = lww_dedup_stats(
+                ev,
+                keys=list(cfg.keys),
+                order_cols=list(cfg.order_cols),
+                op_col=cfg.op_col,
+                delete_op=cfg.delete_op,
+                lsn_col=cfg.lsn_col,
+                content_col="content" if "content" in ev.columns else None,
+            ).persist()
+
+        # transforms apply lazily on top of the cached winners: the
+        # merge is their only consumer, so they run exactly once and
+        # the cache holds pre-transform rows (smaller).
+        deduped = stats_df.drop(*STAT_COLS)
         for fn in cfg.transforms:
             deduped = fn(deduped)
-        deduped = deduped.persist()
         try:
-            key_counts = {
-                r["bucket"]: r["n"]
-                for r in deduped.groupBy(bucket.alias("bucket")).agg(F.count(F.lit(1)).alias("n")).collect()
-            }
+            tp = time.monotonic()
+            if cfg.salt_buckets:
+                key_counts = {
+                    r["bucket"]: r["n"]
+                    for r in stats_df.groupBy(bucket.alias("bucket"))
+                    .agg(F.count(F.lit(1)).alias("n"))
+                    .collect()
+                }
+            else:
+                bucket_stats = (
+                    stats_df.groupBy(bucket.alias("bucket"))
+                    .agg(
+                        F.count(F.lit(1)).alias("n"),
+                        F.sum(STAT_COLS[0]).alias("n_events"),
+                        F.sum(STAT_COLS[1]).alias("n_deletes"),
+                        F.min(STAT_COLS[2]).alias("min_lsn"),
+                        F.max(STAT_COLS[3]).alias("max_lsn"),
+                        F.sum(STAT_COLS[4]).alias("bytes_in"),
+                    )
+                    .collect()
+                )
+                key_counts = {r["bucket"]: r["n"] for r in bucket_stats}
+                lineage = {r["bucket"]: r.asDict() for r in bucket_stats}
+            ph["dedup"] = (time.monotonic() - tp) * 1000
             if "after_dedup" in failpoints:
                 raise ReplayCrash("after_dedup")
 
             # --- MERGE (phase 1: data files); affected buckets are
             # already known from key_counts — saves a discovery job ---
+            tp = time.monotonic()
             pending = merge_into(
                 table,
                 deduped,
                 op_col=cfg.op_col,
                 delete_op=cfg.delete_op,
                 affected_buckets=sorted(key_counts),
+                update_keys=stats_df,  # cached keys: transforms run once
             )
+            ph["merge_write"] = (time.monotonic() - tp) * 1000
             if "after_write" in failpoints:
                 raise ReplayCrash("after_write")
 
@@ -215,14 +271,18 @@ class ReplayEngine:
                         "apply_ms": apply_ms,
                     }
                 )
+            tp = time.monotonic()
             write_epoch_metrics(self.metrics_root, epoch, rows)
+            ph["metrics"] = (time.monotonic() - tp) * 1000
 
             # --- commit (phase 2: atomic snapshot swap + epoch watermark) ---
+            tp = time.monotonic()
             version = pending.commit(summary={"last_epoch": epoch})
+            ph["commit"] = (time.monotonic() - tp) * 1000
             if "after_commit" in failpoints:
                 raise ReplayCrash("after_commit")
         finally:
-            deduped.unpersist()
+            stats_df.unpersist()
 
         return EpochResult(
             epoch=epoch,
@@ -234,4 +294,5 @@ class ReplayEngine:
             affected_buckets=len(pending.stats.affected_buckets),
             apply_ms=apply_ms,
             version=version,
+            phase_ms={k: round(v, 1) for k, v in ph.items()},
         )

@@ -1,5 +1,6 @@
 from datax_spark.functions.transforms import (
     TransformChain,
+    dx_encryption,
     dx_filter,
     dx_filter_drops,
     dx_json,
@@ -15,5 +16,6 @@ __all__ = [
     "dx_filter",
     "dx_filter_drops",
     "dx_json",
+    "dx_encryption",
     "TransformChain",
 ]

@@ -63,6 +63,30 @@ def dx_replace(col: Column | str, start: int, length: int, replace_string: str) 
     return F.concat(head, F.lit(replace_string), tail)
 
 
+def dx_encryption(
+    col: Column | str, key: str, mode: str = "encrypt", cipher: str = "ECB"
+) -> Column:
+    """Column encryption/decryption — the dx_encryption transformer
+    (EncryptionTransformer.java:28-135; SM4 via core/.../Sm4Util.java).
+
+    SM4 is not in public Spark; AES (built-in ``aes_encrypt``/
+    ``aes_decrypt``, JVM-side) is the public-crypto equivalent with the
+    same shape: symmetric key, column in, opaque bytes out. ECB is the
+    default for parity with the reference's deterministic per-value
+    output (same plaintext -> same ciphertext, required for equality
+    joins on encrypted columns); pass ``cipher='GCM'`` for the
+    IV-randomized authenticated mode when determinism is not needed.
+    Returns base64 text for 'encrypt', decrypted string for 'decrypt'.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    k = F.lit(key)
+    if mode == "encrypt":
+        return F.base64(F.aes_encrypt(c, k, F.lit(cipher)))
+    if mode == "decrypt":
+        return F.aes_decrypt(F.unbase64(c), k, F.lit(cipher)).cast("string")
+    raise ValueError(f"dx_encryption mode must be encrypt|decrypt, got {mode}")
+
+
 def dx_json(col: Column | str, dot_path: str) -> Column:
     """Project a dot-path out of a JSON string column."""
     c = F.col(col) if isinstance(col, str) else col
@@ -138,6 +162,10 @@ class TransformChain:
                 df = df.withColumn(s.get("as", s["column"]), dx_replace(s["column"], *s["paras"]))
             elif name == "dx_json":
                 df = df.withColumn(s.get("as", s["column"]), dx_json(s["column"], *s["paras"]))
+            elif name == "dx_encryption":
+                df = df.withColumn(
+                    s.get("as", s["column"]), dx_encryption(s["column"], *s["paras"])
+                )
             elif name == "dx_udf":
                 fn: Callable[[DataFrame], DataFrame] = s["fn"]
                 df = fn(df)

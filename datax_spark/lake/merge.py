@@ -92,6 +92,7 @@ def merge_into(
     write_partitions: int | None = None,
     order_cols: list[str] | None = None,
     affected_buckets: list[int] | None = None,
+    update_keys: DataFrame | None = None,
 ) -> PendingMerge:
     """Write phase of MERGE. ``updates`` must be deduplicated (one row
     per key — run ``operators.lww_dedup`` first) and contain the key
@@ -138,7 +139,11 @@ def merge_into(
         )
     # anti-join: current rows whose key received ANY event (upsert or
     # delete) are dropped; the upsert rows below carry the new image.
-    upd_keys = upd.select(*keys)
+    # ``update_keys`` lets the caller supply the key set from a cheaper
+    # (e.g. cached pre-transform) frame so expensive lazy transforms on
+    # ``updates`` are not computed twice — once here and once for the
+    # upsert projection.
+    upd_keys = update_keys.select(*keys) if update_keys is not None else upd.select(*keys)
     survivors = current.join(upd_keys, on=keys, how="left_anti")
     upserts = union_by_name(upd.filter(F.col(op_col) != delete_op), evolved)
 

@@ -73,3 +73,49 @@ def lww_dedup(
         F.max_by(F.struct(*[F.col(c) for c in payload]), F.struct(*[F.col(c) for c in order_cols])).alias("__row")
     )
     return agg.select(*keys, *[F.col(f"__row.{c}").alias(c) for c in payload])
+
+
+STAT_COLS = (
+    "__stat_n_events",
+    "__stat_n_deletes",
+    "__stat_min_lsn",
+    "__stat_max_lsn",
+    "__stat_bytes_in",
+)
+
+
+def lww_dedup_stats(
+    df: DataFrame,
+    keys: list[str],
+    order_cols: list[str],
+    op_col: str = "op",
+    delete_op: str = "D",
+    lsn_col: str = "lsn",
+    content_col: str | None = "content",
+) -> DataFrame:
+    """LWW dedup that ALSO emits per-key lineage stats (``STAT_COLS``)
+    in the SAME aggregation — count/deletes/min-max lsn/bytes ride the
+    one shuffle as primitive map-side-combined aggregates, so the
+    engine needs no separate lineage scan over the raw events (the
+    replay driver previously paid a full extra pass per epoch for
+    them). Bucket-level lineage = a tiny second agg over this output.
+    """
+    payload = [c for c in df.columns if c not in keys]
+    row = F.struct(*[F.col(c) for c in payload])
+    order = F.struct(*[F.col(c) for c in order_cols])
+    content = (
+        F.coalesce(F.octet_length(content_col), F.lit(0))
+        if content_col and content_col in df.columns
+        else F.lit(0)
+    )
+    agg = df.groupBy(*keys).agg(
+        F.max_by(row, order).alias("__row"),
+        F.count(F.lit(1)).alias(STAT_COLS[0]),
+        F.sum((F.col(op_col) == delete_op).cast("long")).alias(STAT_COLS[1]),
+        F.min(lsn_col).alias(STAT_COLS[2]),
+        F.max(lsn_col).alias(STAT_COLS[3]),
+        F.sum(content).alias(STAT_COLS[4]),
+    )
+    return agg.select(
+        *keys, *[F.col(f"__row.{c}").alias(c) for c in payload], *STAT_COLS
+    )

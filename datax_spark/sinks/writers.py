@@ -42,6 +42,28 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
         )
     elif name == "orcwriter":
         df.write.mode(mode).option("compression", p.get("compress", "snappy")).orc(path)
+    elif name == "kafkawriter":
+        # KafkaWriter.java: row -> JSON -> producer.send; untested here
+        # (no broker) but complete. Exactly-once on replay comes from
+        # downstream idempotence, as in the reference (at-least-once).
+        (
+            df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+            .write.format("kafka")
+            .option("kafka.bootstrap.servers", p["bootstrapServers"])
+            .option("topic", p["topic"])
+            .save()
+        )
+    elif name == "jdbcwriter":
+        writer = (
+            df.write.format("jdbc")
+            .option("url", p["jdbcUrl"])
+            .option("dbtable", p["table"])
+            .mode(mode if mode in ("append", "overwrite") else "append")
+        )
+        for k in ("user", "password", "driver", "batchsize"):
+            if k in p:
+                writer = writer.option(k, p[k])
+        writer.save()
     elif name == "streamwriter":
         # console smoke sink (StreamWriter.java analog)
         df.show(int(p.get("recordNumBeforePrint", 20)), truncate=False)

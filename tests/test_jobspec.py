@@ -113,3 +113,15 @@ def test_jdbc_split_predicates():
     assert preds[3] == "id >= 75 AND id <= 99"
     assert preds[-1] == "id IS NULL"  # NULL bucket never lost
     assert len(preds) == 5
+
+
+def test_hivereader_sql(spark):
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").createOrReplaceTempView(
+        "nation_v"
+    )
+    from datax_spark.sources.readers import read_source
+
+    df = read_source(
+        spark, "hivereader", {"sql": "SELECT n_regionkey, count(*) AS n FROM nation_v GROUP BY 1"}
+    )
+    assert df.count() == 5

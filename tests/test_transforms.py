@@ -96,3 +96,20 @@ def test_chain_stays_codegen(spark, df):
     )
     plan = chain.apply(df)._jdf.queryExecution().executedPlan().toString()
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_dx_encryption_roundtrip_and_determinism(spark):
+    from datax_spark.functions.transforms import dx_encryption
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [("alpha",), ("alpha",), ("beta",), (None,)], ["v"]
+    )
+    key = "0123456789abcdef"
+    enc = df.select("v", dx_encryption("v", key, "encrypt").alias("ct"))
+    # deterministic (ECB): identical plaintext -> identical ciphertext
+    cts = [r["ct"] for r in enc.filter(F.col("v") == "alpha").collect()]
+    assert cts[0] == cts[1]
+    rt = enc.select("v", dx_encryption("ct", key, "decrypt").alias("pt"))
+    for r in rt.collect():
+        assert r["pt"] == r["v"]
