@@ -338,6 +338,51 @@ def _q_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization (30-min inactivity): lag + cumulative
+    session-start counter per user — the batch form of a stateful
+    streaming session window."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(_p(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)
+    starts = F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    sess = ev.withColumn("session_id", F.sum(starts).over(w))
+    return sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("event_id").alias("first_event_id"),
+        F.max("event_id").alias("last_event_id"),
+        F.round(F.sum("value"), 4).alias("session_value"),
+    )
+
+
+def _q_event_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user inter-event deltas (lag): CDC-style ordering analysis."""
+    from pyspark.sql.window import Window
+
+    ev = spark.read.parquet(_p(sf_dir, "events"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        (F.col("ts").cast("timestamp").cast("long") - F.lag(F.col("ts").cast("timestamp").cast("long")).over(w)).alias("gap_sec"),
+        F.round(F.col("value") - F.lag("value").over(w), 4).alias("value_delta"),
+    )
+
+
+def _q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROLLUP aggregation (status -> priority hierarchy with totals)."""
+    orders = spark.read.parquet(_p(sf_dir, "orders"))
+    return (
+        orders.rollup("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+        )
+    )
+
+
 def _q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -526,6 +571,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q1": _q_tpch_q1,
         "region_revenue": _q_region_revenue,
         "window_topk_orders": _q_window_topk_orders,
+        "event_sessionization": _q_event_sessionization,
+        "event_lag_delta": _q_event_lag_delta,
+        "orders_rollup": _q_orders_rollup,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -659,6 +707,39 @@ def oracle_sql() -> dict[str, str]:
                       ORDER BY o_totalprice DESC, o_orderkey ASC) rnk
                   FROM orders)
             WHERE rnk <= 3
+        """,
+        "event_sessionization": """
+            WITH g AS (
+              SELECT user_id, event_id, ts, value,
+                     CASE WHEN lag(floor(epoch(ts))::BIGINT) OVER w IS NULL
+                            OR floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w > 1800
+                          THEN 1 ELSE 0 END AS start
+              FROM events
+              WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+            ), s AS (
+              SELECT *, sum(start) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id) AS session_id
+              FROM g
+            )
+            SELECT user_id, session_id, count(*) AS n_events,
+                   min(event_id) AS first_event_id,
+                   max(event_id) AS last_event_id,
+                   round(sum(value), 4) AS session_value
+            FROM s GROUP BY user_id, session_id
+        """,
+        "event_lag_delta": """
+            SELECT user_id, event_id,
+                   floor(epoch(ts))::BIGINT - lag(floor(epoch(ts))::BIGINT) OVER w AS gap_sec,
+                   round(value - lag(value) OVER w, 4) AS value_delta
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        """,
+        "orders_rollup": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_dups,
