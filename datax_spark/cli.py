@@ -1,0 +1,116 @@
+"""Command-line entry point — the analog of ``datax.py job.json``
+(``core/src/main/java/com/alibaba/datax/core/Engine.java:117-170``
+parses -job/-jobid/-mode; here argparse + a JSON job spec).
+
+Two job kinds:
+
+* ``{"job": {...}}`` — a DataX-style reader/transformer/writer spec
+  executed by ``jobspec.run_job`` (one declarative Spark plan).
+* ``{"replay": {...}}`` — the CDC engine:
+  ``{"replay": {"events_root": ..., "table_root": ..., "metrics_root":
+  ..., "num_buckets": 64, "salt_buckets": null, "through_epoch": null,
+  "streaming": false, "checkpoint_root": ...}}``
+
+Usage (local or via spark-submit):
+
+    python -m datax_spark --job job.json [--cores 8]
+    spark-submit --py-files datax_spark.zip -m ...  # same spec file
+
+Exit code 0 on success; failures propagate (the reference aborts the
+process on job failure too, ``Engine.java:40-66``).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+
+
+def main(argv: list[str] | None = None) -> int:
+    ap = argparse.ArgumentParser(prog="datax_spark")
+    ap.add_argument("--job", required=True, help="path to a JSON job spec")
+    ap.add_argument("--cores", type=int, default=None, help="local[N] cores")
+    ap.add_argument("--dry-run", action="store_true", help="validate + plan only")
+    args = ap.parse_args(argv)
+
+    with open(args.job) as fh:
+        spec = json.load(fh)
+
+    from datax_spark.session import get_spark
+
+    spark = get_spark("datax_spark_cli", cores=args.cores)
+
+    if "replay" in spec:
+        from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+
+        r = spec["replay"]
+        cfg = ReplayConfig(
+            keys=tuple(r.get("keys", ("repo", "path"))),
+            order_cols=tuple(r.get("order_cols", ("commit", "lsn"))),
+            num_buckets=int(r.get("num_buckets", 64)),
+            salt_buckets=r.get("salt_buckets"),
+        )
+        if r.get("streaming"):
+            from datax_spark.streaming import StreamReplay
+
+            sr = StreamReplay(
+                spark,
+                r["events_root"],
+                r["table_root"],
+                r["checkpoint_root"],
+                config=cfg,
+                max_files_per_trigger=r.get("max_files_per_trigger"),
+            )
+            if args.dry_run:
+                print(json.dumps({"mode": "stream_replay", "validated": True}))
+                return 0
+            sr.run_available_now()
+            print(json.dumps({"mode": "stream_replay", "batches": sr.applied_batches,
+                              "rows": sr.table().total_rows()}))
+            return 0
+
+        eng = ReplayEngine(
+            spark,
+            events_root=r["events_root"],
+            table_root=r["table_root"],
+            metrics_root=r["metrics_root"],
+            config=cfg,
+        )
+        if args.dry_run:
+            print(json.dumps({"mode": "replay", "epochs": eng.discover_epochs(),
+                              "resume_from": eng.resume_epoch()}))
+            return 0
+        results = eng.run(through_epoch=r.get("through_epoch"))
+        print(json.dumps({
+            "mode": "replay",
+            "epochs_applied": [x.epoch for x in results if not x.skipped],
+            "epochs_skipped": [x.epoch for x in results if x.skipped],
+            "rows_after": results[-1].rows_after if results else None,
+        }))
+        return 0
+
+    if "job" in spec:
+        from datax_spark.jobspec import run_job
+
+        if args.dry_run:
+            # preCheck analog (JobContainer.java:184-282): build the
+            # plan (reader + transforms resolve) without executing
+            from datax_spark.functions.transforms import TransformChain
+            from datax_spark.sources.readers import read_source
+
+            j = spec["job"]
+            df = read_source(spark, j["reader"]["name"], j["reader"].get("parameter", {}))
+            TransformChain(j.get("transformer", [])).apply(df).explain("formatted")
+            return 0
+        res = run_job(spark, spec["job"])
+        print(json.dumps({"mode": "job", "rows_written": res.rows_written,
+                          "rows_dirty": res.rows_dirty, "writer": res.writer_stats}))
+        return 0
+
+    print("spec must contain 'job' or 'replay'", file=sys.stderr)
+    return 2
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

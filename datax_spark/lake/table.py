@@ -254,6 +254,54 @@ class LakeTable:
     def total_rows(self) -> int:
         return sum(self.manifest().row_counts.values())
 
+    def compact(self, buckets: list[int] | None = None, target_file_rows: int | None = None) -> int:
+        """Maintenance: rewrite each (selected) bucket's files into one
+        sorted file, commit as a new snapshot. Data is unchanged — only
+        the file layout. The small-file problem is inherent to CoW
+        epochs (each epoch adds a file per touched bucket); periodic
+        compaction restores one-file-per-bucket reads, like Iceberg's
+        rewrite_data_files. Returns the new snapshot version.
+        """
+        import pyarrow.parquet as _pq
+        from pyspark.sql import functions as _F
+
+        m = self.manifest()
+        todo = [b for b in (buckets if buckets is not None else sorted(int(x) for x in m.files))
+                if str(b) in m.files and len(m.files[str(b)]) > 1]
+        if not todo:
+            return m.version
+        txn = self.new_txn_dir()
+        df = self.read(buckets=todo).withColumn(
+            "__b",
+            _F.pmod(_F.xxhash64(*[_F.col(k) for k in m.key_cols]), _F.lit(m.num_buckets)).cast("int"),
+        )
+        (
+            df.repartition(len(todo), _F.col("__b"))
+            .sortWithinPartitions(*m.key_cols)
+            .write.mode("overwrite")
+            .partitionBy("__b")
+            .parquet(txn)
+        )
+        new_files: dict[int, list[str]] = {}
+        new_counts: dict[int, int] = {}
+        import glob as _glob
+        import re as _re
+
+        for d in _glob.glob(os.path.join(txn, "__b=*")):
+            b = int(_re.search(r"__b=(\d+)$", d).group(1))
+            files = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+            rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+            if rows:
+                new_files[b] = files
+                new_counts[b] = rows
+        return self.commit(
+            replaced_buckets=todo,
+            new_files=new_files,
+            new_row_counts=new_counts,
+            summary={"compacted": len(todo)},
+            base_version=m.version,
+        )
+
     def vacuum(self) -> list[str]:
         """Delete data files not referenced by the current snapshot
         (orphans from crashed commits). Returns removed paths."""

@@ -95,3 +95,51 @@ def test_commit_conflict_and_vacuum(spark, tmp_path):
     removed = t.vacuum()
     assert removed  # p2's orphan files reclaimed
     assert {r.content for r in t.read().collect()} == {"x"}
+
+
+def test_compact_preserves_state(spark, tmp_path):
+    """The CoW merge always leaves one file per bucket, so fragmentation
+    comes from append-style writers: simulate a bucket whose file list
+    accumulated several parquet files, then compact() must rewrite it to
+    one sorted file without changing readable state."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from datax_spark.lake.table import LakeTable
+
+    df = spark.range(300).select(
+        F.format_string("repo_%d", F.col("id") % 7).alias("repo"),
+        F.format_string("f_%d.py", F.col("id")).alias("path"),
+        F.col("id").alias("lsn"),
+    )
+    t = LakeTable.create(spark, str(tmp_path / "t"), schema=df.schema,
+                         key_cols=["repo", "path"], num_buckets=2)
+    bucket = F.pmod(F.xxhash64("repo", "path"), F.lit(2)).cast("int")
+    new_files, new_counts = {}, {}
+    for b in (0, 1):
+        part = df.withColumn("__b", bucket).filter(F.col("__b") == b).drop("__b")
+        for piece in (0, 1, 2):  # three separate files per bucket
+            txn = t.new_txn_dir()
+            part.filter(F.col("lsn") % 3 == piece).coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(txn)
+            import glob
+            fs = glob.glob(os.path.join(txn, "*.parquet"))
+            new_files.setdefault(b, []).extend(fs)
+        new_counts[b] = part.count()
+    t.commit(replaced_buckets=[0, 1], new_files=new_files,
+             new_row_counts=new_counts, base_version=0)
+
+    m0 = t.manifest()
+    assert all(len(fs) == 3 for fs in m0.files.values())
+    before = sorted(tuple(r) for r in t.read().collect())
+
+    v = t.compact()
+    m1 = t.manifest()
+    assert v == m1.version and m1.version > m0.version
+    assert all(len(fs) == 1 for fs in m1.files.values())
+    assert m1.row_counts == m0.row_counts
+    assert sorted(tuple(r) for r in t.read().collect()) == before
+    t.vacuum()
+    assert sorted(tuple(r) for r in t.read().collect()) == before

@@ -1,0 +1,118 @@
+"""Property-based tests (hypothesis): dx_filter's null rules, LWW
+dedup, and schema evolution hold for arbitrary inputs, not just the
+fixtures. Each property batches all generated rows into ONE Spark job
+per example to keep runtime sane."""
+
+from __future__ import annotations
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+SETTINGS = dict(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.one_of(
+    st.none(),
+    st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=12),
+)
+
+
+def ref_drops(value: str | None, op: str, lit: str) -> bool:
+    """Pure-python reference of FilterTransformer.java:20-311 rules."""
+    if op in (">", ">=", "<", "<="):
+        if value is None:
+            return False
+        return {
+            ">": value > lit, ">=": value >= lit,
+            "<": value < lit, "<=": value <= lit,
+        }[op]
+    if op == "=":
+        return lit.lower() == "null" if value is None else value == lit
+    if op == "!=":
+        return lit.lower() != "null" if value is None else value != lit
+    if op == "like":
+        return value is not None and re.fullmatch(lit, value) is not None
+    if op == "not like":
+        return value is None or re.fullmatch(lit, value) is None
+    raise ValueError(op)
+
+
+@given(
+    vals=st.lists(texts, min_size=1, max_size=30),
+    op=st.sampled_from([">", ">=", "<", "<=", "=", "!=", "like", "not like"]),
+    lit=st.sampled_from(["abc", "null", "a.*", "", "zz"]),
+)
+@settings(**SETTINGS)
+def test_dx_filter_matches_reference(spark, vals, op, lit):
+    from datax_spark.functions.transforms import dx_filter_drops
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)],
+        T.StructType([
+            T.StructField("i", T.IntegerType()),
+            T.StructField("v", T.StringType()),
+        ]),
+    )
+    got = {
+        r["i"]: r["d"]
+        for r in df.select(
+            "i", dx_filter_drops(F.col("v"), op, lit, "string").alias("d")
+        ).collect()
+    }
+    for i, v in enumerate(vals):
+        assert got[i] == ref_drops(v, op, lit), (v, op, lit)
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(0, 5),           # key
+            st.integers(0, 1_000_000),   # lsn (order)
+            st.text(max_size=8),         # payload
+        ),
+        min_size=1,
+        max_size=40,
+    )
+)
+@settings(**SETTINGS)
+def test_lww_dedup_matches_reference(spark, rows):
+    from datax_spark.operators.dedup import lww_dedup
+
+    df = spark.createDataFrame(
+        [(k, lsn, p) for k, lsn, p in rows], ["k", "lsn", "p"]
+    )
+    got = {
+        r["k"]: (r["lsn"], r["p"])
+        for r in lww_dedup(df, keys=["k"], order_cols=["lsn", "p"]).collect()
+    }
+    ref: dict[int, tuple] = {}
+    for k, lsn, p in rows:
+        if k not in ref or (lsn, p) > ref[k]:
+            ref[k] = (lsn, p)
+    assert got == ref
+
+
+@given(
+    base=st.lists(st.sampled_from(["a", "b", "c", "d"]), unique=True, min_size=1),
+    extra=st.lists(st.sampled_from(["c", "d", "e", "f"]), unique=True),
+)
+@settings(**SETTINGS)
+def test_evolve_schema_additive(base, extra):
+    from datax_spark.operators.schema_evolution import evolve_schema
+
+    cur = T.StructType([T.StructField(n, T.StringType()) for n in base])
+    inc = T.StructType([T.StructField(n, T.StringType()) for n in extra])
+    out = evolve_schema(cur, inc)
+    names = [f.name for f in out.fields]
+    # prefix preserved, new fields appended in incoming order, no dupes
+    assert names[: len(base)] == base
+    assert names == base + [n for n in extra if n not in base]
+    # idempotent and monotone
+    assert [f.name for f in evolve_schema(out, inc).fields] == names

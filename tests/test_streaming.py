@@ -99,3 +99,53 @@ def test_stream_restart_resume(spark, tmp_path):
     assert sr2.table().last_epoch > wm1
     assert sr2.applied_batches, "restart must apply the appended events"
     _assert_matches(sr2.table().read(), str(tmp_path / "events"))
+
+
+def test_stateful_lww_stream(spark, tmp_path):
+    """applyInPandasWithState running-LWW: across micro-batches the
+    emitted winner per key must converge to the global LWW winner, and
+    state must persist between batches (a later batch with only older
+    events emits nothing)."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.fixtures.changelog import ChangelogSpec, events_df
+    from datax_spark.streaming.stateful import lww_state_stream
+
+    spec = ChangelogSpec(n_events=4_000, n_repos=8, paths_per_repo=30,
+                         events_per_epoch=1_000, seed=17)
+    ev = events_df(spark, spec)
+    ev.write.partitionBy("epoch").parquet(str(tmp_path / "events"))
+
+    schema = spark.read.parquet(str(tmp_path / "events")).drop("epoch").schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .option("maxFilesPerTrigger", 5)
+        .parquet(str(tmp_path / "events"))
+    )
+    out = lww_state_stream(stream)
+    q = (
+        out.writeStream.format("memory")
+        .queryName("lww_changes")
+        .outputMode("update")
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    changes = spark.sql("SELECT * FROM lww_changes")
+    # last emitted change per key == global LWW winner
+    from datax_spark.operators.dedup import lww_dedup
+
+    final = lww_dedup(
+        changes, keys=["repo", "path"], order_cols=["commit", "lsn"]
+    ).select("repo", "path", "commit", "lsn", "deleted")
+    expected = lww_dedup(
+        ev, keys=["repo", "path"], order_cols=["commit", "lsn"]
+    ).select(
+        "repo", "path", "commit", "lsn", (F.col("op") == "D").alias("deleted")
+    )
+    got = {tuple(r) for r in final.collect()}
+    want = {tuple(r) for r in expected.collect()}
+    assert got == want
