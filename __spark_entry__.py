@@ -11,19 +11,23 @@ Coverage map (SURVEY.md §2 -> query names):
                                      cdc_replay_repo_table (rows-only),
                                      cdc_lineage_metrics (rows-only)
 * dx_* transformer parity (§2.4) ... dx_substr_pad_replace, dx_filter_null_rules,
-                                     dx_json_extract
+                                     dx_json_extract, dx_encryption_roundtrip
 * split / framework ops (§2.1/2.3).. range_split_scan, hot_key_salted_agg,
                                      dirty_data_split, speed_metrics
 * schema evolution (§2.5) .......... schema_evolution_union
-* internal SQL ops (§2.5) .......... tpch_q1, region_revenue, window_topk_orders
+* internal SQL ops (§2.5) .......... tpch_q1, region_revenue, window_topk_orders,
+                                     event_sessionization, event_lag_delta,
+                                     orders_rollup
 * training-data dedup .............. exact_dedup_docs, ngram_jaccard_pairs,
                                      minhash_lsh_pairs (rows-only),
-                                     simhash_docs (rows-only)
+                                     simhash_docs (rows-only),
+                                     doc_fingerprint (rows-only)
 * similarity search ................ embedding_cosine_topk,
                                      embedding_lsh_topk (rows-only)
 * text analysis .................... text_quality, lang_id_markers,
                                      token_count_bpeish
-* multimodal plumbing .............. multimodal_features
+* multimodal plumbing .............. multimodal_features (image),
+                                     audio_features (audio)
 
 Floats: every computed double is explicitly ``round()``-ed to the same
 precision on BOTH sides so the value-hash compares stable digits.
@@ -543,6 +547,19 @@ def _q_multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio-modality plumbing: opaque binary -> typed metadata via
+    mapInPandas (deterministic fake decode; features are functions of
+    byte length so the oracle can verify the full pipeline)."""
+    from datax_spark.functions.multimodal import with_fake_audio_features
+
+    docs = spark.read.parquet(_p(sf_dir, "documents"))
+    blobs = docs.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return with_fake_audio_features(blobs, "payload").select(
+        "doc_id", "n_bytes", "sample_rate", "duration_ms", "channels"
+    )
+
+
 # ---------------------------------------------------------------------------
 # contract
 # ---------------------------------------------------------------------------
@@ -584,6 +601,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_markers": _q_lang_id_markers,
         "token_count_bpeish": _q_token_count_bpeish,
         "multimodal_features": _q_multimodal_features,
+        "audio_features": _q_audio_features,
     }
 
 
@@ -806,6 +824,14 @@ def oracle_sql() -> dict[str, str]:
                    (strlen(text) % 640) + 1 AS width,
                    (strlen(text) % 480) + 1 AS height,
                    'RGB' AS mode
+            FROM documents
+        """,
+        "audio_features": """
+            SELECT doc_id,
+                   strlen(text) AS n_bytes,
+                   16000 AS sample_rate,
+                   ((strlen(text) // 2) * 1000) // 16000 AS duration_ms,
+                   1 AS channels
             FROM documents
         """,
     }

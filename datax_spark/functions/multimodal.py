@@ -84,6 +84,39 @@ def with_fake_image_features(df: DataFrame, payload_col: str) -> DataFrame:
     return df.mapInPandas(gen, schema=out_schema)
 
 
+AUDIO_FEATURE_FIELDS = [
+    T.StructField("n_bytes", T.LongType()),
+    T.StructField("sample_rate", T.LongType()),
+    T.StructField("duration_ms", T.LongType()),
+    T.StructField("channels", T.LongType()),
+]
+
+
+def with_fake_audio_features(df: DataFrame, payload_col: str) -> DataFrame:
+    """Audio analog of ``with_fake_image_features``: opaque binary ->
+    typed metadata columns via Arrow-batched mapInPandas. Deterministic
+    fake 'decode' (real audio codecs absent in this container): treat
+    the payload as 16-bit mono PCM at 16 kHz, so features are pure
+    functions of byte length and SQL-checkable."""
+    out_schema = T.StructType(list(df.schema.fields) + AUDIO_FEATURE_FIELDS)
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = pdf[payload_col].map(lambda b: len(b) if b is not None else 0).astype("int64")
+            feats = pd.DataFrame(
+                {
+                    "n_bytes": n,
+                    "sample_rate": 16_000,
+                    "duration_ms": (n // 2) * 1000 // 16_000,
+                    "channels": 1,
+                }
+            )
+            feats.index = pdf.index
+            yield pd.concat([pdf, feats], axis=1)
+
+    return df.mapInPandas(gen, schema=out_schema)
+
+
 def frame_sample_indices(n_frames_col: pd.Series, every: int) -> pd.Series:
     """Video frame-sampling helper (pandas side): indices 0, every,
     2*every … < n_frames, as list values. Used inside mapInPandas for
