@@ -474,6 +474,17 @@ def _q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF ANN (rows-only): coarse k-means centroids on a bounded
+    deterministic sample, Arrow-UDF cluster assignment, cosine top-k
+    within the probed clusters."""
+    from datax_spark.functions.similarity import ivf_topk
+
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    r = ivf_topk(emb, "embedding", "vec_id", QUERY_VEC, k=10, n_clusters=8, n_probe=3)
+    return r.select("vec_id", F.round("cosine_sim", 4).alias("cosine_r"))
+
+
 def _q_embedding_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN path (rows-only): random-hyperplane LSH bucket probe then
     cosine top-k within the bucket (numpy signatures via Arrow UDF)."""
@@ -597,6 +608,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": _q_simhash_docs,
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
+        "embedding_ivf_topk": _q_embedding_ivf_topk,
         "text_quality": _q_text_quality,
         "lang_id_markers": _q_lang_id_markers,
         "token_count_bpeish": _q_token_count_bpeish,

@@ -40,7 +40,7 @@ import time
 from collections.abc import Callable, Sequence
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from datax_spark.engine.metrics import write_epoch_metrics
@@ -51,6 +51,11 @@ from datax_spark.operators.dedup import STAT_COLS, lww_dedup, lww_dedup_stats
 
 class ReplayCrash(RuntimeError):
     """Injected crash (tests only)."""
+
+
+class DirtyDataError(RuntimeError):
+    """Epoch exceeded the dirty-record limit (ErrorRecordChecker
+    analog); raised BEFORE any table write, so replay is clean."""
 
 
 @dataclass(frozen=True)
@@ -74,6 +79,13 @@ class ReplayConfig:
     # Arrow-vectorized content transforms, applied post-dedup to the
     # winning event images: each fn takes and returns a DataFrame.
     transforms: tuple[Callable[[DataFrame], DataFrame], ...] = ()
+    # Dirty-data policy (ErrorRecordChecker.java:18-82 analog): events
+    # with NULL in any key or order column cannot be keyed or ordered —
+    # they are quarantined under <metrics_root>/../quarantine/epoch=N,
+    # counted in EpochResult.n_dirty, and the epoch FAILS (before any
+    # table write) when count > dirty_record_limit (None = unlimited).
+    dirty_record_limit: int | None = None
+    quarantine: bool = True
 
 
 @dataclass
@@ -88,6 +100,7 @@ class EpochResult:
     apply_ms: float = 0.0
     version: int | None = None
     phase_ms: dict = field(default_factory=dict)
+    n_dirty: int = 0
 
 
 @dataclass
@@ -109,6 +122,9 @@ class ReplayEngine:
 
     def table(self) -> LakeTable:
         return LakeTable.load(self.spark, self.table_root)
+
+    def quarantine_root(self) -> str:
+        return os.path.join(os.path.dirname(self.metrics_root.rstrip("/")), "quarantine")
 
     def _ensure_table(self, first_epoch_df: DataFrame) -> LakeTable:
         if LakeTable.exists(self.table_root):
@@ -158,6 +174,18 @@ class ReplayEngine:
         ).cast("int")
         ph: dict[str, float] = {}
 
+        # --- dirty-data split: NULL in any key/order column means the
+        # event cannot be keyed or ordered. The count rides the dedup
+        # job via an Observation (no extra scan); quarantine rows are
+        # written (and the epoch failed) only when any exist.
+        dirty_pred = None
+        for c in (*cfg.keys, *cfg.order_cols):
+            p = F.col(c).isNull()
+            dirty_pred = p if dirty_pred is None else (dirty_pred | p)
+        obs = Observation(f"dirty_epoch_{epoch}")
+        ev_obs = ev.observe(obs, F.sum(dirty_pred.cast("long")).alias("n_dirty"))
+        ev_clean = ev_obs.filter(~dirty_pred)
+
         # --- dedup + per-key lineage stats in ONE shuffle ---
         # The unsalted path rides the lineage counters on the dedup
         # aggregation itself (lww_dedup_stats: primitive aggs, map-side
@@ -180,18 +208,18 @@ class ReplayEngine:
             tp = time.monotonic()
             lineage = {
                 r["bucket"]: r.asDict()
-                for r in ev.groupBy(bucket.alias("bucket")).agg(*aggs).collect()
+                for r in ev_clean.groupBy(bucket.alias("bucket")).agg(*aggs).collect()
             }
             ph["lineage"] = (time.monotonic() - tp) * 1000
             stats_df = lww_dedup(
-                ev,
+                ev_clean,
                 keys=list(cfg.keys),
                 order_cols=list(cfg.order_cols),
                 salt_buckets=cfg.salt_buckets,
             ).persist()
         else:
             stats_df = lww_dedup_stats(
-                ev,
+                ev_clean,
                 keys=list(cfg.keys),
                 order_cols=list(cfg.order_cols),
                 op_col=cfg.op_col,
@@ -231,6 +259,18 @@ class ReplayEngine:
                 key_counts = {r["bucket"]: r["n"] for r in bucket_stats}
                 lineage = {r["bucket"]: r.asDict() for r in bucket_stats}
             ph["dedup"] = (time.monotonic() - tp) * 1000
+
+            n_dirty = int((obs.get or {}).get("n_dirty") or 0)
+            if n_dirty and cfg.quarantine:
+                ev_obs.filter(dirty_pred).write.mode("overwrite").parquet(
+                    os.path.join(self.quarantine_root(), f"epoch={epoch}")
+                )
+            if cfg.dirty_record_limit is not None and n_dirty > cfg.dirty_record_limit:
+                raise DirtyDataError(
+                    f"epoch {epoch}: {n_dirty} dirty records exceed limit "
+                    f"{cfg.dirty_record_limit} (quarantined under "
+                    f"{self.quarantine_root()})"
+                )
             if "after_dedup" in failpoints:
                 raise ReplayCrash("after_dedup")
 
@@ -277,7 +317,9 @@ class ReplayEngine:
 
             # --- commit (phase 2: atomic snapshot swap + epoch watermark) ---
             tp = time.monotonic()
-            version = pending.commit(summary={"last_epoch": epoch})
+            version = pending.commit(
+                summary={"last_epoch": epoch, "n_dirty": n_dirty}
+            )
             ph["commit"] = (time.monotonic() - tp) * 1000
             if "after_commit" in failpoints:
                 raise ReplayCrash("after_commit")
@@ -295,4 +337,5 @@ class ReplayEngine:
             apply_ms=apply_ms,
             version=version,
             phase_ms={k: round(v, 1) for k, v in ph.items()},
+            n_dirty=n_dirty,
         )

@@ -73,6 +73,72 @@ def hyperplane_signature_udf(dim: int, bits: int = 12, seed: int = 42):
     return sig
 
 
+def _kmeans(sample: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
+    """Tiny deterministic k-means (numpy, driver-side) for IVF coarse
+    centroids. Training on a bounded sample is the standard IVF recipe
+    (and the analog of the reference's sample-based range estimation,
+    ``SingleTableSplitUtil.java:298-393``)."""
+    rng = np.random.default_rng(seed)
+    cent = sample[rng.choice(len(sample), size=min(k, len(sample)), replace=False)]
+    for _ in range(iters):
+        d = ((sample[:, None, :] - cent[None, :, :]) ** 2).sum(axis=2)
+        assign = d.argmin(axis=1)
+        for c in range(len(cent)):
+            m = sample[assign == c]
+            if len(m):
+                cent[c] = m.mean(axis=0)
+    return cent
+
+
+def centroid_assign_udf(centroids: np.ndarray):
+    """Arrow pandas UDF: array<float> -> nearest-centroid id (one
+    matrix product per batch)."""
+    cent = centroids.astype(np.float64)
+    cent_sq = (cent**2).sum(axis=1)
+
+    @pandas_udf(T.IntegerType())
+    def assign(v: pd.Series) -> pd.Series:
+        mat = np.stack(v.map(lambda x: np.asarray(x, dtype=np.float64)).values)
+        # ||x-c||^2 = ||x||^2 - 2 x.c + ||c||^2 ; ||x||^2 constant per row
+        d = -2.0 * (mat @ cent.T) + cent_sq[None, :]
+        return pd.Series(d.argmin(axis=1).astype(np.int32))
+
+    return assign
+
+
+def ivf_topk(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    query: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+    sample_size: int = 1024,
+) -> DataFrame:
+    """IVF ANN top-k: train coarse centroids on a deterministic sample
+    (driver-side, bounded — split-planning-sized work), assign every
+    vector to its nearest centroid (Arrow UDF, one BLAS call per
+    batch), then brute-force cosine only inside the query's ``n_probe``
+    nearest clusters. At 100 TB you would persist the table partitioned
+    by ``__cluster`` and get partition pruning on the probe, scanning
+    ~n_probe/n_clusters of the data."""
+    sample_rows = (
+        df.select(vec_col).orderBy(id_col).limit(sample_size).collect()
+    )
+    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+    cent = _kmeans(sample, n_clusters, seed)
+    q = np.asarray(query, dtype=np.float64)
+    qd = ((cent - q[None, :]) ** 2).sum(axis=1)
+    probe = [int(c) for c in qd.argsort()[:n_probe]]
+
+    assign = centroid_assign_udf(cent)
+    clustered = df.withColumn("__cluster", assign(F.col(vec_col)))
+    cand = clustered.filter(F.col("__cluster").isin(probe))
+    return cosine_topk(cand, vec_col, id_col, query, k)
+
+
 def lsh_bucket_topk(
     df: DataFrame,
     vec_col: str,

@@ -116,3 +116,55 @@ def test_intermediate_epoch_matches_oracle(spark, events_root, tmp_path):
     pd.testing.assert_frame_equal(
         _state(eng).fillna("∅"), _assert_match_mid.fillna("∅"), check_dtype=False
     )
+
+
+def test_dirty_data_quarantine_and_limit(spark, tmp_path):
+    """Events with NULL key/order columns are quarantined (never reach
+    the table), counted per epoch, and trip the dirty_record_limit
+    BEFORE any table write (ErrorRecordChecker analog)."""
+    import pandas as pd
+    import pytest
+    from pyspark.sql import functions as F
+
+    from datax_spark.engine.replay import DirtyDataError, ReplayConfig, ReplayEngine
+    from datax_spark.fixtures.changelog import ChangelogSpec, events_df
+    from datax_spark.oracle.apply import sequential_apply
+
+    spec = ChangelogSpec(n_events=4_000, n_repos=10, paths_per_repo=40,
+                         events_per_epoch=2_000, seed=41)
+    clean = events_df(spark, spec)
+    dirty = (
+        clean.filter(F.col("epoch") == 0).limit(7)
+        .withColumn("repo", F.lit(None).cast("string"))
+    )
+    clean.unionByName(dirty).write.partitionBy("epoch").parquet(str(tmp_path / "events"))
+    clean.write.partitionBy("epoch").parquet(str(tmp_path / "clean_events"))
+
+    eng = ReplayEngine(spark, str(tmp_path / "events"), str(tmp_path / "table"),
+                       str(tmp_path / "metrics"), ReplayConfig(num_buckets=4))
+    results = eng.run()
+    assert results[0].n_dirty == 7
+    assert results[1].n_dirty == 0
+    q = spark.read.parquet(str(tmp_path / "quarantine" / "epoch=0"))
+    assert q.count() == 7 and q.filter(F.col("repo").isNull()).count() == 7
+    assert eng.table().manifest().summary.get("n_dirty") == 0  # last epoch
+
+    got = (
+        eng.table().read()
+        .select("repo", "path", "lsn", F.sha2("content", 256).alias("h"))
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = sequential_apply(str(tmp_path / "clean_events"))[
+        ["repo", "path", "lsn", "content_sha256"]
+    ].rename(columns={"content_sha256": "h"}).sort_values(
+        ["repo", "path"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+    # limit enforcement: fresh engine over the same log with limit 3
+    eng2 = ReplayEngine(spark, str(tmp_path / "events"), str(tmp_path / "table2"),
+                        str(tmp_path / "metrics2"),
+                        ReplayConfig(num_buckets=4, dirty_record_limit=3))
+    with pytest.raises(DirtyDataError):
+        eng2.run()
+    assert eng2.table().last_epoch == -1  # nothing committed
