@@ -23,7 +23,8 @@ Coverage map (SURVEY.md §2 -> query names):
                                      simhash_docs (rows-only),
                                      doc_fingerprint (rows-only)
 * similarity search ................ embedding_cosine_topk,
-                                     embedding_lsh_topk (rows-only)
+                                     embedding_lsh_topk (rows-only),
+                                     embedding_ivf_topk (rows-only)
 * text analysis .................... text_quality, lang_id_markers,
                                      token_count_bpeish
 * multimodal plumbing .............. multimodal_features (image),
