@@ -169,7 +169,9 @@ buckets); `-XX:ActiveProcessorCount` pins each JVM's GC/JIT/netty
 pools to its core count so local[N] faithfully models an N-core
 executor; interleaved best-of-2 trials filter host CPU-steal bursts.
 JVM warmup and generation excluded. Identical final row counts are
-asserted across sizes.
+asserted across sizes. The same job deploys as
+`tools/submit_replay.sh job.json` — spark-submit --py-files with the
+package zipped, per the north_rule's deployment form.
 
 ## Best result ({n_events:,} events, seed 42)
 
