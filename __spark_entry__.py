@@ -24,7 +24,9 @@ Coverage map (SURVEY.md §2 -> query names):
                                      doc_fingerprint (rows-only)
 * similarity search ................ embedding_cosine_topk,
                                      embedding_lsh_topk (rows-only),
-                                     embedding_ivf_topk (rows-only)
+                                     embedding_ivf_topk (rows-only),
+                                     embedding_near_dup,
+                                     embedding_near_dup_lsh (rows-only)
 * text analysis .................... text_quality, lang_id_markers,
                                      token_count_bpeish
 * multimodal plumbing .............. multimodal_features (image),
@@ -475,6 +477,27 @@ def _q_embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — exact baseline (oracle-
+    checked); the LSH-bucketed variant is the scale path (rows-only
+    query below)."""
+    from datax_spark.functions.similarity import embedding_near_dup_pairs
+
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    p = embedding_near_dup_pairs(emb, "embedding", "vec_id", threshold=0.35)
+    return p.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
+
+
+def _q_embedding_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH-bucketed embedding near-dup (rows-only): signature bucket
+    self-join then exact cosine verify."""
+    from datax_spark.functions.similarity import embedding_near_dup_lsh
+
+    emb = spark.read.parquet(_p(sf_dir, "embeddings"))
+    p = embedding_near_dup_lsh(emb, "embedding", "vec_id", threshold=0.3, bits=4)
+    return p.select("id_a", "id_b", F.round("cosine", 4).alias("cosine_r"))
+
+
 def _q_embedding_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF ANN (rows-only): coarse k-means centroids on a bounded
     deterministic sample, Arrow-UDF cluster assignment, cosine top-k
@@ -610,6 +633,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_cosine_topk": _q_embedding_cosine_topk,
         "embedding_lsh_topk": _q_embedding_lsh_topk,
         "embedding_ivf_topk": _q_embedding_ivf_topk,
+        "embedding_near_dup": _q_embedding_near_dup,
+        "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "text_quality": _q_text_quality,
         "lang_id_markers": _q_lang_id_markers,
         "token_count_bpeish": _q_token_count_bpeish,
@@ -801,6 +826,15 @@ def oracle_sql() -> dict[str, str]:
             FROM embeddings
             ORDER BY cosine_r DESC, vec_id ASC
             LIMIT 10
+        """,
+        "embedding_near_dup": """
+            WITH v AS (SELECT vec_id,
+                              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+                       FROM embeddings)
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_cosine_similarity(a.e, b.e), 4) AS cosine_r
+            FROM v a JOIN v b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(a.e, b.e) >= 0.35
         """,
         "text_quality": f"""
             WITH t AS (

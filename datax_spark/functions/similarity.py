@@ -73,6 +73,60 @@ def hyperplane_signature_udf(dim: int, bits: int = 12, seed: int = 42):
     return sig
 
 
+def cosine_pair(a: Column, b: Column) -> Column:
+    """Cosine similarity between two array<float> columns (JVM-side)."""
+    av = F.transform(a, lambda x: x.cast("double"))
+    bv = F.transform(b, lambda x: x.cast("double"))
+    dot = _dot(av, bv)
+    na, nb = F.sqrt(_dot(av, av)), F.sqrt(_dot(bv, bv))
+    return F.when((na == 0) | (nb == 0), F.lit(0.0)).otherwise(dot / (na * nb))
+
+
+def embedding_near_dup_pairs(
+    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
+) -> DataFrame:
+    """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
+    cosine >= threshold) — the brute-force O(n^2) baseline, entirely
+    JVM-side. Correct at any scale but quadratic; use the LSH variant
+    below as the scale path."""
+    a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
+    b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
+    pairs = a.join(b, F.col("id_a") < F.col("id_b"))
+    sim = cosine_pair(F.col("__va"), F.col("__vb"))
+    return pairs.select("id_a", "id_b", sim.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
+def embedding_near_dup_lsh(
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    bits: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Scale path for embedding near-dup: random-hyperplane signature →
+    bucket self-join (candidates share all `bits` signs; collision
+    probability rises with cosine) → exact cosine verify. Candidate
+    generation is O(sum bucket^2) instead of O(n^2); recall is tunable
+    via `bits` (fewer bits → bigger buckets → higher recall, more
+    verification work) or by multi-probing as in lsh_bucket_topk."""
+    sig = hyperplane_signature_udf(
+        dim=len(df.select(vec_col).first()[0]), bits=bits, seed=seed
+    )
+    s = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sig(F.col(vec_col)).alias("__sig")
+    )
+    a = s.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__sig").alias("__sa"))
+    b = s.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__sig").alias("__sb"))
+    cand = a.join(b, (F.col("__sa") == F.col("__sb")) & (F.col("id_a") < F.col("id_b")))
+    sim = cosine_pair(F.col("__va"), F.col("__vb"))
+    return cand.select("id_a", "id_b", sim.alias("cosine")).filter(
+        F.col("cosine") >= threshold
+    )
+
+
 def _kmeans(sample: np.ndarray, k: int, seed: int, iters: int = 10) -> np.ndarray:
     """Tiny deterministic k-means (numpy, driver-side) for IVF coarse
     centroids. Training on a bounded sample is the standard IVF recipe
