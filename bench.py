@@ -37,7 +37,13 @@ def main() -> None:
 
     from datax_spark.session import get_spark
 
-    spark = get_spark("datax-spark-bench", cores=cpus)
+    # shuffle scratch on tmpfs when available: the benchmark machine's
+    # /tmp sits on a virtual disk that collapses under many concurrent
+    # shuffle writers (a real cluster has NVMe scratch per executor)
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = "/dev/shm/datax_spark_bench_scratch"
+    spark = get_spark("datax-spark-bench", cores=cpus, extra_conf=extra)
 
     import __spark_entry__ as entrymod
 
@@ -95,7 +101,7 @@ def main() -> None:
         n_events=n_events,
         n_repos=max(50, int(2_000 * sf)),
         paths_per_repo=400,
-        events_per_epoch=max(100_000, n_events // 4),
+        events_per_epoch=max(200_000, n_events // 2),
         evolve_from_epoch=2,
         seed=42,
     )
