@@ -149,3 +149,66 @@ def test_stateful_lww_stream(spark, tmp_path):
     got = {tuple(r) for r in final.collect()}
     want = {tuple(r) for r in expected.collect()}
     assert got == want
+
+
+def test_windowed_counts_watermark(spark, tmp_path):
+    """Event-time tumbling windows with a watermark: over an ordered
+    backfill every closed window's counts must equal the batch
+    group-by; a late event behind the watermark must be dropped."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.streaming.windowed import windowed_counts
+
+    ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    # batch 1: everything except a deliberately late slice; batch 2 adds
+    # events 3 days older than the stream's max ts (behind watermark).
+    max_ts = ev.agg(F.max("ts")).first()[0]
+    late = (
+        ev.orderBy("event_id").limit(5)
+        .withColumn("ts", (F.col("ts").cast("timestamp") - F.expr("INTERVAL 300 DAYS")).cast(ev.schema["ts"].dataType))
+    )
+    ev.write.parquet(str(tmp_path / "in" / "b1"))
+
+    schema = ev.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(tmp_path / "in"))
+    )
+    agg = windowed_counts(stream, lateness="30 minutes")
+
+    def drain():
+        q = (
+            agg.writeStream.format("parquet")
+            .option("path", str(tmp_path / "out"))
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / "ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    drain()
+    first = spark.read.parquet(str(tmp_path / "out")).count()
+
+    late.write.parquet(str(tmp_path / "in" / "b2"))
+    drain()
+    out = spark.read.parquet(str(tmp_path / "out"))
+
+    # late rows (300 days behind the watermark) must not create or
+    # reopen windows
+    assert out.count() == first
+    # every emitted window matches the batch aggregation of on-time data
+    batch = (
+        ev.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events_batch"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events_batch")
+    )
+    assert out.count() > 0
+    j = out.join(batch, ["window_start", "event_type"], "left")
+    bad = j.filter(
+        F.col("n_events_batch").isNull()
+        | (F.col("n_events") != F.col("n_events_batch"))
+    )
+    assert bad.count() == 0
