@@ -168,3 +168,35 @@ def test_dirty_data_quarantine_and_limit(spark, tmp_path):
     with pytest.raises(DirtyDataError):
         eng2.run()
     assert eng2.table().last_epoch == -1  # nothing committed
+
+
+def test_replay_oracle_equality_300k(spark, tmp_path):
+    """Scale confidence check: 300k events, 150k keyspace, 4 epochs,
+    schema evolution mid-stream — full per-row sha256 equality vs the
+    sequential oracle (a 1M-event run of the same check passed during
+    development; this size keeps suite time bounded)."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+    from datax_spark.fixtures.changelog import ChangelogSpec, write_events
+    from datax_spark.oracle.apply import sequential_apply
+
+    spec = ChangelogSpec(n_events=300_000, n_repos=150, paths_per_repo=500,
+                         events_per_epoch=75_000, evolve_from_epoch=2, seed=1234)
+    write_events(spark, spec, str(tmp_path / "events"))
+    eng = ReplayEngine(spark, str(tmp_path / "events"), str(tmp_path / "table"),
+                       str(tmp_path / "metrics"), ReplayConfig(num_buckets=32))
+    eng.run()
+    got = (
+        eng.table().read()
+        .select("repo", "path", "commit", "lsn", "lang", "lang_variant",
+                F.sha2("content", 256).alias("h"))
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = sequential_apply(str(tmp_path / "events"))[
+        ["repo", "path", "commit", "lsn", "lang", "lang_variant", "content_sha256"]
+    ].rename(columns={"content_sha256": "h"}).sort_values(
+        ["repo", "path"]
+    ).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
