@@ -260,7 +260,12 @@ class ReplayEngine:
                 lineage = {r["bucket"]: r.asDict() for r in bucket_stats}
             ph["dedup"] = (time.monotonic() - tp) * 1000
 
-            n_dirty = int((obs.get or {}).get("n_dirty") or 0)
+            try:
+                n_dirty = int((obs.get or {}).get("n_dirty") or 0)
+            except Exception:
+                # degenerate plans (e.g. every row dirty) can leave the
+                # observation row unreadable; fall back to a direct count
+                n_dirty = ev.filter(dirty_pred).count()
             if n_dirty and cfg.quarantine:
                 ev_obs.filter(dirty_pred).write.mode("overwrite").parquet(
                     os.path.join(self.quarantine_root(), f"epoch={epoch}")

@@ -200,3 +200,33 @@ def test_replay_oracle_equality_300k(spark, tmp_path):
         ["repo", "path"]
     ).reset_index(drop=True)
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_all_dirty_epoch_advances_watermark(spark, tmp_path):
+    """An epoch containing ONLY dirty events must quarantine them all,
+    commit an unchanged snapshot, and advance the epoch watermark so
+    replay does not stall."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+    from datax_spark.fixtures.changelog import ChangelogSpec, events_df
+
+    spec = ChangelogSpec(n_events=2_000, n_repos=5, paths_per_repo=20,
+                         events_per_epoch=1_000, seed=51)
+    ev = events_df(spark, spec)
+    good = ev.filter(F.col("epoch") == 0)
+    bad = ev.filter(F.col("epoch") == 1).withColumn("repo", F.lit(None).cast("string"))
+    good.unionByName(bad).write.partitionBy("epoch").parquet(str(tmp_path / "events"))
+
+    eng = ReplayEngine(spark, str(tmp_path / "events"), str(tmp_path / "table"),
+                       str(tmp_path / "metrics"), ReplayConfig(num_buckets=4))
+    results = eng.run()
+    assert [r.epoch for r in results] == [0, 1]
+    assert results[1].n_dirty == 1_000 and results[1].n_keys == 0
+    assert eng.table().last_epoch == 1  # watermark advanced past the dirty epoch
+    rows_epoch0 = eng.table().total_rows()
+    assert rows_epoch0 > 0
+    # replaying is a no-op (exactly-once) and state is intact
+    again = eng.run()
+    assert all(r.skipped for r in again)
+    assert eng.table().total_rows() == rows_epoch0
