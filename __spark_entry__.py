@@ -245,6 +245,34 @@ def _q_range_split_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_string_pk_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String-PK ASCII-radix-128 range split (RangeSplitUtil.java:14-30,
+    doAsciiStringSplit + RdbmsRangeSplitWrap.java:45-72): split the
+    c_name key space into 8 even bignum ranges, assign each row to its
+    slice, count per slice. The slice id is the number of interior
+    split points <= the key — identical to the predicate ranges since
+    equal-length ASCII strings compare the same as text and as
+    base-128 numbers. min/max bounds are a bounded 1-row collect (the
+    reference issues the same MIN/MAX query: SingleTableSplitUtil
+    getPkRange)."""
+    from datax_spark.sources.readers import ascii_string_split_points
+
+    cust = spark.read.parquet(_p(sf_dir, "customer"))
+    mn, mx = cust.agg(F.min("c_name"), F.max("c_name")).first()
+    interior = ascii_string_split_points(mn, mx, 8)[1:-1]
+    bucket = F.lit(0)
+    for p in interior:
+        bucket = bucket + (F.col("c_name") >= F.lit(p)).cast("int")
+    return (
+        cust.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("c_name").alias("min_name"),
+            F.max("c_name").alias("max_name"),
+        )
+    )
+
+
 def _q_hot_key_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Two-stage salted aggregation on a 5-value hot key (operators.
     skew.salted_repartition): must equal the plain group-by."""
@@ -616,6 +644,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dx_encryption_roundtrip": _q_dx_encryption_roundtrip,
         "doc_fingerprint": _q_doc_fingerprint,
         "range_split_scan": _q_range_split_scan,
+        "string_pk_split": _q_string_pk_split,
         "hot_key_salted_agg": _q_hot_key_salted_agg,
         "dirty_data_split": _q_dirty_data_split,
         "speed_metrics": _q_speed_metrics,
@@ -653,8 +682,8 @@ _EN_HITS_SQL = """(
   + ((len(' ' || lower(text) || ' ') - len(replace(' ' || lower(text) || ' ', ' is ', ''))) / 4)
 )::BIGINT"""
 
-_NTOK_SQL = """CASE WHEN len(trim(text)) = 0 THEN 0
-               ELSE len(string_split_regex(trim(text), '\\s+')) END"""
+_NTOK_SQL = """(CASE WHEN len(trim(text)) = 0 THEN 0
+               ELSE len(string_split_regex(trim(text), '\\s+')) END)::INT"""
 
 
 def oracle_sql() -> dict[str, str]:
@@ -686,11 +715,11 @@ def oracle_sql() -> dict[str, str]:
         "dx_filter_null_rules": """
             WITH t AS (SELECT nullif(c_mktsegment, 'BUILDING') AS x FROM customer)
             SELECT count(*) AS total,
-                   sum(CASE WHEN NOT coalesce(x > 'F', FALSE) THEN 1 ELSE 0 END) AS kept_gt,
-                   sum(CASE WHEN NOT (CASE WHEN x IS NULL THEN TRUE ELSE x = 'null' END) THEN 1 ELSE 0 END) AS kept_eq_null,
-                   sum(CASE WHEN NOT (CASE WHEN x IS NULL THEN FALSE ELSE x <> 'null' END) THEN 1 ELSE 0 END) AS kept_ne_null,
-                   sum(CASE WHEN NOT coalesce(regexp_matches(x, '^(?:M.*)$'), FALSE) THEN 1 ELSE 0 END) AS kept_like,
-                   sum(CASE WHEN coalesce(regexp_matches(x, '^(?:M.*)$'), FALSE) THEN 1 ELSE 0 END) AS kept_not_like
+                   sum(CASE WHEN NOT coalesce(x > 'F', FALSE) THEN 1 ELSE 0 END)::BIGINT AS kept_gt,
+                   sum(CASE WHEN NOT (CASE WHEN x IS NULL THEN TRUE ELSE x = 'null' END) THEN 1 ELSE 0 END)::BIGINT AS kept_eq_null,
+                   sum(CASE WHEN NOT (CASE WHEN x IS NULL THEN FALSE ELSE x <> 'null' END) THEN 1 ELSE 0 END)::BIGINT AS kept_ne_null,
+                   sum(CASE WHEN NOT coalesce(regexp_matches(x, '^(?:M.*)$'), FALSE) THEN 1 ELSE 0 END)::BIGINT AS kept_like,
+                   sum(CASE WHEN coalesce(regexp_matches(x, '^(?:M.*)$'), FALSE) THEN 1 ELSE 0 END)::BIGINT AS kept_not_like
             FROM t
         """,
         "dx_json_extract": """
@@ -709,6 +738,29 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT min(l_orderkey) mn, max(l_orderkey) mx FROM lineitem)
             GROUP BY 1
         """,
+        "string_pk_split": """
+            WITH b AS (
+              SELECT c_name,
+                     list_reduce(
+                         list_prepend(0::HUGEINT,
+                             list_transform(range(1, len(c_name) + 1),
+                                            i -> ascii(substr(c_name, i, 1))::HUGEINT)),
+                         (a, x) -> a * 128 + x) AS v
+              FROM customer
+            ),
+            mm AS (SELECT min(v) AS l, max(v) AS r FROM b),
+            pts AS (
+              SELECT list_transform(range(1, 8),
+                         i -> l + i * ((r - l) // 8) + least(i::HUGEINT, (r - l) % 8)) AS ps
+              FROM mm
+            )
+            SELECT len(list_filter(ps, p -> p <= v))::INT AS bucket,
+                   count(*) AS n_rows,
+                   min(c_name) AS min_name,
+                   max(c_name) AS max_name
+            FROM b, pts
+            GROUP BY 1
+        """,
         "hot_key_salted_agg": """
             SELECT event_type, count(*) AS records,
                    round(CAST(sum(CAST(value AS DECIMAL(28,6))) AS DOUBLE), 2) AS sum_value
@@ -718,15 +770,15 @@ def oracle_sql() -> dict[str, str]:
             WITH t AS (SELECT CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT) > 90
                                    THEN 1 ELSE 0 END AS dirty FROM events)
             SELECT count(*) AS total_records,
-                   sum(dirty) AS dirty_records,
-                   round(sum(dirty) / count(*), 6) AS dirty_pct,
+                   sum(dirty)::BIGINT AS dirty_records,
+                   round(sum(dirty)::DOUBLE / count(*), 6) AS dirty_pct,
                    CAST(sum(dirty) > 500 AS INT) AS exceeds_record_limit,
                    CAST((sum(dirty) / count(*)) > 0.05 AS INT) AS exceeds_pct_limit
             FROM t
         """,
         "speed_metrics": """
             SELECT event_type, count(*) AS records,
-                   sum(strlen(props)) AS bytes_props,
+                   sum(strlen(props))::BIGINT AS bytes_props,
                    round(avg(value), 4) AS avg_value,
                    count(DISTINCT user_id) AS n_users
             FROM events GROUP BY event_type
@@ -757,7 +809,7 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY r_name
         """,
         "window_topk_orders": """
-            SELECT o_custkey, o_orderkey, rnk, round(o_totalprice, 2) AS totalprice
+            SELECT o_custkey, o_orderkey, rnk::INT AS rnk, round(o_totalprice, 2) AS totalprice
             FROM (SELECT *, row_number() OVER (
                       PARTITION BY o_custkey
                       ORDER BY o_totalprice DESC, o_orderkey ASC) rnk
@@ -773,8 +825,8 @@ def oracle_sql() -> dict[str, str]:
               FROM events
               WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
             ), s AS (
-              SELECT *, sum(start) OVER (PARTITION BY user_id
-                                         ORDER BY ts, event_id) AS session_id
+              SELECT *, (sum(start) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id))::BIGINT AS session_id
               FROM g
             )
             SELECT user_id, session_id, count(*) AS n_events,
@@ -799,7 +851,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_dups,
-                   len(text) AS text_len
+                   len(text)::INT AS text_len
             FROM documents GROUP BY text
         """,
         "ngram_jaccard_pairs": """
@@ -876,9 +928,9 @@ def oracle_sql() -> dict[str, str]:
         "audio_features": """
             SELECT doc_id,
                    strlen(text) AS n_bytes,
-                   16000 AS sample_rate,
+                   16000::BIGINT AS sample_rate,
                    ((strlen(text) // 2) * 1000) // 16000 AS duration_ms,
-                   1 AS channels
+                   1::BIGINT AS channels
             FROM documents
         """,
     }

@@ -85,6 +85,11 @@ class ReplayConfig:
     # counted in EpochResult.n_dirty, and the epoch FAILS (before any
     # table write) when count > dirty_record_limit (None = unlimited).
     dirty_record_limit: int | None = None
+    # Percentage limit (errorLimit.percentage): the epoch fails when
+    # n_dirty / n_total exceeds this fraction. The record limit is
+    # checked FIRST — same priority order as ErrorRecordChecker.java:
+    # 18-82 (checkRecordLimit before checkPercentageLimit).
+    dirty_pct_limit: float | None = None
     quarantine: bool = True
 
 
@@ -183,7 +188,11 @@ class ReplayEngine:
             p = F.col(c).isNull()
             dirty_pred = p if dirty_pred is None else (dirty_pred | p)
         obs = Observation(f"dirty_epoch_{epoch}")
-        ev_obs = ev.observe(obs, F.sum(dirty_pred.cast("long")).alias("n_dirty"))
+        ev_obs = ev.observe(
+            obs,
+            F.sum(dirty_pred.cast("long")).alias("n_dirty"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
         ev_clean = ev_obs.filter(~dirty_pred)
 
         # --- dedup + per-key lineage stats in ONE shuffle ---
@@ -261,20 +270,35 @@ class ReplayEngine:
             ph["dedup"] = (time.monotonic() - tp) * 1000
 
             try:
-                n_dirty = int((obs.get or {}).get("n_dirty") or 0)
+                got = obs.get or {}
+                n_dirty = int(got.get("n_dirty") or 0)
+                n_total = int(got.get("n_total") or 0)
             except Exception:
                 # degenerate plans (e.g. every row dirty) can leave the
                 # observation row unreadable; fall back to a direct count
                 n_dirty = ev.filter(dirty_pred).count()
+                n_total = ev.count()
             if n_dirty and cfg.quarantine:
                 ev_obs.filter(dirty_pred).write.mode("overwrite").parquet(
                     os.path.join(self.quarantine_root(), f"epoch={epoch}")
                 )
+            # record limit first, then percentage — the reference's
+            # ErrorRecordChecker.java:18-82 check order
             if cfg.dirty_record_limit is not None and n_dirty > cfg.dirty_record_limit:
                 raise DirtyDataError(
                     f"epoch {epoch}: {n_dirty} dirty records exceed limit "
                     f"{cfg.dirty_record_limit} (quarantined under "
                     f"{self.quarantine_root()})"
+                )
+            if (
+                cfg.dirty_pct_limit is not None
+                and n_total > 0
+                and (n_dirty / n_total) > cfg.dirty_pct_limit
+            ):
+                raise DirtyDataError(
+                    f"epoch {epoch}: dirty fraction {n_dirty / n_total:.4f} "
+                    f"exceeds percentage limit {cfg.dirty_pct_limit} "
+                    f"(quarantined under {self.quarantine_root()})"
                 )
             if "after_dedup" in failpoints:
                 raise ReplayCrash("after_dedup")

@@ -106,6 +106,18 @@ def merge_into(
     (used by the streaming sink; the in-order batch engine skips it
     because its epoch watermark already enforces order).
     """
+    if update_keys is not None and order_cols:
+        # update_keys supplies the anti-join key set from the
+        # pre-transform frame, but the order guard filters `upd` — a
+        # stale update's key would still evict its current row with no
+        # replacement (silent data loss). No caller needs both: the
+        # guard exists for out-of-order delivery, where the key set
+        # must come from the post-guard frame anyway.
+        raise ValueError(
+            "update_keys cannot be combined with order_cols: the "
+            "anti-join key set would include keys whose update the "
+            "order guard rejects"
+        )
     m = table.manifest()
     keys = m.key_cols
     nb = m.num_buckets

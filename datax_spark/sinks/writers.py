@@ -23,6 +23,39 @@ from datax_spark.lake.table import LakeTable
 _MODE = {"append": "append", "truncate": "overwrite", "nonConflict": "error"}
 
 
+def _q(ident: str) -> str:
+    """Quote a SQL identifier (ANSI double quotes) preserving case —
+    Spark's JDBC writer quotes the columns it creates, so generated
+    statements must match exactly."""
+    return '"' + ident.replace('"', '""') + '"'
+
+
+def jdbc_execute(
+    spark, url: str, statements: list[str], table: str, p: dict
+) -> None:
+    """Run driver-side SQL statements over a JVM JDBC connection.
+
+    The reference's preSql/postSql hook (``CommonRdbmsWriter.java:91-
+    165``) with the same ``@table`` placeholder templating
+    (``WriterUtil.java:113-130``). Statements run sequentially on ONE
+    connection — they are DDL/housekeeping, not the data path; the
+    parallel data write stays on the executors.
+    """
+    jvm = spark._jvm
+    props = jvm.java.util.Properties()
+    for k in ("user", "password"):
+        if k in p:
+            props.setProperty(k, str(p[k]))
+    conn = jvm.java.sql.DriverManager.getConnection(url, props)
+    try:
+        st = conn.createStatement()
+        for s in statements:
+            st.execute(s.replace("@table", table))
+        st.close()
+    finally:
+        conn.close()
+
+
 def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
     """Dispatch a writer-plugin config; returns write stats."""
     p = dict(parameter)
@@ -54,16 +87,62 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
             .save()
         )
     elif name == "jdbcwriter":
-        writer = (
-            df.write.format("jdbc")
-            .option("url", p["jdbcUrl"])
-            .option("dbtable", p["table"])
-            .mode(mode if mode in ("append", "overwrite") else "append")
-        )
-        for k in ("user", "password", "driver", "batchsize"):
-            if k in p:
-                writer = writer.option(k, p[k])
-        writer.save()
+        spark = df.sparkSession
+        url, table = p["jdbcUrl"], p["table"]
+        write_mode = p.get("writeMode", "insert")
+        if p.get("preSql"):
+            pre = p["preSql"] if isinstance(p["preSql"], list) else [p["preSql"]]
+            jdbc_execute(spark, url, pre, table, p)
+
+        def _writer(target: str, spark_mode: str):
+            w = (
+                df.write.format("jdbc")
+                .option("url", url)
+                .option("dbtable", target)
+                .mode(spark_mode)
+            )
+            for k in ("user", "password", "driver", "batchsize"):
+                if k in p:
+                    w = w.option(k, p[k])
+            return w
+
+        if write_mode in ("replace", "update"):
+            # mysqlwriter's REPLACE INTO / ON DUPLICATE KEY UPDATE
+            # (WriterUtil.java:113-170) as a set-wise staged upsert:
+            # executors write the batch to a staging table in parallel,
+            # then one driver-side transaction swaps matching keys —
+            # delete-then-insert, which is exactly REPLACE's contract
+            # (and equals ON DUPLICATE KEY UPDATE when all columns are
+            # in the update list, the reference's generated form).
+            keys = p.get("keys") or p.get("primaryKeys")
+            if not keys:
+                raise ValueError(
+                    f"writeMode={write_mode} requires 'keys' (the conflict columns)"
+                )
+            stage = f"{table}_dx_stage"
+            _writer(stage, "overwrite").save()
+            on = " AND ".join(
+                f"{stage}.{_q(k)} = {table}.{_q(k)}" for k in keys
+            )
+            cols = ", ".join(_q(c) for c in df.columns)
+            jdbc_execute(
+                spark, url,
+                [
+                    f"DELETE FROM {table} WHERE EXISTS "
+                    f"(SELECT 1 FROM {stage} WHERE {on})",
+                    f"INSERT INTO {table} ({cols}) SELECT {cols} FROM {stage}",
+                    f"DROP TABLE {stage}",
+                ],
+                table, p,
+            )
+        else:
+            spark_mode = {"insert": "append", "truncate": "overwrite"}.get(
+                write_mode, mode if mode in ("append", "overwrite") else "append"
+            )
+            _writer(table, spark_mode).save()
+        if p.get("postSql"):
+            post = p["postSql"] if isinstance(p["postSql"], list) else [p["postSql"]]
+            jdbc_execute(spark, url, post, table, p)
     elif name == "streamwriter":
         # console smoke sink (StreamWriter.java analog)
         df.show(int(p.get("recordNumBeforePrint", 20)), truncate=False)

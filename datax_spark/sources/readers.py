@@ -60,6 +60,222 @@ def jdbc_split_predicates(
     return preds
 
 
+def bigint_split_points(left: int, right: int, num_splits: int) -> list[int]:
+    """Even integer split points with remainder spreading.
+
+    Mirrors ``RangeSplitUtil.java:43-93`` (``doBigIntegerSplit``): the
+    gap's remainder is distributed one unit at a time over the first
+    ``remainder`` slices, so slice widths differ by at most 1. When the
+    gap is smaller than the requested slice count the effective count
+    collapses to the remainder (same as the reference's ``step == 0``
+    branch). Returns ``n + 1`` boundary points, endpoints included.
+    """
+    if num_splits < 1:
+        raise ValueError("num_splits must be >= 1")
+    if left > right:
+        left, right = right, left
+    if left == right:
+        return [left, right]
+    gap = right - left
+    step, remainder = divmod(gap, num_splits)
+    if step == 0:
+        num_splits = remainder
+    points = [left + i * step + min(i, remainder) for i in range(num_splits)]
+    points.append(right)
+    return points
+
+
+_ASCII_RADIX = 128
+
+
+def ascii_to_bignum(s: str) -> int:
+    """ASCII string -> base-128 big integer (``RangeSplitUtil.java:105-128``)."""
+    value = 0
+    for ch in s:
+        code = ord(ch)
+        if code >= _ASCII_RADIX:
+            raise ValueError(f"string split supports ASCII only, got {s!r}")
+        value = value * _ASCII_RADIX + code
+    return value
+
+
+def bignum_to_ascii(value: int) -> str:
+    """Base-128 big integer -> ASCII string (``RangeSplitUtil.java:133-171``).
+
+    Leading zero digits are unrepresentable (the reference keeps the
+    original endpoints verbatim for exactly this reason).
+    """
+    if value == 0:
+        return "\x00"
+    digits: list[str] = []
+    while value > 0:
+        value, d = divmod(value, _ASCII_RADIX)
+        digits.append(chr(d))
+    return "".join(reversed(digits))
+
+
+def ascii_string_split_points(left: str, right: str, num_splits: int) -> list[str]:
+    """Split a string PK range into even base-128 points.
+
+    The reference's ``doAsciiStringSplit`` (``RangeSplitUtil.java:14-30``):
+    endpoints stay the caller's original strings; interior points are
+    the bignum midpoints rendered back to ASCII. Interior points are
+    lexicographically ordered whenever the endpoints share a length
+    (the usual PK shape), because equal-length ASCII strings compare
+    identically as text and as base-128 numbers.
+    """
+    pts = bigint_split_points(
+        ascii_to_bignum(left), ascii_to_bignum(right), num_splits
+    )
+    return [left, *[bignum_to_ascii(p) for p in pts[1:-1]], right]
+
+
+def _sql_quote(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+def string_split_predicates(
+    split_pk: str,
+    left: str,
+    right: str,
+    num_splits: int,
+    include_null_bucket: bool = True,
+) -> list[str]:
+    """String-PK range predicates for ``spark.read.jdbc(predicates=...)``.
+
+    Matches the reference's wrapping (``RdbmsRangeSplitWrap.java:45-72``):
+    left-closed / right-open ranges, last range closed on both ends,
+    single closed range when only two points exist, plus the dedicated
+    ``IS NULL`` slice (``SingleTableSplitUtil.java:113-127``) so
+    NULL-pk rows are never lost.
+    """
+    pts = ascii_string_split_points(left, right, num_splits)
+    preds = []
+    if len(pts) == 2:
+        preds.append(
+            f"{split_pk} >= {_sql_quote(pts[0])} AND {split_pk} <= {_sql_quote(pts[1])}"
+        )
+    else:
+        for i in range(len(pts) - 2):
+            preds.append(
+                f"{split_pk} >= {_sql_quote(pts[i])} AND {split_pk} < {_sql_quote(pts[i + 1])}"
+            )
+        preds.append(
+            f"{split_pk} >= {_sql_quote(pts[-2])} AND {split_pk} <= {_sql_quote(pts[-1])}"
+        )
+    if include_null_bucket:
+        preds.append(f"{split_pk} IS NULL")
+    return preds
+
+
+import re as _re
+
+_TABLE_PATTERN = _re.compile(r"(\w+\.)?(\w+)\[(\d+)-(\d+)\](.*)")
+
+
+def expand_table_conf(tables) -> list[str]:
+    """``table[0-99]``-style shard expansion (``TableExpandUtil.java:
+    29-81``): comma lists, optional ``schema.`` prefix, optional suffix,
+    zero-padding preserved when the start bound is written with leading
+    zeros, swapped bounds reordered. Plain names pass through.
+    """
+    items: list[str] = []
+    for entry in tables if isinstance(tables, list) else [tables]:
+        for part in str(entry).split(","):
+            part = part.strip()
+            m = _TABLE_PATTERN.fullmatch(part)
+            if not m:
+                items.append(part)
+                continue
+            schema, base, start, end, suffix = (
+                (m.group(1) or "").strip(), m.group(2).strip(),
+                m.group(3).strip(), m.group(4).strip(), m.group(5).strip(),
+            )
+            lo, hi = int(start), int(end)
+            if lo > hi:
+                lo, hi = hi, lo
+            pad = len(start) if start.startswith("0") else 0
+            items.extend(
+                f"{schema}{base}{k:0{pad}d}{suffix}" for k in range(lo, hi + 1)
+            )
+    return items
+
+
+def plan_table_splits(
+    n_tables: int,
+    advice_number: int,
+    has_split_pk: bool,
+    split_factor: int = 5,
+) -> int:
+    """Per-table split count (``ReaderSplitUtil.java:35-77``): the
+    channel budget divides evenly over the shards (ceil), and a
+    single-table job with a splitPk multiplies by ``splitFactor``
+    (default 5) so one table still fans out wide enough to feed every
+    channel without producing long-tail small files."""
+    each = -(-advice_number // max(n_tables, 1))  # ceil
+    if has_split_pk and each > 1 and n_tables == 1:
+        each *= split_factor
+    return each
+
+
+def _read_jdbc(spark: SparkSession, p: dict) -> DataFrame:
+    """jdbcreader: shard expansion → per-table range split → union.
+
+    Multi-shard reads are the reference's highest-throughput path
+    (``ReaderSplitUtil.java:35-101``): every expanded shard scans in
+    parallel with its own splitPk ranges, and the shard frames union
+    (Spark's union of jdbc scans = DataX's task-per-shard schedule,
+    with no extra shuffle — each partition stays one JDBC cursor).
+    """
+    import functools
+
+    if p.get("querySql"):
+        tables = [f"({p['querySql']}) t"]
+    else:
+        tables = expand_table_conf(p["table"])
+    n_channels = int(p.get("numPartitions", 8))
+    per_table = plan_table_splits(
+        len(tables), n_channels, "splitPk" in p,
+        int(p.get("splitFactor", 5)),
+    ) if "splitPk" in p else n_channels
+
+    def one(dbtable: str) -> DataFrame:
+        if (
+            "splitPk" in p
+            and "lowerBound" in p
+            and isinstance(p["lowerBound"], str)
+            and not str(p["lowerBound"]).lstrip("-").isdigit()
+        ):
+            # string PK: ASCII-radix predicate split, one partition per
+            # predicate incl. the NULL bucket (SingleTableSplitUtil.java:69-75)
+            props = {k: str(p[k]) for k in ("user", "password", "driver") if k in p}
+            return spark.read.jdbc(
+                url=p["jdbcUrl"],
+                table=dbtable,
+                predicates=string_split_predicates(
+                    p["splitPk"], p["lowerBound"], p["upperBound"], per_table
+                ),
+                properties=props,
+            )
+        reader = spark.read.format("jdbc").option("url", p["jdbcUrl"]).option(
+            "dbtable", dbtable
+        )
+        for k in ("user", "password", "driver"):
+            if k in p:
+                reader = reader.option(k, p[k])
+        if "splitPk" in p and "lowerBound" in p:
+            # numeric range split; the NULL bucket comes via predicates mode
+            reader = (
+                reader.option("partitionColumn", p["splitPk"])
+                .option("lowerBound", p["lowerBound"])
+                .option("upperBound", p["upperBound"])
+                .option("numPartitions", per_table)
+            )
+        return reader.load()
+
+    return functools.reduce(DataFrame.unionByName, [one(t) for t in tables])
+
+
 def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
     """Dispatch a reader-plugin config to a Spark scan."""
     p = dict(parameter)
@@ -70,6 +286,21 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
     if name in ("parquetreader", "lakereader"):
         df = spark.read.parquet(*(path if isinstance(path, list) else [path]))
     elif name in ("txtfilereader", "hdfsreader", "csvreader"):
+        # compress (UnstructuredStorageReaderUtil.java:232-306): gzip/
+        # bzip2/deflate/lz4 decompress transparently off the file
+        # extension in Spark's text line reader; zip/lzo archives have
+        # no Hadoop codec here, so fail loudly instead of reading
+        # garbage bytes. NOTE at scale: gzip is NOT splittable — one
+        # whole .gz file per task — so shard source files if they are
+        # large; bzip2 is splittable.
+        compress = str(p.get("compress", "")).lower()
+        if compress in ("zip", "lzo"):
+            raise NotImplementedError(
+                f"compress={compress}: no splittable codec available; "
+                "repack as gzip/bzip2 (both auto-detected by extension)"
+            )
+        if compress not in ("", "none", "gzip", "bzip2", "deflate", "lz4", "auto"):
+            raise ValueError(f"unknown compress option: {compress}")
         df = (
             spark.read.option("sep", p.get("fieldDelimiter", ","))
             .option("header", str(p.get("skipHeader", False)).lower())
@@ -82,26 +313,18 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
     elif name in ("jsonreader", "restfulapireader"):
         df = spark.read.json(*(path if isinstance(path, list) else [path]))
     elif name == "jdbcreader":
-        reader = spark.read.format("jdbc").option("url", p["jdbcUrl"]).option(
-            "dbtable", p.get("querySql") and f"({p['querySql']}) t" or p["table"]
-        )
-        for k in ("user", "password", "driver"):
-            if k in p:
-                reader = reader.option(k, p[k])
-        if "splitPk" in p and "lowerBound" in p:
-            # range split; the NULL bucket comes via predicates mode
-            reader = (
-                reader.option("partitionColumn", p["splitPk"])
-                .option("lowerBound", p["lowerBound"])
-                .option("upperBound", p["upperBound"])
-                .option("numPartitions", p.get("numPartitions", 8))
-            )
-        df = reader.load()
+        df = _read_jdbc(spark, p)
     elif name in ("hivereader", "sqlreader"):
         # hivereader runs user HiveQL via HiveServer2 JDBC, one task per
-        # SQL (HiveReader.java:58-74); on Spark the warehouse is native:
-        # the statement runs directly against the session catalog.
-        df = spark.sql(p["sql"] if isinstance(p.get("sql"), str) else p["sql"][0])
+        # SQL whose result sets concatenate (HiveReader.java:58-74); on
+        # Spark the warehouse is native: run every statement against the
+        # session catalog and union the results.
+        import functools
+
+        sqls = [p["sql"]] if isinstance(p.get("sql"), str) else list(p["sql"])
+        df = functools.reduce(
+            DataFrame.unionByName, [spark.sql(s) for s in sqls]
+        )
     elif name == "kafkareader":
         # KafkaReader.java:77-85 splits one task per partition; Spark's
         # kafka source does the same. JSON values project onto the

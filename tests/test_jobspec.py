@@ -115,6 +115,212 @@ def test_jdbc_split_predicates():
     assert len(preds) == 5
 
 
+def test_jdbcwriter_presql_modes_postsql(spark, tmp_path):
+    """jdbcwriter parity with CommonRdbmsWriter.java:91-165 /
+    WriterUtil.java:113-170 against embedded Derby: preSql with @table
+    templating, writeMode insert / replace (staged set-wise upsert),
+    and postSql."""
+    from datax_spark.sinks.writers import write_sink
+
+    url = f"jdbc:derby:{tmp_path}/db;create=true"
+    base = {
+        "jdbcUrl": url,
+        "table": "people",
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+    }
+
+    df1 = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    write_sink(df1, "jdbcwriter", {
+        **base,
+        "writeMode": "insert",
+        "preSql": 'CREATE TABLE @table ("id" BIGINT, "v" VARCHAR(40))',
+    })
+    read = lambda t: (
+        spark.read.format("jdbc").option("url", url).option("dbtable", t).load()
+    )
+    assert sorted((r["id"], r["v"]) for r in read("people").collect()) == [
+        (1, "a"), (2, "b"),
+    ]
+
+    # replace: existing key 2 is replaced, new key 3 inserted; postSql
+    # runs after the upsert (here: audit row with @table templating)
+    df2 = spark.createDataFrame([(2, "B"), (3, "c")], "id bigint, v string")
+    write_sink(df2, "jdbcwriter", {
+        **base,
+        "writeMode": "replace",
+        "keys": ["id"],
+        "preSql": 'CREATE TABLE audit ("note" VARCHAR(40))',
+        "postSql": "INSERT INTO audit VALUES ('wrote @table')",
+    })
+    assert sorted((r["id"], r["v"]) for r in read("people").collect()) == [
+        (1, "a"), (2, "B"), (3, "c"),
+    ]
+    assert read("audit").collect()[0]["note"] == "wrote people"
+    # staging table dropped after the swap
+    with pytest.raises(Exception):
+        read("people_dx_stage").collect()
+
+    # writeMode=update without keys is a config error
+    with pytest.raises(ValueError, match="keys"):
+        write_sink(df2, "jdbcwriter", {**base, "writeMode": "update"})
+
+
+def test_jdbcreader_string_pk_predicate_split(spark, tmp_path):
+    """End-to-end string-PK split over a real JDBC source: the
+    predicates become one partition each (incl. the NULL bucket) and
+    the union covers every row exactly once."""
+    from datax_spark.sinks.writers import write_sink
+    from datax_spark.sources.readers import read_source
+
+    url = f"jdbc:derby:{tmp_path}/sdb;create=true"
+    names = [(f"user_{i:04d}",) for i in range(97)]
+    df = spark.createDataFrame(names, "uid string")
+    # Derby maps Spark StringType to CLOB (not range-comparable); give
+    # the PK a VARCHAR column via preSql as a real deployment would
+    write_sink(df, "jdbcwriter", {
+        "jdbcUrl": url, "table": "users", "writeMode": "insert",
+        "preSql": 'CREATE TABLE @table ("uid" VARCHAR(40))',
+    })
+
+    got = read_source(spark, "jdbcreader", {
+        "jdbcUrl": url,
+        "table": "users",
+        "splitPk": '"uid"',
+        "lowerBound": "user_0000",
+        "upperBound": "user_0096",
+        "numPartitions": 4,
+        "splitFactor": 1,
+    })
+    assert got.rdd.getNumPartitions() == 5  # 4 ranges + NULL bucket
+
+    # default splitFactor=5: a single-table splitPk job fans out 4*5
+    # ranges (+ NULL bucket) to avoid starving channels (ReaderSplitUtil)
+    wide = read_source(spark, "jdbcreader", {
+        "jdbcUrl": url, "table": "users", "splitPk": '"uid"',
+        "lowerBound": "user_0000", "upperBound": "user_0096",
+        "numPartitions": 4,
+    })
+    assert wide.rdd.getNumPartitions() == 21
+    assert wide.count() == 97
+    assert got.count() == 97
+    assert sorted(r["uid"] for r in got.collect()) == sorted(n[0] for n in names)
+
+
+def test_bigint_split_points_remainder_spread():
+    from datax_spark.sources.readers import bigint_split_points
+
+    # gap 10 over 4 slices: widths differ by at most one, remainder
+    # spread over the first slices (RangeSplitUtil.java:77-91)
+    pts = bigint_split_points(0, 10, 4)
+    assert pts[0] == 0 and pts[-1] == 10
+    assert pts == sorted(pts) and len(pts) == 5
+    widths = [b - a for a, b in zip(pts, pts[1:])]
+    assert max(widths) - min(widths) <= 1
+    # degenerate: gap smaller than slice count collapses (step==0 branch)
+    assert bigint_split_points(5, 7, 8) == [5, 6, 7]
+    assert bigint_split_points(3, 3, 4) == [3, 3]
+    # swapped bounds are reordered like the reference
+    assert bigint_split_points(10, 0, 4) == bigint_split_points(0, 10, 4)
+
+
+def test_ascii_bignum_roundtrip():
+    from datax_spark.sources.readers import (
+        ascii_string_split_points,
+        ascii_to_bignum,
+        bignum_to_ascii,
+    )
+
+    for s in ["a", "Customer#000000042", "zz~", "\x01abc"]:
+        assert bignum_to_ascii(ascii_to_bignum(s)).lstrip("\x00") == s.lstrip("\x00")
+    with pytest.raises(ValueError):
+        ascii_to_bignum("héllo")  # non-ASCII rejected (RangeSplitUtil.java:121)
+
+    pts = ascii_string_split_points("Customer#000000001", "Customer#000001500", 8)
+    assert pts[0] == "Customer#000000001" and pts[-1] == "Customer#000001500"
+    assert len(pts) == 9
+    assert pts == sorted(pts)  # equal-length ASCII: lexicographic == bignum order
+    nums = [ascii_to_bignum(p) for p in pts]
+    assert nums == sorted(nums)
+
+
+def test_string_split_predicates_shape():
+    from datax_spark.sources.readers import string_split_predicates
+
+    preds = string_split_predicates("c_name", "Customer#000000001",
+                                    "Customer#000001500", 4)
+    assert len(preds) == 5  # 4 ranges + NULL bucket
+    assert preds[0].startswith("c_name >= 'Customer#000000001' AND c_name < ")
+    assert preds[3].endswith("AND c_name <= 'Customer#000001500'")
+    assert preds[-1] == "c_name IS NULL"
+    # single-point range: one closed predicate (wrapRange 2-point branch)
+    single = string_split_predicates("k", "abc", "abc", 4, include_null_bucket=False)
+    assert single == ["k >= 'abc' AND k <= 'abc'"]
+    # quote escaping
+    q = string_split_predicates("k", "a'b", "a'z", 1, include_null_bucket=False)
+    assert "''" in q[0]
+
+
+def test_string_split_partitions_cover_all_rows(spark):
+    """Applying the generated predicates as filters over the customer
+    table must partition it: every row in exactly one slice."""
+    from datax_spark.sources.readers import string_split_predicates
+
+    cust = spark.read.parquet(f"{SF}/customer.parquet")
+    mn, mx = cust.agg({"c_name": "min"}, ).collect()[0][0], \
+        cust.agg({"c_name": "max"}).collect()[0][0]
+    preds = string_split_predicates("c_name", mn, mx, 8)
+    total = cust.count()
+    counts = [cust.filter(p).count() for p in preds]
+    assert sum(counts) == total
+    assert counts[-1] == 0  # no NULL keys in testdata
+
+
+def test_expand_table_conf():
+    from datax_spark.sources.readers import expand_table_conf, plan_table_splits
+
+    assert expand_table_conf("tb[0-2]") == ["tb0", "tb1", "tb2"]
+    # zero-padding preserved when start is written with leading zeros
+    assert expand_table_conf("tb[08-10]") == ["tb08", "tb09", "tb10"]
+    # schema prefix + suffix + comma list + swapped bounds
+    assert expand_table_conf("db.t[2-1]x, plain") == ["db.t1x", "db.t2x", "plain"]
+    assert expand_table_conf(["a[0-1]", "b"]) == ["a0", "a1", "b"]
+    # splitFactor: single table with splitPk fans out 5x; shards divide
+    # the channel budget (ceil) with no factor (ReaderSplitUtil.java:62-77)
+    assert plan_table_splits(1, 4, True) == 20
+    assert plan_table_splits(1, 4, True, split_factor=3) == 12
+    assert plan_table_splits(10, 4, True) == 1
+    assert plan_table_splits(3, 8, False) == 3
+
+
+def test_csvreader_gzip(spark, tmp_path):
+    import gzip
+
+    gz = tmp_path / "data.csv.gz"
+    with gzip.open(gz, "wt") as f:
+        f.write("1,alpha\n2,beta\n")
+    from datax_spark.sources.readers import read_source
+
+    df = read_source(spark, "csvreader", {"path": str(gz), "compress": "gzip"})
+    assert df.count() == 2
+    with pytest.raises(NotImplementedError, match="zip"):
+        read_source(spark, "csvreader", {"path": str(gz), "compress": "zip"})
+
+
+def test_jdbcreader_shard_union(spark, tmp_path):
+    """table[0-1] pattern expands to two shards whose scans union."""
+    from datax_spark.sinks.writers import write_sink
+    from datax_spark.sources.readers import read_source
+
+    url = f"jdbc:derby:{tmp_path}/shards;create=true"
+    for i, rows in enumerate([[(1,), (2,)], [(3,)]]):
+        write_sink(
+            spark.createDataFrame(rows, "id bigint"), "jdbcwriter",
+            {"jdbcUrl": url, "table": f"shard{i}", "writeMode": "insert"},
+        )
+    df = read_source(spark, "jdbcreader", {"jdbcUrl": url, "table": "shard[0-1]"})
+    assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
+
+
 def test_hivereader_sql(spark):
     spark.read.parquet("/root/testdata/sf0.001/nation.parquet").createOrReplaceTempView(
         "nation_v"
@@ -125,3 +331,22 @@ def test_hivereader_sql(spark):
         spark, "hivereader", {"sql": "SELECT n_regionkey, count(*) AS n FROM nation_v GROUP BY 1"}
     )
     assert df.count() == 5
+
+
+def test_hivereader_multi_sql_concatenates(spark):
+    """A list of SQLs is one task per statement with concatenated
+    result sets (HiveReader.java:58-74) — not just the first one."""
+    spark.read.parquet("/root/testdata/sf0.001/nation.parquet").createOrReplaceTempView(
+        "nation_v2"
+    )
+    from datax_spark.sources.readers import read_source
+
+    df = read_source(
+        spark,
+        "hivereader",
+        {"sql": [
+            "SELECT n_nationkey FROM nation_v2 WHERE n_regionkey = 0",
+            "SELECT n_nationkey FROM nation_v2 WHERE n_regionkey <> 0",
+        ]},
+    )
+    assert df.count() == 25

@@ -169,6 +169,25 @@ def test_dirty_data_quarantine_and_limit(spark, tmp_path):
         eng2.run()
     assert eng2.table().last_epoch == -1  # nothing committed
 
+    # percentage limit (errorLimit.percentage, ErrorRecordChecker.java:
+    # 52-64): 7/2007 ≈ 0.35% of epoch 0 trips a 0.1% pct limit even
+    # though the record limit (100) is NOT exceeded — and the record
+    # limit is checked first, so a generous pct with a tight record
+    # limit still reports the record-limit error.
+    eng3 = ReplayEngine(spark, str(tmp_path / "events"), str(tmp_path / "table3"),
+                        str(tmp_path / "metrics3"),
+                        ReplayConfig(num_buckets=4, dirty_record_limit=100,
+                                     dirty_pct_limit=0.001))
+    with pytest.raises(DirtyDataError, match="percentage limit"):
+        eng3.run()
+    assert eng3.table().last_epoch == -1
+    eng4 = ReplayEngine(spark, str(tmp_path / "events"), str(tmp_path / "table4"),
+                        str(tmp_path / "metrics4"),
+                        ReplayConfig(num_buckets=4, dirty_record_limit=3,
+                                     dirty_pct_limit=0.99))
+    with pytest.raises(DirtyDataError, match="record"):
+        eng4.run()
+
 
 def test_replay_oracle_equality_300k(spark, tmp_path):
     """Scale confidence check: 300k events, 150k keyspace, 4 epochs,

@@ -25,6 +25,52 @@ TABLES = [
 ]
 
 
+def arrow_type_name(t) -> str:
+    """Canonical physical-type name for the driver's typed value-hash.
+
+    The driver hashes typed values, so DuckDB HUGEINT (decimal128) vs
+    Spark BIGINT (int64) mismatches even when Python-level values are
+    identical ints. Compare at the Arrow level to catch that locally.
+    """
+    import pyarrow as pa
+
+    if pa.types.is_integer(t):
+        return f"int{t.bit_width}"
+    if pa.types.is_floating(t):
+        return f"float{t.bit_width}"
+    if pa.types.is_decimal(t):
+        return f"decimal({t.precision},{t.scale})"
+    if pa.types.is_string(t) or pa.types.is_large_string(t):
+        return "string"
+    if pa.types.is_boolean(t):
+        return "bool"
+    if pa.types.is_timestamp(t):
+        return "timestamp"
+    if pa.types.is_date(t):
+        return "date"
+    if pa.types.is_binary(t) or pa.types.is_large_binary(t):
+        return "binary"
+    if pa.types.is_list(t) or pa.types.is_large_list(t):
+        return f"list<{arrow_type_name(t.value_type)}>"
+    return str(t)
+
+
+def type_mismatches(spark_df, cur) -> list[str]:
+    """Compare Arrow column types of a Spark result vs a DuckDB cursor."""
+    try:
+        s_schema = spark_df.limit(0).toArrow().schema
+        o_schema = cur.fetch_arrow_table().schema
+    except Exception:  # noqa: BLE001 — typed check is best-effort
+        return []
+    s_types = {f.name: arrow_type_name(f.type) for f in s_schema}
+    o_types = {f.name: arrow_type_name(f.type) for f in o_schema}
+    return [
+        f"{c}: spark={s_types[c]} oracle={o_types[c]}"
+        for c in sorted(set(s_types) & set(o_types))
+        if s_types[c] != o_types[c]
+    ]
+
+
 def canon(v):
     if v is None:
         return "∅"
@@ -95,6 +141,11 @@ def main() -> int:
             failures.append(name)
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
+            continue
+        tm = type_mismatches(df, con.execute(oracles[name]))
+        if tm:
+            failures.append(name)
+            print(f"FAIL  {name}: typed-hash mismatch: {tm}")
         else:
             print(f"ok    {name}: {len(rows)} rows match  ({dt:.1f}s)")
 
