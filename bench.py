@@ -97,11 +97,14 @@ def main() -> None:
         )
 
     n_events = max(200_000, int(40_000_000 * sf))
+    # 4 epochs so the measured run includes the schema-evolution epochs
+    # (evolve_from_epoch=2 puts epochs 2-3 on the evolved schema) —
+    # the benchmarked pipeline exercises its full contract
     spec = ChangelogSpec(
         n_events=n_events,
         n_repos=max(50, int(2_000 * sf)),
         paths_per_repo=400,
-        events_per_epoch=max(200_000, n_events // 2),
+        events_per_epoch=max(50_000, n_events // 4),
         evolve_from_epoch=2,
         seed=42,
     )

@@ -83,12 +83,27 @@ def cosine_pair(a: Column, b: Column) -> Column:
 
 
 def embedding_near_dup_pairs(
-    df: DataFrame, vec_col: str, id_col: str, threshold: float = 0.9
+    df: DataFrame,
+    vec_col: str,
+    id_col: str,
+    threshold: float = 0.9,
+    max_rows: int | None = 100_000,
 ) -> DataFrame:
     """Exact embedding-cosine near-duplicate pairs (id_a < id_b,
-    cosine >= threshold) — the brute-force O(n^2) baseline, entirely
-    JVM-side. Correct at any scale but quadratic; use the LSH variant
-    below as the scale path."""
+    cosine >= threshold) — the brute-force O(n^2) BASELINE, entirely
+    JVM-side. Deliberately quadratic: it exists as the oracle/recall
+    reference for ``embedding_near_dup_lsh`` (the scale path). The
+    ``max_rows`` guardrail refuses inputs where n^2 would silently
+    explode (100k rows is already 5e9 pairs); pass ``max_rows=None``
+    only when you truly mean all-pairs."""
+    if max_rows is not None:
+        n = df.limit(max_rows + 1).count()
+        if n > max_rows:
+            raise ValueError(
+                f"embedding_near_dup_pairs is O(n^2) and input exceeds "
+                f"max_rows={max_rows}; use embedding_near_dup_lsh (the "
+                f"bucketed scale path) or pass max_rows=None explicitly"
+            )
     a = df.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("__va"))
     b = df.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("__vb"))
     pairs = a.join(b, F.col("id_a") < F.col("id_b"))
@@ -105,16 +120,22 @@ def embedding_near_dup_lsh(
     threshold: float = 0.9,
     bits: int = 12,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Scale path for embedding near-dup: random-hyperplane signature →
     bucket self-join (candidates share all `bits` signs; collision
     probability rises with cosine) → exact cosine verify. Candidate
     generation is O(sum bucket^2) instead of O(n^2); recall is tunable
     via `bits` (fewer bits → bigger buckets → higher recall, more
-    verification work) or by multi-probing as in lsh_bucket_topk."""
-    sig = hyperplane_signature_udf(
-        dim=len(df.select(vec_col).first()[0]), bits=bits, seed=seed
-    )
+    verification work) or by multi-probing as in lsh_bucket_topk.
+
+    Pass ``dim`` explicitly to keep the pipeline fully lazy; when
+    omitted it is read from a fixed-size array schema if available,
+    else inferred with a single-row job (an extra Spark job — avoid in
+    hot paths)."""
+    if dim is None:
+        dim = len(df.select(vec_col).first()[0])
+    sig = hyperplane_signature_udf(dim=dim, bits=bits, seed=seed)
     s = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"), sig(F.col(vec_col)).alias("__sig")
     )
@@ -170,6 +191,7 @@ def ivf_topk(
     n_probe: int = 2,
     seed: int = 42,
     sample_size: int = 1024,
+    centroids: np.ndarray | None = None,
 ) -> DataFrame:
     """IVF ANN top-k: train coarse centroids on a deterministic sample
     (driver-side, bounded — split-planning-sized work), assign every
@@ -177,12 +199,20 @@ def ivf_topk(
     batch), then brute-force cosine only inside the query's ``n_probe``
     nearest clusters. At 100 TB you would persist the table partitioned
     by ``__cluster`` and get partition pruning on the probe, scanning
-    ~n_probe/n_clusters of the data."""
-    sample_rows = (
-        df.select(vec_col).orderBy(id_col).limit(sample_size).collect()
-    )
-    sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
-    cent = _kmeans(sample, n_clusters, seed)
+    ~n_probe/n_clusters of the data.
+
+    ``centroids`` supplies a pre-trained coarse quantizer (the
+    standard IVF deployment shape — the quantizer is trained offline
+    once, not per query); when omitted, a bounded-sample k-means
+    trains one inline."""
+    if centroids is not None:
+        cent = np.asarray(centroids, dtype=np.float64)
+    else:
+        sample_rows = (
+            df.select(vec_col).orderBy(id_col).limit(sample_size).collect()
+        )
+        sample = np.stack([np.asarray(r[0], dtype=np.float64) for r in sample_rows])
+        cent = _kmeans(sample, n_clusters, seed)
     q = np.asarray(query, dtype=np.float64)
     qd = ((cent - q[None, :]) ** 2).sum(axis=1)
     probe = [int(c) for c in qd.argsort()[:n_probe]]

@@ -38,15 +38,18 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
-        # The LWW dedup is a max_by (TypedImperativeAggregate →
-        # ObjectHashAggregateExec). Spark's default sort-based fallback
-        # threshold is 128 distinct keys per partition — a CDC batch has
-        # 10^5+ keys per partition, so every partition fell back to a
-        # sort that anti-scales with thread count (measured 4x slower
-        # at local[32] than the hash path, and slower at 32 threads
-        # than at 8). 1M entries keeps the hash path for any sanely
-        # sized partition (~128MB => ~2x10^5 keys) while still
-        # bounding worst-case agg-map memory per task.
+        # ObjectHashAggregateExec (TypedImperativeAggregates such as
+        # collect_list/percentile) falls back to sort-based aggregation
+        # at 128 distinct keys per partition by default — a CDC batch
+        # has 10^5+ keys per partition, so any typed-imperative agg in
+        # a user transform would anti-scale with thread count. 1M
+        # entries keeps the hash path for any sanely sized partition
+        # (~128MB => ~2x10^5 keys) while bounding worst-case agg-map
+        # memory per task. NOTE: the core max_by dedup itself is a
+        # DeclarativeAggregate and plans as SortAggregate regardless
+        # (struct buffer — see docs/PLANS.md for the measured
+        # comparison of alternatives; the partial map-side reduction
+        # is the property that matters).
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")

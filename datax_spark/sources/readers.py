@@ -168,6 +168,77 @@ def string_split_predicates(
     return preds
 
 
+def quantile_split_points(
+    df: DataFrame,
+    split_pk: str,
+    num_splits: int,
+    relative_error: float = 0.001,
+) -> list:
+    """Equal-height split points from the OBSERVED key distribution —
+    the reference's Oracle SAMPLE-based split estimation
+    (``SingleTableSplitUtil.java:298-393``: sample the PK, split on
+    sample quantiles so skewed keys still yield balanced slices,
+    where the even min/max arithmetic split would put most rows in
+    one slice).
+
+    ``relative_error > 0`` (default): Greenwald-Khanna sketch via
+    ``approxQuantile`` — single pass, no global sort, the scale path.
+    ``relative_error == 0``: exact rank points via a window over the
+    single PK column (value at rank ``i*n//num_splits``) — used by the
+    oracle-checked contract query because the sketch's outputs are
+    implementation-defined. Both return at most ``num_splits - 1``
+    interior points (duplicates collapsed under heavy skew).
+    """
+    if num_splits < 2:
+        return []
+    if relative_error == 0:
+        from pyspark.sql.window import Window
+
+        n = df.count()
+        ranks = sorted({i * n // num_splits for i in range(1, num_splits)} - {0})
+        w = Window.orderBy(split_pk)
+        rows = (
+            df.select(split_pk)
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn").isin(ranks))
+            .collect()
+        )  # bounded: < num_splits rows
+        pts = [r[0] for r in rows]
+    else:
+        qs = [i / num_splits for i in range(1, num_splits)]
+        pts = df.stat.approxQuantile(split_pk, qs, relative_error)
+    out = []
+    for p in pts:
+        if not out or p != out[-1]:
+            out.append(p)
+    return out
+
+
+def quantile_split_predicates(
+    df: DataFrame,
+    split_pk: str,
+    num_splits: int,
+    relative_error: float = 0.001,
+    include_null_bucket: bool = True,
+) -> list[str]:
+    """Range predicates from equal-height points: first slice open on
+    the left, last open on the right (covers the full domain without
+    knowing min/max), interior slices left-closed right-open, plus the
+    NULL bucket."""
+    pts = quantile_split_points(df, split_pk, num_splits, relative_error)
+    preds = []
+    if not pts:
+        preds.append(f"{split_pk} IS NOT NULL")
+    else:
+        preds.append(f"{split_pk} < {pts[0]}")
+        for lo, hi in zip(pts, pts[1:]):
+            preds.append(f"{split_pk} >= {lo} AND {split_pk} < {hi}")
+        preds.append(f"{split_pk} >= {pts[-1]}")
+    if include_null_bucket:
+        preds.append(f"{split_pk} IS NULL")
+    return preds
+
+
 import re as _re
 
 _TABLE_PATTERN = _re.compile(r"(\w+\.)?(\w+)\[(\d+)-(\d+)\](.*)")

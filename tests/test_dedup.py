@@ -55,3 +55,32 @@ def test_salted_equals_plain_large(spark):
     assert plain.exceptAll(salted).count() == 0
     assert salted.exceptAll(plain).count() == 0
     assert salted.count() == 679  # one row per distinct (id%7, id%97) key
+
+
+def test_quadratic_baseline_guardrails(spark):
+    """The exact all-pairs baselines refuse inputs whose n^2 candidate
+    join would explode; max_rows=None forces them through."""
+    import pytest
+
+    from datax_spark.functions.dedup_text import ngram_jaccard_exact_pairs
+    from datax_spark.functions.similarity import embedding_near_dup_pairs
+
+    docs = spark.range(10).select(
+        F.col("id").alias("doc_id"),
+        F.concat(F.lit("text body "), F.col("id").cast("string")).alias("text"),
+    )
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        ngram_jaccard_exact_pairs(docs, "text", "doc_id", max_rows=5)
+    assert ngram_jaccard_exact_pairs(
+        docs, "text", "doc_id", threshold=0.0, max_rows=None
+    ).count() == 45
+
+    emb = spark.range(10).select(
+        F.col("id").alias("vec_id"),
+        F.array(*[(F.col("id") * 0 + 1.0).cast("float")] * 4).alias("embedding"),
+    )
+    with pytest.raises(ValueError, match="O\\(n\\^2\\)"):
+        embedding_near_dup_pairs(emb, "embedding", "vec_id", max_rows=5)
+    assert embedding_near_dup_pairs(
+        emb, "embedding", "vec_id", threshold=0.5, max_rows=None
+    ).count() == 45

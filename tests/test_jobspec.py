@@ -321,6 +321,30 @@ def test_jdbcreader_shard_union(spark, tmp_path):
     assert sorted(r["id"] for r in df.collect()) == [1, 2, 3]
 
 
+def test_quantile_split_predicates(spark):
+    """Equal-height split (sampled-quantile analog): slices partition
+    the table and are balanced even on skewed keys, unlike the even
+    min/max arithmetic split."""
+    from datax_spark.sources.readers import (
+        quantile_split_points,
+        quantile_split_predicates,
+    )
+
+    orders = spark.read.parquet(f"{SF}/orders.parquet")
+    total = orders.count()
+    preds = quantile_split_predicates(orders, "o_totalprice", 8)
+    assert len(preds) == 9  # 8 ranges + NULL bucket
+    counts = [orders.filter(p).count() for p in preds]
+    assert sum(counts) == total
+    assert counts[-1] == 0  # no NULL keys
+    # GK sketch at 0.001 relative error: every slice within 10% of n/8
+    assert max(counts[:-1]) <= total / 8 * 1.1
+    assert min(counts[:-1]) >= total / 8 * 0.9
+    # exact mode returns sorted, deduped interior points
+    pts = quantile_split_points(orders, "o_totalprice", 8, relative_error=0)
+    assert pts == sorted(pts) and len(pts) == len(set(pts)) <= 7
+
+
 def test_hivereader_sql(spark):
     spark.read.parquet("/root/testdata/sf0.001/nation.parquet").createOrReplaceTempView(
         "nation_v"
