@@ -43,6 +43,30 @@ def shingle_array(col: Column | str, k: int = 5) -> Column:
     return F.transform(idx, lambda i: F.substring(c, i, k))
 
 
+def word_shingle_array(col: Column | str, k: int = 3) -> Column:
+    """Array of all k-word shingles (space-joined) — entirely JVM-side.
+
+    Word shingles are the standard unit for LLM-corpus near-dedup
+    (k-word Jaccard): a ~300-char doc yields ~50 word shingles vs ~300
+    char-5 shingles, so the explode+hash stage shrinks ~6x while the
+    similarity signal on natural text stays equivalent."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.filter(F.split(c, r"\s+"), lambda t: t != "")
+    n = F.size(toks) - (k - 1)
+    idx = F.when(n >= 1, F.sequence(F.lit(1), n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i, k)))
+
+
+def _shingles(col: Column | str, k: int, mode: str) -> Column:
+    if mode == "char":
+        return shingle_array(col, k)
+    if mode == "word":
+        return word_shingle_array(col, k)
+    raise ValueError(f"unknown shingle mode: {mode}")
+
+
 def minhash_signature(col: Column | str, num_hashes: int = 64, k: int = 5, seed: int = 42) -> Column:
     """MinHash signature: per permutation p, min over shingles of
     xxhash64(shingle, seed_p). Entirely JVM-side."""
@@ -62,6 +86,7 @@ def minhash_lsh_candidates(
     bands: int = 16,
     k: int = 5,
     seed: int = 42,
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """Candidate near-duplicate pairs (id_a < id_b) via LSH banding.
 
@@ -76,18 +101,22 @@ def minhash_lsh_candidates(
     the entire stage. ~20x faster than the array form at 500 docs and
     the gap widens with doc length.
     """
-    mins = _minhash_mins(df, text_col, id_col, num_hashes, k, seed)
+    mins = _minhash_mins(df, text_col, id_col, num_hashes, k, seed, shingle_mode)
     return _candidates_from_mins(mins, num_hashes, bands)
 
 
 def _minhash_mins(
-    df: DataFrame, text_col: str, id_col: str, num_hashes: int, k: int, seed: int
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int, k: int, seed: int,
+    mode: str = "char",
 ) -> DataFrame:
     """(__id, __m0..__m{n-1}) signature frame — hash each shingle once,
     then per-permutation minima as plain map-side-combined aggregates."""
+    from datax_spark.functions.util import spread
+
+    df = spread(df)  # narrow scans serialize the explode onto one core
     sh = df.select(
         F.col(id_col).alias("__id"),
-        F.explode(F.array_distinct(shingle_array(text_col, k))).alias("__s"),
+        F.explode(F.array_distinct(_shingles(text_col, k, mode))).alias("__s"),
     )
     hashed = sh.select("__id", F.xxhash64("__s", F.lit(seed)).alias("__h"))
     return hashed.groupBy("__id").agg(
@@ -96,7 +125,11 @@ def _minhash_mins(
 
 
 def _candidates_from_mins(
-    mins: DataFrame, num_hashes: int, bands: int, carry_sig: bool = False
+    mins: DataFrame,
+    num_hashes: int,
+    bands: int,
+    carry_sig: bool = False,
+    dedupe: bool = True,
 ) -> DataFrame:
     """Band-bucket self-join over the signature frame. With
     ``carry_sig`` each side also carries its full signature array
@@ -130,12 +163,12 @@ def _candidates_from_mins(
     pair_cols = [F.col("a.__id").alias("id_a"), F.col("b.__id").alias("id_b")]
     if carry_sig:
         pair_cols += [F.col("a.sig").alias("sig_a"), F.col("b.sig").alias("sig_b")]
-    return (
+    out = (
         a.join(b, on=["band", "bh"], how="inner")
         .filter(F.col("a.__id") < F.col("b.__id"))
         .select(*pair_cols)
-        .distinct()
     )
+    return out.distinct() if dedupe else out
 
 
 def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, k: int = 5) -> DataFrame:
@@ -145,7 +178,9 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: s
     side is joined twice; Spark broadcast-joins it automatically when
     small, else sort-merge on ids.
     """
-    sh = docs.select(
+    from datax_spark.functions.util import spread
+
+    sh = spread(docs).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(shingle_array(text_col, k)).alias("__sh"),
     )
@@ -163,16 +198,19 @@ def ngram_jaccard(df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: s
 
 
 def _jaccard_hashed(
-    df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, k: int, seed: int
+    df_pairs: DataFrame, docs: DataFrame, text_col: str, id_col: str, k: int, seed: int,
+    mode: str = "char",
 ) -> DataFrame:
     """Exact Jaccard over xxhash64'd shingle sets: identical to the
     string form up to hash collisions (~|sh|^2/2^64 per doc, negligible)
     but array_intersect/array_union run over int64 instead of strings —
     markedly cheaper at verification scale."""
-    sh = docs.select(
+    from datax_spark.functions.util import spread
+
+    sh = spread(docs).select(
         F.col(id_col).alias("__id"),
         F.array_distinct(
-            F.transform(shingle_array(text_col, k), lambda s: F.xxhash64(s, F.lit(seed)))
+            F.transform(_shingles(text_col, k, mode), lambda s: F.xxhash64(s, F.lit(seed)))
         ).alias("__sh"),
     )
     j = (
@@ -235,6 +273,7 @@ def minhash_dedup(
     k: int = 5,
     seed: int = 42,
     prefilter_margin: float | None = 0.15,
+    shingle_mode: str = "char",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → band → bucket join →
     signature prefilter → exact Jaccard verify. Returns confirmed
@@ -252,18 +291,26 @@ def minhash_dedup(
     default margin the miss probability for a true threshold-level
     pair is P(Binomial(64, s) < 64*(s-0.15)) — ~0.8% at s=threshold,
     ~0 for comfortably-above-threshold pairs; set None to disable."""
-    mins = _minhash_mins(df, text_col, id_col, num_hashes, k, seed)
+    mins = _minhash_mins(df, text_col, id_col, num_hashes, k, seed, shingle_mode)
     if prefilter_margin is None:
         cands = _candidates_from_mins(mins, num_hashes, bands)
     else:
-        cands = _candidates_from_mins(mins, num_hashes, bands, carry_sig=True)
+        # dedupe AFTER the estimator filter: the filter runs on the raw
+        # (possibly multi-band-duplicated) pairs — 64 int compares per
+        # row — so the distinct hashes only the tiny surviving id pairs
+        # instead of signature-laden wide rows
+        cands = _candidates_from_mins(
+            mins, num_hashes, bands, carry_sig=True, dedupe=False
+        )
         est = F.size(
             F.filter(F.zip_with("sig_a", "sig_b", lambda x, y: x == y), lambda m: m)
         ) / F.lit(float(num_hashes))
-        cands = cands.filter(est >= threshold - prefilter_margin).select(
-            "id_a", "id_b"
+        cands = (
+            cands.filter(est >= threshold - prefilter_margin)
+            .select("id_a", "id_b")
+            .distinct()
         )
-    return _jaccard_hashed(cands, df, text_col, id_col, k, seed).filter(
+    return _jaccard_hashed(cands, df, text_col, id_col, k, seed, shingle_mode).filter(
         F.col("jaccard") >= threshold
     )
 
@@ -271,30 +318,38 @@ def minhash_dedup(
 # ---------- SimHash (Arrow UDF) ----------
 @pandas_udf(T.LongType())
 def simhash64(s: pd.Series) -> pd.Series:
-    """64-bit SimHash over whitespace tokens (Arrow-batched)."""
+    """64-bit SimHash over whitespace tokens (Arrow-batched).
+
+    Per batch: token FNV hashes are memoized (natural-language token
+    distributions repeat heavily, so most tokens hash once per batch)
+    and the per-bit majority vote is a single numpy broadcast over the
+    token-hash array — no per-bit Python loop."""
     import numpy as np
 
+    cache: dict[str, int] = {}
+
     def fnv64(tok: str) -> int:
-        # deterministic across processes (builtin hash() is seeded)
-        h = 1469598103934665603
-        for ch in tok.encode("utf-8"):
-            h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+        h = cache.get(tok)
+        if h is None:
+            # deterministic across processes (builtin hash() is seeded)
+            h = 1469598103934665603
+            for ch in tok.encode("utf-8"):
+                h = ((h ^ ch) * 1099511628211) & 0xFFFFFFFFFFFFFFFF
+            cache[tok] = h
         return h
+
+    shifts = np.arange(64, dtype=np.uint64)
 
     def sh(text: str | None) -> int | None:
         if text is None:
             return None
-        acc = np.zeros(64, dtype=np.int64)
-        for tok in text.split():
-            h = fnv64(tok)
-            bits = np.unpackbits(
-                np.frombuffer(h.to_bytes(8, "little"), dtype=np.uint8), bitorder="little"
-            )
-            acc += np.where(bits == 1, 1, -1)
-        v = 0
-        for i in range(64):
-            if acc[i] > 0:
-                v |= 1 << i
+        toks = text.split()
+        if not toks:
+            return 0
+        hs = np.fromiter((fnv64(t) for t in toks), dtype=np.uint64, count=len(toks))
+        bits = ((hs[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+        votes = (2 * bits - 1).sum(axis=0)
+        v = int((((votes > 0).astype(np.uint64)) << shifts).sum(dtype=np.uint64))
         return v - (1 << 64) if v >= (1 << 63) else v
 
     return s.map(sh).astype("Int64")
