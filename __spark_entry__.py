@@ -12,7 +12,9 @@ oracle-checked (round 2 eliminated all rows-only entries):
                                      cdc_replay_repo_table (engine replay vs
                                      pure-SQL LWW of the raw log + sha256),
                                      cdc_lineage_metrics (engine lineage vs
-                                     recount of the raw log)
+                                     recount of the raw log),
+                                     cdc_change_feed (snapshot-diff CDF vs
+                                     log-derived diff)
 * dx_* transformer parity (§2.4) ... dx_substr_pad_replace, dx_filter_null_rules,
                                      dx_json_extract, dx_encryption_roundtrip
 * split / framework ops (§2.1/2.3).. range_split_scan, string_pk_split
@@ -163,6 +165,25 @@ def _q_cdc_replay_repo_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t.read().select(
         "repo", "path", "commit", "lsn", "lang", "lang_variant",
         F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+def _q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Change-data-feed between two committed snapshots of the replay
+    table (LakeTable.changes — the Delta CDF / Iceberg changelog-scan
+    surface): per-key insert/update/delete classification for the
+    effect of epochs 2-3 (version 2 = after epoch 1, version 4 =
+    after epoch 3). Oracle: the same diff derived from the raw event
+    log (winners at epoch<=1 vs epoch<=3, full-outer on the key)."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable.load(spark, os.path.join(root, "table"))
+    ch = t.changes(2, 4)
+    return ch.select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
+        "_change_type",
     )
 
 
@@ -713,6 +734,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_latest_state": _q_cdc_lww_latest_state,
         "cdc_replay_state": _q_cdc_replay_state,
         "cdc_replay_repo_table": _q_cdc_replay_repo_table,
+        "cdc_change_feed": _q_cdc_change_feed,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         "dx_substr_pad_replace": _q_dx_substr_pad_replace,
         "dx_filter_null_rules": _q_dx_filter_null_rules,
@@ -936,6 +958,44 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, commit, lsn, lang, lang_variant,
                    sha256(content) AS content_sha256
             FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_change_feed": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true, hive_partitioning = true,
+                  hive_types = {{'epoch': BIGINT}})
+            ),
+            s1 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY repo, path
+                    ORDER BY commit DESC, lsn DESC) AS rn
+                FROM ev WHERE epoch <= 1)
+              WHERE rn = 1 AND op <> 'D'
+            ),
+            s2 AS (
+              SELECT * FROM (
+                SELECT *, row_number() OVER (PARTITION BY repo, path
+                    ORDER BY commit DESC, lsn DESC) AS rn
+                FROM ev WHERE epoch <= 3)
+              WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT coalesce(b.repo, a.repo) AS repo,
+                   coalesce(b.path, a.path) AS path,
+                   CASE WHEN b.repo IS NULL THEN a.commit ELSE b.commit END AS commit,
+                   CASE WHEN b.repo IS NULL THEN a.lsn ELSE b.lsn END AS lsn,
+                   CASE WHEN b.repo IS NULL THEN a.lang ELSE b.lang END AS lang,
+                   CASE WHEN b.repo IS NULL THEN a.lang_variant
+                        ELSE b.lang_variant END AS lang_variant,
+                   sha256(CASE WHEN b.repo IS NULL THEN a.content
+                               ELSE b.content END) AS content_sha256,
+                   CASE WHEN a.repo IS NULL THEN 'insert'
+                        WHEN b.repo IS NULL THEN 'delete'
+                        WHEN a.commit <> b.commit THEN 'update'
+                   END AS _change_type
+            FROM s1 a FULL OUTER JOIN s2 b
+              ON a.repo = b.repo AND a.path = b.path
+            WHERE a.repo IS NULL OR b.repo IS NULL OR a.commit <> b.commit
         """,
         "cdc_lineage_metrics": f"""
             WITH ev AS (

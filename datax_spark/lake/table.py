@@ -201,6 +201,62 @@ class LakeTable:
             return self.spark.createDataFrame([], m.schema)
         return self.spark.read.schema(m.schema).parquet(*paths)
 
+    def changes(
+        self, from_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Change data feed between two snapshots (the Delta CDF /
+        Iceberg changelog-scan surface for this table format): one row
+        per key whose state differs, with ``_change_type`` in
+        {insert, update, delete}. Inserts/updates carry the TO-side
+        image; deletes carry the FROM-side image.
+
+        Physical shape: both snapshots are bucket-partitioned on the
+        same key hash, so the full-outer join shuffles on the keys
+        once per side and AQE handles any skew; payload comparison is
+        one xxhash64 per side, never column-by-column Python. On a
+        real cluster with storage-partitioned joins the shuffles
+        disappear entirely (both sides share the bucket layout).
+        """
+        from datax_spark.operators.schema_evolution import union_by_name
+
+        m = self.manifest(to_version)
+        keys = m.key_cols
+        old = union_by_name(self.read(version=from_version), m.schema)
+        new = union_by_name(self.read(version=to_version), m.schema)
+        payload = [f.name for f in m.schema.fields if f.name not in keys]
+
+        def tag(df: DataFrame, side: str) -> DataFrame:
+            img = F.struct(*[F.col(c) for c in payload]).alias(f"__img_{side}")
+            # xxhash64 SKIPS null inputs, so (null, x) and (x, null)
+            # would collide; stringify with a null sentinel instead so
+            # every field position contributes to the hash
+            h = F.xxhash64(
+                *[
+                    F.coalesce(F.col(c).cast("string"), F.lit("\x00"))
+                    for c in payload
+                ]
+            ).alias(f"__h_{side}")
+            return df.select(*keys, img, h)
+
+        j = tag(old, "a").join(tag(new, "b"), on=keys, how="full_outer")
+        change = (
+            F.when(F.col("__h_a").isNull(), F.lit("insert"))
+            .when(F.col("__h_b").isNull(), F.lit("delete"))
+            .when(F.col("__h_a") != F.col("__h_b"), F.lit("update"))
+        )
+        img = F.when(
+            F.col("__h_b").isNull(), F.col("__img_a")
+        ).otherwise(F.col("__img_b"))
+        return (
+            j.withColumn("_change_type", change)
+            .filter(F.col("_change_type").isNotNull())
+            .select(
+                *keys,
+                *[img.getField(c).alias(c) for c in payload],
+                "_change_type",
+            )
+        )
+
     def new_txn_dir(self) -> str:
         d = os.path.join(self.root, "data", f"txn-{uuid.uuid4().hex[:12]}")
         os.makedirs(d, exist_ok=True)

@@ -53,3 +53,37 @@ def windowed_counts(
             F.round("sum_value", 4).alias("sum_value_r"),
         )
     )
+
+
+def session_windowed_stats(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "user_id",
+    gap: str = "30 minutes",
+    lateness: str = "30 minutes",
+) -> DataFrame:
+    """Gap-based session windows per key (native ``F.session_window``,
+    Spark's dynamic-gap analog of the batch sessionization query):
+    a session closes once ``gap`` passes with no event for the key,
+    then emits exactly once after the watermark clears it. This is
+    the streaming form of the contract's ``event_sessionization``
+    query (lag + cumulative-start counter), expressed with the
+    engine-native operator instead of a custom stateful UDF — state
+    merging of overlapping sessions is handled by the state store.
+    """
+    events = events.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return (
+        events.withWatermark(ts_col, lateness)
+        .groupBy(F.session_window(F.col(ts_col), gap).alias("w"), F.col(key_col))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 4).alias("session_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            key_col,
+            "n_events",
+            "session_value",
+        )
+    )

@@ -143,3 +143,42 @@ def test_compact_preserves_state(spark, tmp_path):
     assert sorted(tuple(r) for r in t.read().collect()) == before
     t.vacuum()
     assert sorted(tuple(r) for r in t.read().collect()) == before
+
+
+def test_change_data_feed(spark, tmp_path):
+    """changes(v1, v2) classifies per-key diffs between snapshots as
+    insert / update / delete with the right image on each side."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"),
+        schema=spark.createDataFrame([], "k string, v long").schema,
+        key_cols=["k"], num_buckets=4,
+    )
+    def apply(rows):
+        df = spark.createDataFrame(rows, "k string, v long, op string")
+        merge_into(t, df).commit()
+
+    apply([("a", 1, "U"), ("b", 2, "U"), ("c", 3, "U")])   # v1
+    apply([("b", 20, "U"), ("c", 3, "U"), ("d", 4, "U")])  # v2: b updated, d inserted
+    apply([("a", 0, "D")])                                  # v3: a deleted
+
+    ch = {r["k"]: (r["v"], r["_change_type"]) for r in t.changes(1, 3).collect()}
+    assert ch == {"a": (1, "delete"), "b": (20, "update"), "d": (4, "insert")}
+    # unchanged key c absent; reflexive diff is empty
+    assert t.changes(3, 3).count() == 0
+    # null-shift payloads must still register as updates
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t2"),
+        schema=spark.createDataFrame([], "k string, x string, y string").schema,
+        key_cols=["k"], num_buckets=2,
+    )
+    df1 = spark.createDataFrame([("a", None, "z")], "k string, x string, y string")
+    merge_into(t2, df1.withColumn("op", F.lit("U"))).commit()
+    df2 = spark.createDataFrame([("a", "z", None)], "k string, x string, y string")
+    merge_into(t2, df2.withColumn("op", F.lit("U"))).commit()
+    out = t2.changes(1, 2).collect()
+    assert len(out) == 1 and out[0]["_change_type"] == "update"

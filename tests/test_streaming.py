@@ -212,3 +212,53 @@ def test_windowed_counts_watermark(spark, tmp_path):
         | (F.col("n_events") != F.col("n_events_batch"))
     )
     assert bad.count() == 0
+
+
+def test_session_windows_match_batch_sessionization(spark, tmp_path):
+    """Native session_window streaming sessions (gap 30 min) must equal
+    the batch lag+cumsum sessionization over the same drained input."""
+    from datax_spark.streaming.windowed import session_windowed_stats
+
+    src = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    src.write.mode("overwrite").parquet(str(tmp_path / "in"))
+
+    stream = spark.readStream.schema(src.schema).parquet(str(tmp_path / "in"))
+    q = (
+        session_windowed_stats(stream, gap="30 minutes", lateness="0 seconds")
+        .writeStream.format("parquet")
+        .option("path", str(tmp_path / "out"))
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+    # append mode holds back sessions not yet closed by the watermark;
+    # a second empty drain advances nothing, so compare against batch
+    # sessions whose end precedes the final watermark
+    out = spark.read.parquet(str(tmp_path / "out"))
+
+    from pyspark.sql.window import Window
+
+    ev = src.withColumn("ts", F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap_s = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w)
+    starts = F.when(gap_s.isNull() | (gap_s > 1800), 1).otherwise(0)
+    sess = ev.withColumn("sid", F.sum(starts).over(w))
+    batch = (
+        sess.groupBy("user_id", "sid")
+        .agg(
+            F.min("ts").alias("session_start"),
+            F.count(F.lit(1)).alias("n_events_b"),
+            F.round(F.sum("value"), 4).alias("session_value_b"),
+        )
+    )
+    # every emitted streaming session must exactly match a batch session
+    j = out.join(batch, ["user_id", "session_start"], "left")
+    bad = j.filter(
+        F.col("n_events_b").isNull()
+        | (F.col("n_events") != F.col("n_events_b"))
+        | (F.col("session_value") != F.col("session_value_b"))
+    )
+    assert out.count() > 0
+    assert bad.count() == 0
