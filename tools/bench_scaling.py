@@ -199,9 +199,13 @@ DataX's own best 4x windows reach 0.77-0.96 efficiency; its
 single-node read path peaks at ~550k rec/s (8 channels) and its
 upsert write path at ~246k rec/s (16 channels, batch 4096). This
 engine's replay — which additionally deduplicates, transforms,
-CoW-merges and commits exactly-once — sustains ~60-300k events/s on
-4-8 local cores depending on table size (bench.py sf0.1 line;
-BENCH/scaling.json history).
+CoW-merges and commits exactly-once — sustains ~350k events/s warm
+at local[32] on the sf0.1 bench shape (bench.py; 3 epochs incl.
+schema evolution) and ~23k ev/s on a single pinned core
+(BENCH/scaling.json history). Independent large-run validation:
+`python tools/scale_check.py` replays 10^7+ events and verifies the
+ENTIRE final table (per-row sha256) against a DuckDB LWW replay of
+the raw log — see BENCH/SCALE.md.
 
 Reproduce: `python tools/bench_scaling.py {n_events} {n_small}`;
 regenerate this file from history: `--report-only`.

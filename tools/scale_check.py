@@ -1,0 +1,123 @@
+"""Large-scale replay validation: replay an n-event changelog with the
+full contractual pipeline, then verify the ENTIRE final table state
+against an independent DuckDB LWW replay of the raw log (winner per
+key by (commit, lsn), deletes dropped, per-row sha256(content)).
+
+This is the scale-up companion to the pytest e2e (300k events) and the
+pandas sequential oracle: DuckDB recomputes the expected state from
+the raw parquet in seconds even at 10^7+ events, so the engine's
+bucketed CoW merge, schema evolution and exactly-once commits can be
+value-checked at sizes the pandas oracle cannot reach.
+
+Usage: python tools/scale_check.py [n_events] [epochs] [cpus]
+Prints one JSON line with throughput + verification result.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
+    n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
+    cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+
+    import duckdb
+
+    from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+    from datax_spark.fixtures.changelog import ChangelogSpec, write_events
+    from datax_spark.session import get_spark
+
+    extra = {}
+    if os.path.isdir("/dev/shm"):
+        extra["spark.local.dir"] = "/dev/shm/datax_spark_scale_scratch"
+    spark = get_spark("scale-check", cores=cpus, extra_conf=extra)
+
+    spec = ChangelogSpec(
+        n_events=n_events,
+        n_repos=max(200, n_events // 20_000),
+        paths_per_repo=400,
+        events_per_epoch=-(-n_events // n_epochs),
+        evolve_from_epoch=max(1, n_epochs - 2),
+        seed=42,
+    )
+    root = tempfile.mkdtemp(prefix="datax_spark_scale_")
+    try:
+        write_events(spark, spec, os.path.join(root, "events"))  # untimed
+        eng = ReplayEngine(
+            spark,
+            events_root=os.path.join(root, "events"),
+            table_root=os.path.join(root, "table"),
+            metrics_root=os.path.join(root, "metrics"),
+            config=ReplayConfig(num_buckets=128),
+        )
+        t0 = time.monotonic()
+        eng.run()
+        replay_sec = time.monotonic() - t0
+
+        # ---- independent verification (DuckDB over the raw log) ----
+        t1 = time.monotonic()
+        got = (
+            eng.table()
+            .read()
+            .selectExpr(
+                "repo", "path", "commit", "lsn", "lang", "lang_variant",
+                "sha2(content, 256) AS content_sha256",
+            )
+            .toPandas()
+            .sort_values(["repo", "path"])
+            .reset_index(drop=True)
+        )
+        con = duckdb.connect()
+        want = con.execute(
+            f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{root}/events/epoch=*/*.parquet', union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT repo, path, commit, lsn, lang, lang_variant,
+                   sha256(content) AS content_sha256
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY repo, path
+            """
+        ).df().reset_index(drop=True)
+        verify_sec = time.monotonic() - t1
+
+        import pandas as pd
+
+        got["lsn"] = got["lsn"].astype("int64")
+        want["lsn"] = want["lsn"].astype("int64")
+        pd.testing.assert_frame_equal(got, want, check_dtype=False)
+        print(
+            json.dumps(
+                {
+                    "n_events": n_events,
+                    "n_epochs": n_epochs,
+                    "cpus": cpus,
+                    "replay_sec": round(replay_sec, 2),
+                    "events_per_sec": round(n_events / replay_sec, 1),
+                    "final_rows": int(len(got)),
+                    "verified": "sha256_frame_equal_vs_duckdb_lww",
+                    "verify_sec": round(verify_sec, 2),
+                }
+            )
+        )
+    finally:
+        shutil.rmtree(root, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
