@@ -119,7 +119,11 @@ _REPLAY_CACHE: dict[str, str] = {}
 # produce the same state AND oracle_sql() can read the same event log
 # back with DuckDB read_parquet (the engine's final table is checked
 # value-for-value against a pure-SQL LWW replay of the raw log).
-_REPLAY_ROOT = "/tmp/datax_spark_contract_replay_v1"
+# Keyed by pid so concurrent contract runs (pytest + check_contract +
+# driver) never rmtree each other's live run; queries() and
+# oracle_sql() always execute in the same process, so the embedded
+# path stays consistent where it matters.
+_REPLAY_ROOT = f"/tmp/datax_spark_contract_replay_{os.getpid()}"
 
 
 def _replay_run_root(spark: SparkSession, sf_dir: str) -> str:
@@ -558,7 +562,8 @@ def _q_minhash_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = spark.read.parquet(_p(sf_dir, "documents"))
     return minhash_dedup(
-        docs, "text", "doc_id", threshold=0.5, k=3, shingle_mode="word"
+        docs, "text", "doc_id", threshold=0.5, k=3, shingle_mode="word",
+        prefilter_margin=0.15,
     ).select("id_a", "id_b", F.round("jaccard", 4).alias("jaccard_r"))
 
 

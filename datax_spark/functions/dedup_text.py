@@ -272,25 +272,28 @@ def minhash_dedup(
     bands: int = 16,
     k: int = 5,
     seed: int = 42,
-    prefilter_margin: float | None = 0.15,
+    prefilter_margin: float | None = None,
     shingle_mode: str = "char",
 ) -> DataFrame:
     """Full near-dup pipeline: shingle → minhash → band → bucket join →
     signature prefilter → exact Jaccard verify. Returns confirmed
     pairs with exact jaccard >= threshold.
 
-    ``prefilter_margin``: between banding and the exact verify, the
-    signature-agreement fraction (an unbiased Jaccard estimator the 64
-    minhashes already provide) drops candidates estimated below
-    ``threshold - margin``. Banding at the default 16x4 config is
-    deliberately permissive (high recall down to s~0.5), so low-sim
-    bucket collisions dominate the candidate set; the estimator costs
-    64 integer compares per pair against the exact verify's set
-    intersection over ~|text| hashed shingles — measured 2x on the
-    5k-doc corpus and the gap widens with candidate volume. With the
-    default margin the miss probability for a true threshold-level
-    pair is P(Binomial(64, s) < 64*(s-0.15)) — ~0.8% at s=threshold,
-    ~0 for comfortably-above-threshold pairs; set None to disable."""
+    ``prefilter_margin`` (OPT-IN, default None = every banded
+    candidate is exact-verified): between banding and the exact
+    verify, the signature-agreement fraction (an unbiased Jaccard
+    estimator the 64 minhashes already provide) drops candidates
+    estimated below ``threshold - margin``. Banding at the default
+    16x4 config is deliberately permissive (high recall down to
+    s~0.5), so low-sim bucket collisions dominate the candidate set;
+    the estimator costs 64 integer compares per pair against the
+    exact verify's set intersection over ~|text| hashed shingles —
+    measured 2x on the 5k-doc corpus and the gap widens with
+    candidate volume. The trade: a true pair at s=threshold is
+    missed with probability P(Binomial(64, s) < 64*(s-margin)) —
+    ~0.8% at exactly-threshold with margin 0.15, ~0 for
+    comfortably-above-threshold pairs — which is why it is opt-in
+    rather than a silent default recall change."""
     mins = _minhash_mins(df, text_col, id_col, num_hashes, k, seed, shingle_mode)
     if prefilter_margin is None:
         cands = _candidates_from_mins(mins, num_hashes, bands)

@@ -130,9 +130,8 @@ def embedding_near_dup_lsh(
     verification work) or by multi-probing as in lsh_bucket_topk.
 
     Pass ``dim`` explicitly to keep the pipeline fully lazy; when
-    omitted it is read from a fixed-size array schema if available,
-    else inferred with a single-row job (an extra Spark job — avoid in
-    hot paths)."""
+    omitted it is inferred with a single-row Spark job (Spark arrays
+    carry no fixed size in the schema) — avoid that in hot paths."""
     if dim is None:
         dim = len(df.select(vec_col).first()[0])
     sig = hyperplane_signature_udf(dim=dim, bits=bits, seed=seed)

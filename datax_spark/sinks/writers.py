@@ -31,7 +31,8 @@ def _q(ident: str) -> str:
 
 
 def jdbc_execute(
-    spark, url: str, statements: list[str], table: str, p: dict
+    spark, url: str, statements: list[str], table: str, p: dict,
+    transactional: bool = False,
 ) -> None:
     """Run driver-side SQL statements over a JVM JDBC connection.
 
@@ -40,6 +41,11 @@ def jdbc_execute(
     (``WriterUtil.java:113-130``). Statements run sequentially on ONE
     connection — they are DDL/housekeeping, not the data path; the
     parallel data write stays on the executors.
+
+    ``transactional=True`` runs the batch in ONE transaction with
+    rollback on failure — required for multi-statement state changes
+    like the staged upsert's DELETE+INSERT swap, where a crash between
+    autocommitted statements would lose the deleted rows.
     """
     jvm = spark._jvm
     props = jvm.java.util.Properties()
@@ -48,10 +54,20 @@ def jdbc_execute(
             props.setProperty(k, str(p[k]))
     conn = jvm.java.sql.DriverManager.getConnection(url, props)
     try:
+        if transactional:
+            conn.setAutoCommit(False)
         st = conn.createStatement()
-        for s in statements:
-            st.execute(s.replace("@table", table))
-        st.close()
+        try:
+            for s in statements:
+                st.execute(s.replace("@table", table))
+            if transactional:
+                conn.commit()
+        except Exception:
+            if transactional:
+                conn.rollback()
+            raise
+        finally:
+            st.close()
     finally:
         conn.close()
 
@@ -101,7 +117,8 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
                 .option("dbtable", target)
                 .mode(spark_mode)
             )
-            for k in ("user", "password", "driver", "batchsize"):
+            for k in ("user", "password", "driver", "batchsize",
+                      "createTableColumnTypes"):
                 if k in p:
                     w = w.option(k, p[k])
             return w
@@ -110,10 +127,19 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
             # mysqlwriter's REPLACE INTO / ON DUPLICATE KEY UPDATE
             # (WriterUtil.java:113-170) as a set-wise staged upsert:
             # executors write the batch to a staging table in parallel,
-            # then one driver-side transaction swaps matching keys —
+            # then one driver-side TRANSACTION swaps matching keys —
             # delete-then-insert, which is exactly REPLACE's contract
             # (and equals ON DUPLICATE KEY UPDATE when all columns are
             # in the update list, the reference's generated form).
+            # Caveats: the stage table's types come from Spark's JDBC
+            # dialect mapping (Derby maps StringType to CLOB, which is
+            # not equality-comparable — pass createTableColumnTypes,
+            # e.g. '"uid" VARCHAR(255)', for string keys there); the
+            # table name is emitted unquoted, matching how Spark
+            # creates it from the dbtable option; the deterministic
+            # stage name serializes concurrent upserts into the same
+            # target (last one wins, as with the reference's row
+            # batches).
             keys = p.get("keys") or p.get("primaryKeys")
             if not keys:
                 raise ValueError(
@@ -134,6 +160,7 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
                     f"DROP TABLE {stage}",
                 ],
                 table, p,
+                transactional=True,
             )
         else:
             spark_mode = {"insert": "append", "truncate": "overwrite"}.get(

@@ -148,8 +148,22 @@ def string_split_predicates(
     single closed range when only two points exist, plus the dedicated
     ``IS NULL`` slice (``SingleTableSplitUtil.java:113-127``) so
     NULL-pk rows are never lost.
+
+    Deviation from the reference (which embeds raw bytes in SQL):
+    interior points containing control characters (NUL is rejected
+    outright by e.g. PostgreSQL literals), or that break the
+    lexicographic ordering of the chain (possible when the endpoints
+    differ in length, since base-128 order and text order then
+    disagree), are DROPPED — adjacent slices merge, trading slice
+    balance for predicates that always partition the key space and
+    parse on any database.
     """
-    pts = ascii_string_split_points(left, right, num_splits)
+    raw = ascii_string_split_points(left, right, num_splits)
+    pts = [raw[0]]
+    for s in raw[1:-1]:
+        if all(" " <= ch <= "\x7e" for ch in s) and pts[-1] < s < raw[-1]:
+            pts.append(s)
+    pts.append(raw[-1])
     preds = []
     if len(pts) == 2:
         preds.append(
@@ -310,12 +324,36 @@ def _read_jdbc(spark: SparkSession, p: dict) -> DataFrame:
         int(p.get("splitFactor", 5)),
     ) if "splitPk" in p else n_channels
 
+    def _pk_type() -> str:
+        """Split-mode dispatch. The reference decides numeric vs string
+        split from column TYPE metadata (``SingleTableSplitUtil.java:
+        63-82`` PK_TYPE_LONG / PK_TYPE_STRING); configure
+        ``splitPkType`` ('long' | 'string' | 'date'/'timestamp') for
+        the same explicitness. The fallback heuristic classifies the
+        bound's shape: all-digits -> long, ISO date/timestamp ->
+        temporal (Spark's native partitionColumn handles both
+        numerics and temporals), anything else -> ASCII string split.
+        Digit-shaped STRING keys (zip codes) need the explicit config.
+        """
+        t = str(p.get("splitPkType", "")).lower()
+        if t in ("long", "int", "integer", "bigint", "numeric"):
+            return "long"
+        if t in ("string", "varchar", "char"):
+            return "string"
+        if t in ("date", "timestamp", "datetime"):
+            return "temporal"
+        lb = str(p.get("lowerBound", ""))
+        if lb.lstrip("-").isdigit():
+            return "long"
+        if _re.fullmatch(r"\d{4}-\d{2}-\d{2}([ T].*)?", lb):
+            return "temporal"
+        return "string"
+
     def one(dbtable: str) -> DataFrame:
         if (
             "splitPk" in p
             and "lowerBound" in p
-            and isinstance(p["lowerBound"], str)
-            and not str(p["lowerBound"]).lstrip("-").isdigit()
+            and _pk_type() == "string"
         ):
             # string PK: ASCII-radix predicate split, one partition per
             # predicate incl. the NULL bucket (SingleTableSplitUtil.java:69-75)

@@ -165,6 +165,32 @@ def test_jdbcwriter_presql_modes_postsql(spark, tmp_path):
         write_sink(df2, "jdbcwriter", {**base, "writeMode": "update"})
 
 
+def test_jdbcwriter_replace_string_key_column_types(spark, tmp_path):
+    """String conflict keys need createTableColumnTypes on dialects
+    that map StringType to a non-comparable type (Derby -> CLOB): the
+    staged swap's equality predicate must run against VARCHAR."""
+    from datax_spark.sinks.writers import write_sink
+
+    url = f"jdbc:derby:{tmp_path}/sdb2;create=true"
+    base = {
+        "jdbcUrl": url, "table": "kv",
+        "createTableColumnTypes": "uid VARCHAR(40), v BIGINT",
+    }
+    read = lambda: (
+        spark.read.format("jdbc").option("url", url).option("dbtable", "kv").load()
+    )
+    df1 = spark.createDataFrame([("a", 1), ("b", 2)], "uid string, v long")
+    write_sink(df1, "jdbcwriter", {
+        **base, "writeMode": "insert",
+        "preSql": 'CREATE TABLE @table ("uid" VARCHAR(40), "v" BIGINT)',
+    })
+    df2 = spark.createDataFrame([("b", 20), ("c", 3)], "uid string, v long")
+    write_sink(df2, "jdbcwriter", {**base, "writeMode": "replace", "keys": ["uid"]})
+    assert sorted((r["uid"], r["v"]) for r in read().collect()) == [
+        ("a", 1), ("b", 20), ("c", 3),
+    ]
+
+
 def test_jdbcreader_string_pk_predicate_split(spark, tmp_path):
     """End-to-end string-PK split over a real JDBC source: the
     predicates become one partition each (incl. the NULL bucket) and
@@ -191,7 +217,9 @@ def test_jdbcreader_string_pk_predicate_split(spark, tmp_path):
         "numPartitions": 4,
         "splitFactor": 1,
     })
-    assert got.rdd.getNumPartitions() == 5  # 4 ranges + NULL bucket
+    # up to 4 ranges + NULL bucket; control-char interior points are
+    # dropped (slices merge) so the exact count varies with the bounds
+    assert 2 <= got.rdd.getNumPartitions() <= 5
 
     # default splitFactor=5: a single-table splitPk job fans out 4*5
     # ranges (+ NULL bucket) to avoid starving channels (ReaderSplitUtil)
@@ -200,7 +228,7 @@ def test_jdbcreader_string_pk_predicate_split(spark, tmp_path):
         "lowerBound": "user_0000", "upperBound": "user_0096",
         "numPartitions": 4,
     })
-    assert wide.rdd.getNumPartitions() == 21
+    assert got.rdd.getNumPartitions() < wide.rdd.getNumPartitions() <= 21
     assert wide.count() == 97
     assert got.count() == 97
     assert sorted(r["uid"] for r in got.collect()) == sorted(n[0] for n in names)
@@ -248,10 +276,15 @@ def test_string_split_predicates_shape():
 
     preds = string_split_predicates("c_name", "Customer#000000001",
                                     "Customer#000001500", 4)
-    assert len(preds) == 5  # 4 ranges + NULL bucket
+    # interior points carrying control chars are dropped (SQL-literal
+    # safety), merging slices — but the chain always partitions:
+    # left-closed start, closed end, NULL bucket last
+    assert 2 <= len(preds) <= 5
     assert preds[0].startswith("c_name >= 'Customer#000000001' AND c_name < ")
-    assert preds[3].endswith("AND c_name <= 'Customer#000001500'")
+    assert preds[-2].endswith("AND c_name <= 'Customer#000001500'")
     assert preds[-1] == "c_name IS NULL"
+    for pred in preds[:-1]:
+        assert all(" " <= ch <= "\x7e" for ch in pred)
     # single-point range: one closed predicate (wrapRange 2-point branch)
     single = string_split_predicates("k", "abc", "abc", 4, include_null_bucket=False)
     assert single == ["k >= 'abc' AND k <= 'abc'"]
@@ -374,3 +407,39 @@ def test_hivereader_multi_sql_concatenates(spark):
         ]},
     )
     assert df.count() == 25
+
+
+def test_jdbcreader_temporal_pk_routes_to_native_partitioning(spark, tmp_path):
+    """Date-shaped bounds must use Spark's native temporal
+    partitionColumn, NOT the ASCII string split (which would emit
+    garbage date literals)."""
+    from datax_spark.sinks.writers import write_sink
+    from datax_spark.sources.readers import read_source
+
+    url = f"jdbc:derby:{tmp_path}/tdb;create=true"
+    import datetime
+
+    rows = [(datetime.date(2020, 1, 1 + i), i) for i in range(20)]
+    df = spark.createDataFrame(rows, "d date, v long")
+    write_sink(df, "jdbcwriter", {
+        "jdbcUrl": url, "table": "datets", "writeMode": "insert",
+        "preSql": 'CREATE TABLE @table ("d" DATE, "v" BIGINT)',
+    })
+    got = read_source(spark, "jdbcreader", {
+        "jdbcUrl": url,
+        "table": "datets",
+        "splitPk": '"d"',
+        "lowerBound": "2020-01-01",
+        "upperBound": "2020-01-20",
+        "numPartitions": 4,
+        "splitFactor": 1,
+    })
+    assert got.count() == 20
+    assert got.rdd.getNumPartitions() == 4  # native range partitioning
+    # explicit type config forces the mode regardless of bound shape
+    forced = read_source(spark, "jdbcreader", {
+        "jdbcUrl": url, "table": "datets", "splitPk": '"d"',
+        "lowerBound": "2020-01-01", "upperBound": "2020-01-20",
+        "numPartitions": 4, "splitFactor": 1, "splitPkType": "date",
+    })
+    assert forced.count() == 20

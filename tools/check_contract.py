@@ -55,11 +55,11 @@ def arrow_type_name(t) -> str:
     return str(t)
 
 
-def type_mismatches(spark_df, cur) -> list[str]:
-    """Compare Arrow column types of a Spark result vs a DuckDB cursor."""
+def type_mismatches(spark_df, o_schema) -> list[str]:
+    """Compare Arrow column types of a Spark result vs the oracle's
+    Arrow schema (obtained from the single oracle execution)."""
     try:
         s_schema = spark_df.limit(0).toArrow().schema
-        o_schema = cur.fetch_arrow_table().schema
     except Exception:  # noqa: BLE001 — typed check is best-effort
         return []
     s_types = {f.name: arrow_type_name(f.type) for f in s_schema}
@@ -121,9 +121,10 @@ def main() -> int:
                 print(f"FAIL  {name}: 0 rows from rows-only query")
             continue
         try:
-            cur = con.execute(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = cur.fetchall()
+            # one execution serves values AND the typed-schema check
+            otable = con.execute(oracles[name]).fetch_arrow_table()
+            ocols = otable.column_names
+            orows = [tuple(d[c] for c in ocols) for d in otable.to_pylist()]
         except Exception as e:  # noqa: BLE001
             failures.append(name)
             print(f"FAIL  {name}: duckdb error: {e}")
@@ -142,7 +143,7 @@ def main() -> int:
             diff = [(x, y) for x, y in zip(a, b) if x != y][:3]
             print(f"FAIL  {name}: value mismatch, first diffs: {diff}")
             continue
-        tm = type_mismatches(df, con.execute(oracles[name]))
+        tm = type_mismatches(df, otable.schema)
         if tm:
             failures.append(name)
             print(f"FAIL  {name}: typed-hash mismatch: {tm}")

@@ -36,9 +36,15 @@ def main() -> None:
     from datax_spark.fixtures.changelog import ChangelogSpec, write_events
     from datax_spark.session import get_spark
 
+    # tmpfs scratch only when it can plausibly hold the shuffle: the
+    # changelog is ~400B/event and shuffle spill is a fraction of
+    # that, but a filled /dev/shm means unevictable RAM and dead
+    # tasks, where the default disk-backed dir would have finished
     extra = {}
     if os.path.isdir("/dev/shm"):
-        extra["spark.local.dir"] = "/dev/shm/datax_spark_scale_scratch"
+        free = shutil.disk_usage("/dev/shm").free
+        if free > max(8 << 30, n_events * 800):
+            extra["spark.local.dir"] = "/dev/shm/datax_spark_scale_scratch"
     spark = get_spark("scale-check", cores=cpus, extra_conf=extra)
 
     spec = ChangelogSpec(
