@@ -262,3 +262,51 @@ def test_session_windows_match_batch_sessionization(spark, tmp_path):
     )
     assert out.count() > 0
     assert bad.count() == 0
+
+
+def test_stream_restart_with_schema_evolution(spark, tmp_path):
+    """Additive schema evolution over a RESTARTED stream — the
+    operational pattern for Structured Streaming (a running query's
+    source schema is fixed; the new column arrives by restarting with
+    the evolved schema against the same checkpoint). Old-table rows
+    null-fill; the full state incl. the evolved column must match the
+    sequential-apply oracle."""
+    spec = ChangelogSpec(n_events=8_000, n_repos=15, paths_per_repo=50,
+                         events_per_epoch=2_000, evolve_from_epoch=2, seed=31)
+    full = events_df(spark, spec)
+    old = full.filter(F.col("epoch") <= 1).drop("lang_variant")
+    new = full.filter(F.col("epoch") > 1)
+
+    old.write.partitionBy("epoch").parquet(str(tmp_path / "events"))
+    sr = StreamReplay(
+        spark, str(tmp_path / "events"), str(tmp_path / "table"),
+        str(tmp_path / "ckpt"), config=CFG,
+    )
+    sr.run_available_now()
+    assert "lang_variant" not in sr.table().read().columns
+
+    new.write.mode("append").partitionBy("epoch").parquet(str(tmp_path / "events"))
+    evolved_schema = __import__("pyspark.sql.types", fromlist=["StructType"]).StructType(
+        [f for f in full.schema.fields if f.name != "epoch"]
+    )
+    sr2 = StreamReplay(
+        spark, str(tmp_path / "events"), str(tmp_path / "table"),
+        str(tmp_path / "ckpt"), config=CFG, schema=evolved_schema,
+    )
+    sr2.run_available_now()
+    got = (
+        sr2.table().read()
+        .select("repo", "path", "commit", "lsn", "lang", "lang_variant",
+                F.sha2("content", 256).alias("content_sha256"))
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    o = sequential_apply(str(tmp_path / "events"))
+    want = (
+        o[["repo", "path", "commit", "lsn", "lang", "lang_variant",
+           "content_sha256"]]
+        .sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # keys whose winner predates the evolution carry NULL lang_variant
+    assert got["lang_variant"].isna().any()
+    assert got["lang_variant"].notna().any()

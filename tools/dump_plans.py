@@ -112,6 +112,33 @@ def main() -> None:
         ["TakeOrderedAndProject"],
     ))
 
+    # 6. Change data feed: one full-outer join on the keys, no
+    # nested-loop/cartesian anywhere
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+
+    import tempfile
+
+    troot = tempfile.mkdtemp(prefix="dump_plans_cdf_")
+    ct = LakeTable.create(
+        spark, troot,
+        schema=spark.createDataFrame([], "k string, v long").schema,
+        key_cols=["k"], num_buckets=4,
+    )
+    for batch in ([("a", 1, "U")], [("a", 2, "U")]):
+        merge_into(ct, spark.createDataFrame(batch, "k string, v long, op string")).commit()
+    cdf = ct.changes(1, 2)
+    sections.append((
+        "Change data feed (lake.table.LakeTable.changes)",
+        "Snapshot diff = ONE join on the key columns (full-outer via the "
+        "sort-merge path; AQE may degenerate tiny sides); payload equality "
+        "is a single xxhash64 per side computed before the join, so the "
+        "exchange carries (keys, img struct, hash) and no nested-loop or "
+        "cartesian product can appear at any size.",
+        plan_of(cdf),
+        ["FullOuter", "xxhash64", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
+    ))
+
     out = ["# Physical plans of the core operators\n",
            "Generated by `python tools/dump_plans.py` — the quoted plan\n"
            "properties are asserted, so regressions fail the script.\n"]
