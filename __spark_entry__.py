@@ -26,7 +26,9 @@ oracle-checked (round 2 eliminated all rows-only entries):
 * schema evolution (§2.5) .......... schema_evolution_union
 * internal SQL ops (§2.5) .......... tpch_q1, region_revenue, window_topk_orders,
                                      event_sessionization, event_lag_delta,
-                                     orders_rollup
+                                     orders_rollup, orders_cube,
+                                     price_percentiles (exact interpolating),
+                                     customer_set_ops (EXCEPT/INTERSECT)
 * training-data dedup .............. exact_dedup_docs, ngram_jaccard_pairs
                                      (guardrailed O(n^2) exact baseline),
                                      minhash_lsh_pairs (LSH output == exact
@@ -505,6 +507,45 @@ def _q_orders_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_orders_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE aggregation (all grouping-set combinations of status x
+    priority incl. both totals) — completes the grouping-sets family
+    next to orders_rollup."""
+    orders = spark.read.parquet(_p(sf_dir, "orders"))
+    return orders.cube("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+def _q_price_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolating percentiles per group (Spark `percentile`
+    == DuckDB `quantile_cont`, verified value-identical)."""
+    orders = spark.read.parquet(_p(sf_dir, "orders"))
+    return orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.expr("percentile(o_totalprice, 0.5)"), 4).alias("p50"),
+        F.round(F.expr("percentile(o_totalprice, 0.95)"), 4).alias("p95"),
+    )
+
+
+def _q_customer_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Set operations (distinct EXCEPT / INTERSECT): customers with no
+    urgent orders, and customers with at least one 'F'-status order,
+    as one tagged relation."""
+    cust = spark.read.parquet(_p(sf_dir, "customer")).select("c_custkey")
+    orders = spark.read.parquet(_p(sf_dir, "orders"))
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    f_status = orders.filter(F.col("o_orderstatus") == "F").select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    no_urgent = cust.subtract(urgent).withColumn("tag", F.lit("no_urgent"))
+    has_f = cust.intersect(f_status).withColumn("tag", F.lit("has_f"))
+    return no_urgent.unionByName(has_f)
+
+
 def _q_window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql.window import Window
 
@@ -759,6 +800,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "event_sessionization": _q_event_sessionization,
         "event_lag_delta": _q_event_lag_delta,
         "orders_rollup": _q_orders_rollup,
+        "orders_cube": _q_orders_cube,
+        "price_percentiles": _q_price_percentiles,
+        "customer_set_ops": _q_customer_set_ops,
         "exact_dedup_docs": _q_exact_dedup_docs,
         "ngram_jaccard_pairs": _q_ngram_jaccard_pairs,
         "minhash_lsh_pairs": _q_minhash_lsh_pairs,
@@ -1208,6 +1252,31 @@ def oracle_sql() -> dict[str, str]:
                    round(sum(o_totalprice), 2) AS revenue
             FROM orders
             GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+        """,
+        "orders_cube": """
+            SELECT o_orderstatus, o_orderpriority,
+                   count(*) AS n_orders,
+                   round(sum(o_totalprice), 2) AS revenue
+            FROM orders
+            GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        """,
+        "price_percentiles": """
+            SELECT o_orderpriority,
+                   count(*) AS n_orders,
+                   round(quantile_cont(o_totalprice, 0.5), 4) AS p50,
+                   round(quantile_cont(o_totalprice, 0.95), 4) AS p95
+            FROM orders GROUP BY o_orderpriority
+        """,
+        "customer_set_ops": """
+            SELECT c_custkey, 'no_urgent' AS tag FROM (
+              SELECT c_custkey FROM customer
+              EXCEPT
+              SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+            UNION ALL
+            SELECT c_custkey, 'has_f' AS tag FROM (
+              SELECT c_custkey FROM customer
+              INTERSECT
+              SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
         """,
         "exact_dedup_docs": """
             SELECT min(doc_id) AS keep_id, count(*) AS n_dups,
