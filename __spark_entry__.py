@@ -568,9 +568,12 @@ def _q_exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datax_spark.functions.dedup_text import exact_dedup
 
     docs = _docs(spark, sf_dir)
-    return exact_dedup(docs, "text", "doc_id").select(
-        "keep_id", "n_dups", F.length("text").alias("text_len")
-    )
+    # text_len rides the aggregation (group-constant: all texts in a
+    # sha2 group are identical) — the raw text never crosses the shuffle
+    return exact_dedup(
+        docs, "text", "doc_id",
+        extra_aggs=[F.min(F.length("text")).alias("text_len")],
+    ).select("keep_id", "n_dups", "text_len")
 
 
 def _q_ngram_jaccard_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:

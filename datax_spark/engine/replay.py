@@ -86,11 +86,23 @@ class ReplayConfig:
     # table write) when count > dirty_record_limit (None = unlimited).
     dirty_record_limit: int | None = None
     # Percentage limit (errorLimit.percentage): the epoch fails when
-    # n_dirty / n_total exceeds this fraction. The record limit is
-    # checked FIRST — same priority order as ErrorRecordChecker.java:
-    # 18-82 (checkRecordLimit before checkPercentageLimit).
+    # n_dirty / n_total exceeds this fraction, checked per epoch (the
+    # reference checks once at job end; an epoch is this engine's job
+    # unit). Reference parity (ErrorRecordChecker.java:18-45): setting
+    # the RECORD limit DISABLES the percentage limit — the constructor
+    # nulls percentageLimit whenever recordLimit is present — and the
+    # fraction must lie in [0.0, 1.0].
     dirty_pct_limit: float | None = None
     quarantine: bool = True
+
+    def __post_init__(self) -> None:
+        if self.dirty_pct_limit is not None and not (
+            0.0 <= self.dirty_pct_limit <= 1.0
+        ):
+            raise ValueError(
+                f"dirty_pct_limit must be within [0.0, 1.0], got "
+                f"{self.dirty_pct_limit} (ErrorRecordChecker.java:34-38)"
+            )
 
 
 @dataclass
@@ -275,15 +287,26 @@ class ReplayEngine:
                 n_total = int(got.get("n_total") or 0)
             except Exception:
                 # degenerate plans (e.g. every row dirty) can leave the
-                # observation row unreadable; fall back to a direct count
+                # observation row unreadable; fall back to a direct count.
+                # Logged + timed so the two extra full scans are
+                # attributable in the per-epoch phase breakdown.
+                import logging
+
+                logging.getLogger(__name__).warning(
+                    "epoch %d: dirty-count observation unreadable; "
+                    "falling back to two extra event scans", epoch,
+                )
+                tf = time.monotonic()
                 n_dirty = ev.filter(dirty_pred).count()
                 n_total = ev.count()
+                ph["dirty_fallback_scans"] = (time.monotonic() - tf) * 1000
             if n_dirty and cfg.quarantine:
                 ev_obs.filter(dirty_pred).write.mode("overwrite").parquet(
                     os.path.join(self.quarantine_root(), f"epoch={epoch}")
                 )
-            # record limit first, then percentage — the reference's
-            # ErrorRecordChecker.java:18-82 check order
+            # Reference parity (ErrorRecordChecker.java:18-45): when the
+            # record limit is configured it is the ONLY check — the
+            # reference's constructor nulls percentageLimit in that case.
             if cfg.dirty_record_limit is not None and n_dirty > cfg.dirty_record_limit:
                 raise DirtyDataError(
                     f"epoch {epoch}: {n_dirty} dirty records exceed limit "
@@ -291,7 +314,8 @@ class ReplayEngine:
                     f"{self.quarantine_root()})"
                 )
             if (
-                cfg.dirty_pct_limit is not None
+                cfg.dirty_record_limit is None
+                and cfg.dirty_pct_limit is not None
                 and n_total > 0
                 and (n_dirty / n_total) > cfg.dirty_pct_limit
             ):

@@ -27,10 +27,21 @@ from pyspark.sql.functions import pandas_udf
 
 
 # ---------- exact ----------
-def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
-    """One representative (min id) per exact text; keeps dup count."""
-    return df.groupBy(text_col).agg(
-        F.min(id_col).alias("keep_id"), F.count(F.lit(1)).alias("n_dups")
+def exact_dedup(df: DataFrame, text_col: str, id_col: str, extra_aggs=()) -> DataFrame:
+    """One representative (min id) per exact text; keeps dup count.
+
+    Groups by ``sha2(text, 256)`` — a 32-byte shuffle key — NOT the raw
+    text column: at corpus scale the group-by key would otherwise carry
+    the full document through the exchange (document-length× more
+    shuffle bytes for the identical answer; collisions are cryptographic-
+    negligible). ``extra_aggs`` lets callers carry group-constant
+    attributes (e.g. ``min(length(text))``) without rejoining the text.
+    Output: ``text_sha256, keep_id, n_dups`` + extras.
+    """
+    return df.groupBy(F.sha2(F.col(text_col), 256).alias("text_sha256")).agg(
+        F.min(id_col).alias("keep_id"),
+        F.count(F.lit(1)).alias("n_dups"),
+        *extra_aggs,
     )
 
 

@@ -145,6 +145,27 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
                 raise ValueError(
                     f"writeMode={write_mode} requires 'keys' (the conflict columns)"
                 )
+            # The reference's REPLACE INTO / ON DUPLICATE KEY UPDATE is
+            # row-wise last-wins, so a batch carrying duplicate keys
+            # still lands one row per key; the set-wise DELETE+INSERT
+            # swap would insert ALL duplicates (PK violation, or silent
+            # duplicate rows without a PK). Deduplicate on the conflict
+            # keys first — a DataFrame has no row order, so "last"
+            # is made deterministic: the max over the non-key columns.
+            others = [c for c in df.columns if c not in keys]
+            if others:
+                from pyspark.sql.window import Window
+
+                w = Window.partitionBy(*keys).orderBy(
+                    *[F.col(c).desc_nulls_last() for c in others]
+                )
+                df = (
+                    df.withColumn("__rn", F.row_number().over(w))
+                    .filter(F.col("__rn") == 1)
+                    .drop("__rn")
+                )
+            else:
+                df = df.dropDuplicates(keys)
             stage = f"{table}_dx_stage"
             _writer(stage, "overwrite").save()
             on = " AND ".join(

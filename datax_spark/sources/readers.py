@@ -143,40 +143,44 @@ def string_split_predicates(
 ) -> list[str]:
     """String-PK range predicates for ``spark.read.jdbc(predicates=...)``.
 
-    Matches the reference's wrapping (``RdbmsRangeSplitWrap.java:45-72``):
-    left-closed / right-open ranges, last range closed on both ends,
-    single closed range when only two points exist, plus the dedicated
-    ``IS NULL`` slice (``SingleTableSplitUtil.java:113-127``) so
-    NULL-pk rows are never lost.
+    Interior ranges follow the reference's wrapping
+    (``RdbmsRangeSplitWrap.java:45-72``: left-closed / right-open), plus
+    the dedicated ``IS NULL`` slice (``SingleTableSplitUtil.java:113-
+    127``) so NULL-pk rows are never lost.
 
-    Deviation from the reference (which embeds raw bytes in SQL):
-    interior points containing control characters (NUL is rejected
-    outright by e.g. PostgreSQL literals), or that break the
-    lexicographic ordering of the chain (possible when the endpoints
-    differ in length, since base-128 order and text order then
-    disagree), are DROPPED — adjacent slices merge, trading slice
-    balance for predicates that always partition the key space and
-    parse on any database.
+    Deviations from the reference, both loss-proofing:
+
+    * The FIRST and LAST slices are UNBOUNDED (``pk < p1`` /
+      ``pk >= p_last``); the configured bounds only shape the interior
+      points. The reference derives its bounds from a live MIN/MAX
+      query (``SingleTableSplitUtil.getPkRange``) so out-of-range keys
+      cannot exist there; here stale or hand-narrowed bounds must not
+      silently drop rows — the numeric path already behaves this way
+      (Spark's ``partitionColumn`` first/last partitions are
+      unbounded), and so does ``quantile_split_predicates``.
+    * Interior points containing control characters (NUL is rejected
+      outright by e.g. PostgreSQL literals), or that break the
+      lexicographic ordering of the chain (possible when the endpoints
+      differ in length, since base-128 order and text order then
+      disagree), are DROPPED — adjacent slices merge, trading slice
+      balance for predicates that always partition the key space and
+      parse on any database.
     """
     raw = ascii_string_split_points(left, right, num_splits)
-    pts = [raw[0]]
+    interior: list[str] = []
     for s in raw[1:-1]:
-        if all(" " <= ch <= "\x7e" for ch in s) and pts[-1] < s < raw[-1]:
-            pts.append(s)
-    pts.append(raw[-1])
+        if all(" " <= ch <= "\x7e" for ch in s) and (not interior or interior[-1] < s):
+            interior.append(s)
     preds = []
-    if len(pts) == 2:
-        preds.append(
-            f"{split_pk} >= {_sql_quote(pts[0])} AND {split_pk} <= {_sql_quote(pts[1])}"
-        )
+    if not interior:
+        preds.append(f"{split_pk} IS NOT NULL")
     else:
-        for i in range(len(pts) - 2):
+        preds.append(f"{split_pk} < {_sql_quote(interior[0])}")
+        for lo, hi in zip(interior, interior[1:]):
             preds.append(
-                f"{split_pk} >= {_sql_quote(pts[i])} AND {split_pk} < {_sql_quote(pts[i + 1])}"
+                f"{split_pk} >= {_sql_quote(lo)} AND {split_pk} < {_sql_quote(hi)}"
             )
-        preds.append(
-            f"{split_pk} >= {_sql_quote(pts[-2])} AND {split_pk} <= {_sql_quote(pts[-1])}"
-        )
+        preds.append(f"{split_pk} >= {_sql_quote(interior[-1])}")
     if include_null_bucket:
         preds.append(f"{split_pk} IS NULL")
     return preds
@@ -187,6 +191,7 @@ def quantile_split_points(
     split_pk: str,
     num_splits: int,
     relative_error: float = 0.001,
+    exact_max_rows: int = 10_000_000,
 ) -> list:
     """Equal-height split points from the OBSERVED key distribution —
     the reference's Oracle SAMPLE-based split estimation
@@ -200,7 +205,11 @@ def quantile_split_points(
     ``relative_error == 0``: exact rank points via a window over the
     single PK column (value at rank ``i*n//num_splits``) — used by the
     oracle-checked contract query because the sketch's outputs are
-    implementation-defined. Both return at most ``num_splits - 1``
+    implementation-defined. The global window is a SINGLE-PARTITION
+    sort, so this mode is guarded by ``exact_max_rows`` (same fail-loud
+    pattern as the O(n²) dedup baselines): past the ceiling it raises
+    instead of silently serializing a big table onto one core — use the
+    default GK-sketch mode there. Both return at most ``num_splits - 1``
     interior points (duplicates collapsed under heavy skew).
     """
     if num_splits < 2:
@@ -209,6 +218,13 @@ def quantile_split_points(
         from pyspark.sql.window import Window
 
         n = df.count()
+        if n > exact_max_rows:
+            raise ValueError(
+                f"quantile_split_points(relative_error=0) is a global "
+                f"single-partition sort; {n} rows exceed exact_max_rows="
+                f"{exact_max_rows}. Use relative_error > 0 (GK sketch) "
+                f"at this scale."
+            )
         ranks = sorted({i * n // num_splits for i in range(1, num_splits)} - {0})
         w = Window.orderBy(split_pk)
         rows = (
@@ -217,7 +233,10 @@ def quantile_split_points(
             .filter(F.col("__rn").isin(ranks))
             .collect()
         )  # bounded: < num_splits rows
-        pts = [r[0] for r in rows]
+        # collect() after a filter does NOT guarantee window order —
+        # sort explicitly; quantile_split_predicates assumes an
+        # ascending chain (overlapping/lossy ranges otherwise)
+        pts = sorted(r[0] for r in rows)
     else:
         qs = [i / num_splits for i in range(1, num_splits)]
         pts = df.stat.approxQuantile(split_pk, qs, relative_error)
@@ -506,12 +525,18 @@ def cast_with_quarantine(
 def check_error_limit(
     n_dirty: int, n_total: int, record_limit: int | None, pct_limit: float | None
 ) -> None:
-    """Job-level dirty-data limits: record limit has priority over the
-    percentage limit (``ErrorRecordChecker.java:18-82``)."""
-    if record_limit is not None and n_dirty > record_limit:
-        raise RuntimeError(
-            f"dirty-data record limit exceeded: {n_dirty} > {record_limit}"
-        )
+    """Job-level dirty-data limits (``ErrorRecordChecker.java:18-82``):
+    configuring the record limit DISABLES the percentage limit (the
+    reference's constructor nulls percentageLimit when recordLimit is
+    set), and the percentage must lie in [0.0, 1.0]."""
+    if pct_limit is not None and not (0.0 <= pct_limit <= 1.0):
+        raise ValueError(f"percentage limit must be within [0.0, 1.0], got {pct_limit}")
+    if record_limit is not None:
+        if n_dirty > record_limit:
+            raise RuntimeError(
+                f"dirty-data record limit exceeded: {n_dirty} > {record_limit}"
+            )
+        return
     if pct_limit is not None and n_total > 0 and (n_dirty / n_total) > pct_limit:
         raise RuntimeError(
             f"dirty-data percentage limit exceeded: {n_dirty / n_total:.4f} > {pct_limit}"

@@ -160,6 +160,17 @@ def test_jdbcwriter_presql_modes_postsql(spark, tmp_path):
     with pytest.raises(Exception):
         read("people_dx_stage").collect()
 
+    # a batch carrying DUPLICATE conflict keys lands one row per key
+    # (row-wise last-wins like REPLACE INTO; deterministic winner = max
+    # over non-key columns) instead of inserting both staged duplicates
+    df3 = spark.createDataFrame(
+        [(4, "x"), (4, "y"), (1, "a2")], "id bigint, v string"
+    )
+    write_sink(df3, "jdbcwriter", {**base, "writeMode": "replace", "keys": ["id"]})
+    assert sorted((r["id"], r["v"]) for r in read("people").collect()) == [
+        (1, "a2"), (2, "B"), (3, "c"), (4, "y"),
+    ]
+
     # writeMode=update without keys is a config error
     with pytest.raises(ValueError, match="keys"):
         write_sink(df2, "jdbcwriter", {**base, "writeMode": "update"})
@@ -277,20 +288,45 @@ def test_string_split_predicates_shape():
     preds = string_split_predicates("c_name", "Customer#000000001",
                                     "Customer#000001500", 4)
     # interior points carrying control chars are dropped (SQL-literal
-    # safety), merging slices — but the chain always partitions:
-    # left-closed start, closed end, NULL bucket last
+    # safety), merging slices — but the chain always partitions. The
+    # first/last slices are UNBOUNDED (bounds shape only the interior
+    # points) so stale configured bounds can never silently drop rows
+    # — same shape as Spark's numeric partitionColumn edges and
+    # quantile_split_predicates; NULL bucket last.
     assert 2 <= len(preds) <= 5
-    assert preds[0].startswith("c_name >= 'Customer#000000001' AND c_name < ")
-    assert preds[-2].endswith("AND c_name <= 'Customer#000001500'")
+    assert preds[0].startswith("c_name < '")
+    assert preds[-2].startswith("c_name >= '")
+    assert " AND " not in preds[0] and " AND " not in preds[-2]
     assert preds[-1] == "c_name IS NULL"
     for pred in preds[:-1]:
         assert all(" " <= ch <= "\x7e" for ch in pred)
-    # single-point range: one closed predicate (wrapRange 2-point branch)
+    # single-point range: no interior points -> one unbounded slice
     single = string_split_predicates("k", "abc", "abc", 4, include_null_bucket=False)
-    assert single == ["k >= 'abc' AND k <= 'abc'"]
-    # quote escaping
-    q = string_split_predicates("k", "a'b", "a'z", 1, include_null_bucket=False)
-    assert "''" in q[0]
+    assert single == ["k IS NOT NULL"]
+    # quote escaping (interior midpoint of a'b..a'z keeps the quote)
+    q = string_split_predicates("k", "a'b", "a'z", 2, include_null_bucket=False)
+    assert any("''" in s for s in q)
+
+
+def test_string_split_keeps_out_of_bounds_rows(spark):
+    """Keys OUTSIDE the configured [lower, upper] bounds land in the
+    unbounded edge slices instead of being silently dropped (the
+    numeric splitPk path has always behaved this way via Spark's
+    partitionColumn; string predicates must match)."""
+    import duckdb
+
+    from datax_spark.sources.readers import string_split_predicates
+
+    keys = ["aaa", "bbb", "mmm", "yyy", "zzz"]
+    preds = string_split_predicates("k", "ccc", "xxx", 4)  # stale narrow bounds
+    con = duckdb.connect()
+    con.execute("CREATE TABLE t (k VARCHAR)")
+    con.executemany("INSERT INTO t VALUES (?)", [(k,) for k in keys])
+    matches = [
+        con.execute(f"SELECT count(*) FROM t WHERE {p}").fetchone()[0]
+        for p in preds
+    ]
+    assert sum(matches) == len(keys)  # aaa/zzz kept despite the bounds
 
 
 def test_string_split_partitions_cover_all_rows(spark):
@@ -376,6 +412,14 @@ def test_quantile_split_predicates(spark):
     # exact mode returns sorted, deduped interior points
     pts = quantile_split_points(orders, "o_totalprice", 8, relative_error=0)
     assert pts == sorted(pts) and len(pts) == len(set(pts)) <= 7
+    # exact mode is a single-partition global sort — guarded by a
+    # row-count ceiling (fail loud, like the O(n^2) dedup baselines)
+    import pytest
+
+    with pytest.raises(ValueError, match="exact_max_rows"):
+        quantile_split_points(
+            orders, "o_totalprice", 8, relative_error=0, exact_max_rows=10
+        )
 
 
 def test_hivereader_sql(spark):

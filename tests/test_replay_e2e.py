@@ -170,23 +170,32 @@ def test_dirty_data_quarantine_and_limit(spark, tmp_path):
     assert eng2.table().last_epoch == -1  # nothing committed
 
     # percentage limit (errorLimit.percentage, ErrorRecordChecker.java:
-    # 52-64): 7/2007 ≈ 0.35% of epoch 0 trips a 0.1% pct limit even
-    # though the record limit (100) is NOT exceeded — and the record
-    # limit is checked first, so a generous pct with a tight record
-    # limit still reports the record-limit error.
+    # 52-64): alone, 7/2007 ≈ 0.35% of epoch 0 trips a 0.1% pct limit.
     eng3 = ReplayEngine(spark, str(tmp_path / "events"), str(tmp_path / "table3"),
                         str(tmp_path / "metrics3"),
-                        ReplayConfig(num_buckets=4, dirty_record_limit=100,
-                                     dirty_pct_limit=0.001))
+                        ReplayConfig(num_buckets=4, dirty_pct_limit=0.001))
     with pytest.raises(DirtyDataError, match="percentage limit"):
         eng3.run()
     assert eng3.table().last_epoch == -1
+    # reference parity (ErrorRecordChecker.java:18-45): configuring the
+    # RECORD limit nulls the percentage limit — a record limit of 100
+    # with the same 0.1% pct limit now ACCEPTS the epoch (7 <= 100).
     eng4 = ReplayEngine(spark, str(tmp_path / "events"), str(tmp_path / "table4"),
                         str(tmp_path / "metrics4"),
+                        ReplayConfig(num_buckets=4, dirty_record_limit=100,
+                                     dirty_pct_limit=0.001))
+    assert not any(r.skipped for r in eng4.run())
+    assert eng4.table().last_epoch == 1
+    # and when the record limit itself trips, its error is reported
+    eng5 = ReplayEngine(spark, str(tmp_path / "events"), str(tmp_path / "table5"),
+                        str(tmp_path / "metrics5"),
                         ReplayConfig(num_buckets=4, dirty_record_limit=3,
                                      dirty_pct_limit=0.99))
     with pytest.raises(DirtyDataError, match="record"):
-        eng4.run()
+        eng5.run()
+    # pct outside [0, 1] is rejected up front (ErrorRecordChecker.java:34-38)
+    with pytest.raises(ValueError, match="dirty_pct_limit"):
+        ReplayConfig(dirty_pct_limit=1.5)
 
 
 def test_replay_oracle_equality_300k(spark, tmp_path):
