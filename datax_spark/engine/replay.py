@@ -84,6 +84,12 @@ class ReplayConfig:
     # they are quarantined under <metrics_root>/../quarantine/epoch=N,
     # counted in EpochResult.n_dirty, and the epoch FAILS (before any
     # table write) when count > dirty_record_limit (None = unlimited).
+    # Merge physical strategy: "shuffle" (anti-join + re-bucketed CoW
+    # write; Catalyst/AQE own skew) or "spj" (storage-partitioned
+    # merge: only the epoch batch shuffles, each bucket task reads its
+    # own current files directly — no Exchange that scales with TABLE
+    # size; see lake.merge._spj_merge_write for the trade-offs).
+    merge_strategy: str = "shuffle"
     dirty_record_limit: int | None = None
     # Percentage limit (errorLimit.percentage): the epoch fails when
     # n_dirty / n_total exceeds this fraction, checked per epoch (the
@@ -336,7 +342,13 @@ class ReplayEngine:
                 op_col=cfg.op_col,
                 delete_op=cfg.delete_op,
                 affected_buckets=sorted(key_counts),
-                update_keys=stats_df,  # cached keys: transforms run once
+                # shuffle plan consumes the update frame twice (anti-join
+                # keys + upsert projection): feed the anti-join from the
+                # cached pre-transform frame so transforms run once. The
+                # spj plan consumes it exactly once (inside the per-
+                # bucket Arrow merge) and needs no such hint.
+                update_keys=stats_df if cfg.merge_strategy == "shuffle" else None,
+                strategy=cfg.merge_strategy,
             )
             ph["merge_write"] = (time.monotonic() - tp) * 1000
             if "after_write" in failpoints:

@@ -93,6 +93,7 @@ def merge_into(
     order_cols: list[str] | None = None,
     affected_buckets: list[int] | None = None,
     update_keys: DataFrame | None = None,
+    strategy: str = "shuffle",
 ) -> PendingMerge:
     """Write phase of MERGE. ``updates`` must be deduplicated (one row
     per key — run ``operators.lww_dedup`` first) and contain the key
@@ -105,6 +106,19 @@ def merge_into(
     re-delivered or out-of-order micro-batches unable to regress a key
     (used by the streaming sink; the in-order batch engine skips it
     because its epoch watermark already enforces order).
+
+    ``strategy`` picks the physical plan:
+
+    * ``"shuffle"`` (default): anti-join + union, both sides exchange
+      on the key columns — Catalyst/AQE owns skew and memory.
+    * ``"spj"``: storage-partitioned merge — the analog of Spark's
+      storage-partitioned joins (SPARK-37375) for this table format.
+      The table is ALREADY bucket-hashed on the keys, so only the
+      (small) update side shuffles, grouped by bucket; each bucket's
+      task then reads its own current data files directly and merges
+      in Arrow — the current side never enters an Exchange and is
+      never re-written through a second shuffle. See
+      ``_spj_merge_write`` for the memory model and crash-safety.
     """
     if update_keys is not None and order_cols:
         # update_keys supplies the anti-join key set from the
@@ -134,6 +148,18 @@ def merge_into(
         affected = sorted(
             r["__b"] for r in upd.select("__b").distinct().collect()
         )  # at most num_buckets ints — tiny driver collect
+
+    if strategy == "spj":
+        if order_cols:
+            raise ValueError(
+                "strategy='spj' does not implement the order guard; "
+                "use the shuffle plan for out-of-order streams"
+            )
+        return _spj_merge_write(
+            table, upd, op_col, delete_op, affected, evolved
+        )
+    if strategy != "shuffle":
+        raise ValueError(f"unknown merge strategy: {strategy}")
 
     current = union_by_name(table.read(buckets=affected), evolved)
 
@@ -194,6 +220,173 @@ def merge_into(
         rows_before=rows_before,
         rows_after=sum(new_counts.values()),
         files_written=sum(len(v) for v in new_files.values()),
+        bucket_rows_after=dict(new_counts),
+    )
+    return PendingMerge(
+        table=table,
+        base_version=m.version,
+        replaced_buckets=affected,
+        new_files=new_files,
+        new_row_counts=new_counts,
+        schema=evolved,
+        stats=stats,
+    )
+
+
+def _conform_arrow(t, schema):
+    """Project an Arrow table onto ``schema``: present columns cast,
+    absent columns (pre-evolution files) null-filled."""
+    import pyarrow as pa
+
+    arrays = []
+    for f in schema:
+        if f.name in t.column_names:
+            arrays.append(t.column(f.name).cast(f.type))
+        else:
+            arrays.append(pa.nulls(t.num_rows, type=f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def spj_merge_frame(
+    table: LakeTable,
+    upd: DataFrame,
+    op_col: str,
+    delete_op: str,
+    evolved: T.StructType,
+    txn: str,
+) -> DataFrame:
+    """Storage-partitioned merge write phase (no Exchange on the
+    current side).
+
+    Physical shape — the ``zipPartitions`` the bucket layout earns:
+    the updates frame (already carrying ``__b``) is grouped by bucket
+    via ``applyInPandas`` — ONE exchange, of the small epoch batch
+    only. Each bucket's task then opens its own current data files
+    straight from the snapshot manifest (an executor-side Arrow scan;
+    the files of bucket b hold exactly the keys that hash to b, which
+    is the same co-location guarantee Spark's storage-partitioned
+    joins (SPARK-37375) exploit on Iceberg bucket tables), filters out
+    keys the batch replaces, and streams survivors + sorted upserts
+    into one new parquet file per bucket.
+
+    Versus the shuffle plan, per epoch this saves (a) the exchange of
+    the rewritten table rows (the CoW write's ``repartition(__b)``)
+    and (b) the exchange of the current side into the anti-join — the
+    two terms that grow with TABLE size rather than batch size.
+
+    Memory model: one task holds one bucket's update batch (pandas)
+    plus ONE current data file's row group at a time (Arrow streaming
+    write) — bounded by ``num_buckets``, the same dial as the CoW
+    blast radius. Crash-safety: files land under a fresh txn dir via
+    write-to-tmp + atomic rename (task retries are idempotent:
+    deterministic final name, last rename wins); nothing is visible
+    until the manifest swap, exactly like the shuffle path.
+    """
+    import pandas as pd
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    m = table.manifest()
+    keys = list(m.key_cols)
+    root = table.root
+    bucket_files = {
+        int(b): [os.path.join(root, p) for p in fs] for b, fs in m.files.items()
+    }
+    evolved_pa = to_arrow_schema(evolved)
+    out_cols = [f.name for f in evolved.fields]
+
+    def merge_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        import uuid as _uuid
+
+        import pyarrow as _pa
+        import pyarrow.compute as _pc
+        import pyarrow.parquet as _pq
+
+        b = int(pdf["__b"].iloc[0])
+        sep = "\x00"
+
+        def composite(tbl):
+            # one kernel for BOTH sides: pandas elementwise concat is
+            # numpy-str_-backed and silently strips NUL bytes, so the
+            # batch keys are converted to Arrow and joined with the
+            # same binary_join as the file side — symmetric by
+            # construction, any key type
+            kc = None
+            for k in keys:
+                s = _pc.cast(tbl.column(k), _pa.string())
+                kc = s if kc is None else _pc.binary_join_element_wise(kc, s, sep)
+            return kc
+
+        evicted = _pc.unique(
+            composite(_pa.Table.from_pandas(pdf[keys], preserve_index=False))
+        )
+
+        final = _os.path.join(txn, f"b{b:05d}.parquet")
+        tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
+        writer = None
+        rows = 0
+        try:
+            for f in bucket_files.get(b, ()):
+                t = _pq.read_table(f)
+                if not t.num_rows:
+                    continue
+                surv = t.filter(
+                    _pc.invert(_pc.is_in(composite(t), value_set=evicted))
+                )
+                if surv.num_rows:
+                    surv = _conform_arrow(surv, evolved_pa)
+                    writer = writer or _pq.ParquetWriter(tmp, evolved_pa)
+                    writer.write_table(surv)
+                    rows += surv.num_rows
+            ups = pdf[pdf[op_col] != delete_op].sort_values(keys)
+            if len(ups):
+                for c in out_cols:
+                    if c not in ups.columns:
+                        ups[c] = None
+                ut = _pa.Table.from_pandas(
+                    ups[out_cols], schema=evolved_pa, preserve_index=False
+                )
+                writer = writer or _pq.ParquetWriter(tmp, evolved_pa)
+                writer.write_table(ut)
+                rows += ut.num_rows
+        finally:
+            if writer is not None:
+                writer.close()
+        if rows:
+            _os.rename(tmp, final)
+            return pd.DataFrame([{"bucket": b, "rows": rows, "file": final}])
+        if _os.path.exists(tmp):
+            _os.remove(tmp)
+        return pd.DataFrame([{"bucket": b, "rows": 0, "file": None}])
+
+    return upd.groupBy("__b").applyInPandas(
+        merge_bucket, schema="bucket int, rows long, file string"
+    )
+
+
+def _spj_merge_write(
+    table: LakeTable,
+    upd: DataFrame,
+    op_col: str,
+    delete_op: str,
+    affected: list[int],
+    evolved: T.StructType,
+) -> PendingMerge:
+    m = table.manifest()
+    txn = table.new_txn_dir()
+    res = spj_merge_frame(
+        table, upd, op_col, delete_op, evolved, txn
+    ).collect()  # bounded: one row per affected bucket
+
+    new_files = {int(r["bucket"]): [r["file"]] for r in res if r["rows"]}
+    new_counts = {int(r["bucket"]): int(r["rows"]) for r in res if r["rows"]}
+    rows_before = sum(m.row_counts.get(str(b), 0) for b in affected)
+    stats = MergeStats(
+        affected_buckets=affected,
+        rows_before=rows_before,
+        rows_after=sum(new_counts.values()),
+        files_written=len(new_files),
         bucket_rows_after=dict(new_counts),
     )
     return PendingMerge(

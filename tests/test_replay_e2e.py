@@ -108,6 +108,78 @@ def test_resume_and_ordering(spark, events_root, tmp_path):
         fresh.apply_epoch(3)  # gap => out-of-order rejected
 
 
+def test_spj_merge_matches_oracle_and_shuffle(spark, events_root, expected, tmp_path):
+    """Storage-partitioned merge (merge_strategy='spj'): same final
+    state as the oracle AND as the shuffle plan, through schema
+    evolution, Arrow transforms, crash-replay and vacuum — with no
+    Exchange of the current table side (it never enters a Spark plan;
+    each bucket task reads its own files)."""
+    from datax_spark.functions.content import sha256_hex, token_count_bpeish
+
+    def transforms(df):
+        if "content" not in df.columns:
+            return df
+        return df.withColumn("content_sha256", sha256_hex("content")).withColumn(
+            "n_tokens", token_count_bpeish("content")
+        )
+
+    def mk(name, strategy):
+        return ReplayEngine(
+            spark,
+            events_root,
+            str(tmp_path / f"table_{name}"),
+            str(tmp_path / f"metrics_{name}"),
+            ReplayConfig(
+                num_buckets=16, merge_strategy=strategy, transforms=(transforms,)
+            ),
+        )
+
+    spj = mk("spj", "spj")
+    spj.run(through_epoch=1)
+    with pytest.raises(ReplayCrash):
+        spj.apply_epoch(2, failpoints=["after_write"])
+    spj.run()  # converge from checkpoint
+    _assert_match(spj, expected)
+    spj.table().vacuum()
+    _assert_match(spj, expected)
+
+    shuf = mk("shuf", "shuffle")
+    shuf.run()
+    # identical state AND identical per-bucket row counts across plans
+    a, b = spj.table().manifest(), shuf.table().manifest()
+    assert a.row_counts == b.row_counts
+    got = (
+        spj.table().read().select("repo", "path", "content_sha256", "n_tokens")
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    want = (
+        shuf.table().read().select("repo", "path", "content_sha256", "n_tokens")
+        .toPandas().sort_values(["repo", "path"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+    # derived transform columns match the raw content on the spj path
+    chk = spj.table().read().filter(
+        F.sha2("content", 256) != F.col("content_sha256")
+    )
+    assert chk.count() == 0
+
+
+def test_spj_rejects_order_guard(spark, events_root, tmp_path):
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+
+    eng = ReplayEngine(
+        spark, events_root, str(tmp_path / "t"), str(tmp_path / "m"),
+        ReplayConfig(num_buckets=4, merge_strategy="spj"),
+    )
+    eng.run(through_epoch=0)
+    upd = eng.table().read().withColumn("op", F.lit("U")).limit(10)
+    with pytest.raises(ValueError, match="order guard"):
+        merge_into(
+            eng.table(), upd, order_cols=["commit", "lsn"], strategy="spj"
+        )
+
+
 def test_intermediate_epoch_matches_oracle(spark, events_root, tmp_path):
     eng = _engine(spark, events_root, tmp_path, "mid")
     eng.run(through_epoch=1)

@@ -139,6 +139,69 @@ def main() -> None:
         ["FullOuter", "xxhash64", "!CartesianProduct", "!BroadcastNestedLoopJoin"],
     ))
 
+    # 7. Storage-partitioned merge: exactly ONE Exchange (the epoch
+    # batch, grouped by bucket); the current table side never appears
+    # as a Spark scan at all — each bucket task reads its own files
+    from datax_spark.lake.merge import spj_merge_frame
+    from datax_spark.operators.schema_evolution import evolve_schema
+
+    sroot = tempfile.mkdtemp(prefix="dump_plans_spj_")
+    st = LakeTable.create(
+        spark, sroot,
+        schema=spark.createDataFrame([], "k string, v long").schema,
+        key_cols=["k"], num_buckets=4,
+    )
+    merge_into(st, spark.createDataFrame([("a", 1, "U")], "k string, v long, op string")).commit()
+    upd2 = spark.createDataFrame([("a", 2, "U"), ("b", 3, "U")], "k string, v long, op string")
+    upd2 = upd2.withColumn("__b", st.bucket_expr())
+    spj = spj_merge_frame(
+        st, upd2, "op", "D", evolve_schema(st.manifest().schema, upd2.drop("op", "__b").schema),
+        st.new_txn_dir(),
+    )
+    import re
+
+    spj_plan = plan_of(spj)
+    # formatted explain prints each node twice (tree + detail); count
+    # the detail headers, one per physical Exchange
+    n_exchanges = len(re.findall(r"\(\d+\) Exchange", spj_plan))
+    sections.append((
+        "Storage-partitioned merge (lake.merge.spj_merge_frame)",
+        "The CoW merge without the two table-sized exchanges: the only "
+        f"Exchange in the plan (counted: {n_exchanges}, asserted == 1) is "
+        "the epoch batch hashing to its buckets for FlatMapGroupsInPandas; "
+        "the current snapshot is read executor-side by each bucket's task "
+        "(Arrow scan of exactly its co-located files — the same guarantee "
+        "Spark's storage-partitioned joins exploit on bucket tables), so "
+        "no plan node scales with TABLE size, only with batch size. "
+        "Measured vs the shuffle plan at 16M events / 128 buckets / "
+        "local[32]: 323k ev/s vs 278k ev/s (1.16x), byte-identical final "
+        "state (tools/scale_check.py ... spj).",
+        spj_plan,
+        ["FlatMapGroupsInPandas", "__b"],
+    ))
+    if n_exchanges != 1:
+        sections.append((
+            "SPJ exchange-count REGRESSION",
+            f"expected exactly 1 Exchange, found {n_exchanges}",
+            spj_plan, ["__NEVER__"],
+        ))
+
+    # 8. Exact dedup: the shuffle key must be the 32-byte sha2, never
+    # the raw document text
+    from datax_spark.functions.dedup_text import exact_dedup
+
+    docs2 = spark.read.parquet(f"{SF}/documents.parquet")
+    ed = exact_dedup(docs2, "text", "doc_id")
+    sections.append((
+        "Exact dedup (functions.dedup_text.exact_dedup)",
+        "The aggregation (and therefore the exchange) keys on "
+        "sha2(text, 256) — 32 bytes/row through the shuffle regardless "
+        "of document length; the raw text column is pruned before the "
+        "exchange (ReadSchema keeps it only to feed the hash).",
+        plan_of(ed),
+        ["sha2(cast(text", "hashpartitioning(_groupingexpression"],
+    ))
+
     out = ["# Physical plans of the core operators\n",
            "Generated by `python tools/dump_plans.py` — the quoted plan\n"
            "properties are asserted, so regressions fail the script.\n"]

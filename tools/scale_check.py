@@ -9,7 +9,7 @@ the raw parquet in seconds even at 10^7+ events, so the engine's
 bucketed CoW merge, schema evolution and exactly-once commits can be
 value-checked at sizes the pandas oracle cannot reach.
 
-Usage: python tools/scale_check.py [n_events] [epochs] [cpus]
+Usage: python tools/scale_check.py [n_events] [epochs] [cpus] [merge_strategy]
 Prints one JSON line with throughput + verification result.
 """
 
@@ -29,6 +29,7 @@ def main() -> None:
     n_events = int(sys.argv[1]) if len(sys.argv) > 1 else 16_000_000
     n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    merge_strategy = sys.argv[4] if len(sys.argv) > 4 else "shuffle"
 
     import duckdb
 
@@ -63,7 +64,7 @@ def main() -> None:
             events_root=os.path.join(root, "events"),
             table_root=os.path.join(root, "table"),
             metrics_root=os.path.join(root, "metrics"),
-            config=ReplayConfig(num_buckets=128),
+            config=ReplayConfig(num_buckets=128, merge_strategy=merge_strategy),
         )
         t0 = time.monotonic()
         eng.run()
@@ -113,6 +114,7 @@ def main() -> None:
                     "n_events": n_events,
                     "n_epochs": n_epochs,
                     "cpus": cpus,
+                    "merge_strategy": merge_strategy,
                     "replay_sec": round(replay_sec, 2),
                     "events_per_sec": round(n_events / replay_sec, 1),
                     "final_rows": int(len(got)),
