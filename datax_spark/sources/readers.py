@@ -404,6 +404,22 @@ def _read_jdbc(spark: SparkSession, p: dict) -> DataFrame:
     return functools.reduce(DataFrame.unionByName, [one(t) for t in tables])
 
 
+def kafka_value_projection(raw: DataFrame, columns: list[str]) -> DataFrame:
+    """Project a kafka-shaped frame's ``value`` payload onto the
+    configured column list — the reference's per-record JSON decode
+    (``KafkaReader.java:184-216``: parse value, emit the ``column``
+    fields in order, null for absent keys) as one ``from_json``
+    projection. Works identically on the batch/stream kafka source and
+    on any frame carrying a ``value`` column (binary or string), which
+    is how it is tested without a broker: a file-backed ``readStream``
+    supplies the same contract.
+    """
+    schema = T.StructType([T.StructField(c, T.StringType()) for c in columns])
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), schema).alias("j")
+    ).select(*[F.col(f"j.{c}").alias(c) for c in columns])
+
+
 def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
     """Dispatch a reader-plugin config to a Spark scan."""
     p = dict(parameter)
@@ -455,9 +471,11 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
         )
     elif name == "kafkareader":
         # KafkaReader.java:77-85 splits one task per partition; Spark's
-        # kafka source does the same. JSON values project onto the
-        # configured column list (KafkaReader.java:184-216). Untested
-        # here (no broker in this environment) but complete.
+        # kafka source does the same. The value projection is factored
+        # out (kafka_value_projection) and exercised by a file-backed
+        # readStream carrying the same `value` column contract
+        # (tests/test_streaming.py); only the broker transport itself
+        # is unexecutable in this environment.
         raw = (
             spark.read.format("kafka")
             .option("kafka.bootstrap.servers", p["bootstrapServers"])
@@ -465,11 +483,7 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
             .option("startingOffsets", p.get("startingOffsets", "earliest"))
             .load()
         )
-        cols = p.get("column") or []
-        schema = T.StructType([T.StructField(c, T.StringType()) for c in cols])
-        df = raw.select(
-            F.from_json(F.col("value").cast("string"), schema).alias("j")
-        ).select(*[F.col(f"j.{c}").alias(c) for c in cols])
+        df = kafka_value_projection(raw, p.get("column") or [])
         columns = None
     elif name == "streamreader":
         # synthetic generator (StreamReader.java:94-166 analog):

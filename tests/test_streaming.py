@@ -310,3 +310,55 @@ def test_stream_restart_with_schema_evolution(spark, tmp_path):
     # keys whose winner predates the evolution carry NULL lang_variant
     assert got["lang_variant"].isna().any()
     assert got["lang_variant"].notna().any()
+
+
+def test_kafka_value_projection_streaming(spark, tmp_path):
+    """The kafkareader value projection (KafkaReader.java:184-216
+    semantics: JSON value -> configured columns, null for absent keys,
+    garbage -> all-null row) driven WITHOUT a broker: a file-backed
+    readStream supplies the identical `value`-column contract the
+    kafka source emits, availableNow drains it through the same
+    from_json projection."""
+    import json
+    import os
+
+    from datax_spark.sources.readers import kafka_value_projection
+
+    msgs = [
+        {"repo": "r1", "path": "a.py", "lang": "python"},
+        {"repo": "r2", "path": "b.go"},  # absent key -> null column
+        {"repo": "r3", "path": "c.rs", "lang": "rust", "extra": "ignored"},
+    ]
+    src = tmp_path / "kafka_values"
+    os.makedirs(src)
+    (src / "part-0.txt").write_text("\n".join(json.dumps(m) for m in msgs))
+    (src / "part-1.txt").write_text('not-json at all\n')
+
+    raw = spark.readStream.text(str(src))  # column `value`, like kafka
+    proj = kafka_value_projection(raw, ["repo", "path", "lang"])
+    q = (
+        proj.writeStream.format("memory")
+        .queryName("kafka_proj")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(60)
+    got = sorted(
+        ((r["repo"], r["path"], r["lang"]) for r in spark.sql(
+            "SELECT * FROM kafka_proj").collect()),
+        key=lambda t: (t[0] is None, t),
+    )
+    assert got == [
+        ("r1", "a.py", "python"),
+        ("r2", "b.go", None),
+        ("r3", "c.rs", "rust"),
+        (None, None, None),  # undecodable value -> all-null row
+    ]
+    # batch path: identical projection over a static frame
+    static = kafka_value_projection(
+        spark.createDataFrame([(json.dumps(msgs[0]).encode(),)], "value binary"),
+        ["repo", "path", "lang"],
+    ).collect()
+    assert [(r["repo"], r["path"], r["lang"]) for r in static] == [
+        ("r1", "a.py", "python")
+    ]
