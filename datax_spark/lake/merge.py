@@ -63,6 +63,9 @@ class PendingMerge:
     """Data files are written (phase 1); ``commit`` swaps the snapshot
     pointer (phase 2). A crash between the phases leaves only orphan
     files — the table state is unchanged and the epoch replays cleanly.
+
+    ``bucket_stats`` is populated by the fused spj path: per-bucket
+    lineage aggregates computed inside the merge tasks themselves.
     """
 
     table: LakeTable
@@ -72,6 +75,7 @@ class PendingMerge:
     new_row_counts: dict[int, int]
     schema: T.StructType
     stats: MergeStats
+    bucket_stats: dict[int, dict] | None = None
 
     def commit(self, summary: dict | None = None) -> int:
         return self.table.commit(
@@ -94,6 +98,7 @@ def merge_into(
     affected_buckets: list[int] | None = None,
     update_keys: DataFrame | None = None,
     strategy: str = "shuffle",
+    stat_cols: tuple[str, ...] | None = None,
 ) -> PendingMerge:
     """Write phase of MERGE. ``updates`` must be deduplicated (one row
     per key — run ``operators.lww_dedup`` first) and contain the key
@@ -132,22 +137,17 @@ def merge_into(
             "anti-join key set would include keys whose update the "
             "order guard rejects"
         )
+    if stat_cols and strategy != "spj":
+        raise ValueError("stat_cols (fused lineage) requires strategy='spj'")
     m = table.manifest()
     keys = m.key_cols
     nb = m.num_buckets
 
-    incoming = updates.drop(op_col).schema
+    incoming = updates.drop(op_col, *(stat_cols or ())).schema
     evolved = evolve_schema(m.schema, incoming)
 
     bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nb)).cast("int")
     upd = updates.withColumn("__b", bucket)
-
-    if affected_buckets is not None:
-        affected = sorted(affected_buckets)  # caller already knows (saves a job)
-    else:
-        affected = sorted(
-            r["__b"] for r in upd.select("__b").distinct().collect()
-        )  # at most num_buckets ints — tiny driver collect
 
     if strategy == "spj":
         if order_cols:
@@ -155,11 +155,20 @@ def merge_into(
                 "strategy='spj' does not implement the order guard; "
                 "use the shuffle plan for out-of-order streams"
             )
+        # affected buckets come back with the merge result itself (one
+        # stats row per bucket group) — no pre-pass needed
         return _spj_merge_write(
-            table, upd, op_col, delete_op, affected, evolved
+            table, upd, op_col, delete_op, evolved, stat_cols=stat_cols
         )
     if strategy != "shuffle":
         raise ValueError(f"unknown merge strategy: {strategy}")
+
+    if affected_buckets is not None:
+        affected = sorted(affected_buckets)  # caller already knows (saves a job)
+    else:
+        affected = sorted(
+            r["__b"] for r in upd.select("__b").distinct().collect()
+        )  # at most num_buckets ints — tiny driver collect
 
     current = union_by_name(table.read(buckets=affected), evolved)
 
@@ -247,6 +256,12 @@ def _conform_arrow(t, schema):
     return pa.Table.from_arrays(arrays, schema=schema)
 
 
+SPJ_STATS_SCHEMA = (
+    "bucket int, rows long, file string, n_keys long, n_events long, "
+    "n_deletes long, min_lsn long, max_lsn long, bytes_in long"
+)
+
+
 def spj_merge_frame(
     table: LakeTable,
     upd: DataFrame,
@@ -254,6 +269,7 @@ def spj_merge_frame(
     delete_op: str,
     evolved: T.StructType,
     txn: str,
+    stat_cols: tuple[str, ...] | None = None,
 ) -> DataFrame:
     """Storage-partitioned merge write phase (no Exchange on the
     current side).
@@ -281,6 +297,14 @@ def spj_merge_frame(
     write-to-tmp + atomic rename (task retries are idempotent:
     deterministic final name, last rename wins); nothing is visible
     until the manifest swap, exactly like the shuffle path.
+
+    ``stat_cols`` (the per-key lineage counters ``operators.dedup.
+    STAT_COLS``, in order: n_events, n_deletes, min_lsn, max_lsn,
+    bytes_in) fuses the per-BUCKET lineage aggregation into the merge
+    task itself: the whole epoch — dedup, transforms, merge, lineage —
+    becomes ONE Spark job with no intermediate persist/collect barrier
+    (previously a separate bucket-stats job cost ~1s of fixed overhead
+    per epoch on small epochs).
     """
     import pandas as pd
 
@@ -304,6 +328,20 @@ def spj_merge_frame(
         import pyarrow.parquet as _pq
 
         b = int(pdf["__b"].iloc[0])
+        if stat_cols:
+            st = {
+                "n_keys": len(pdf),
+                "n_events": int(pdf[stat_cols[0]].sum()),
+                "n_deletes": int(pdf[stat_cols[1]].sum()),
+                "min_lsn": int(pdf[stat_cols[2]].min()),
+                "max_lsn": int(pdf[stat_cols[3]].max()),
+                "bytes_in": int(pdf[stat_cols[4]].sum()),
+            }
+        else:
+            st = {
+                "n_keys": len(pdf), "n_events": 0, "n_deletes": 0,
+                "min_lsn": None, "max_lsn": None, "bytes_in": 0,
+            }
         sep = "\x00"
 
         def composite(tbl):
@@ -355,14 +393,12 @@ def spj_merge_frame(
                 writer.close()
         if rows:
             _os.rename(tmp, final)
-            return pd.DataFrame([{"bucket": b, "rows": rows, "file": final}])
+            return pd.DataFrame([{"bucket": b, "rows": rows, "file": final, **st}])
         if _os.path.exists(tmp):
             _os.remove(tmp)
-        return pd.DataFrame([{"bucket": b, "rows": 0, "file": None}])
+        return pd.DataFrame([{"bucket": b, "rows": 0, "file": None, **st}])
 
-    return upd.groupBy("__b").applyInPandas(
-        merge_bucket, schema="bucket int, rows long, file string"
-    )
+    return upd.groupBy("__b").applyInPandas(merge_bucket, schema=SPJ_STATS_SCHEMA)
 
 
 def _spj_merge_write(
@@ -370,15 +406,16 @@ def _spj_merge_write(
     upd: DataFrame,
     op_col: str,
     delete_op: str,
-    affected: list[int],
     evolved: T.StructType,
+    stat_cols: tuple[str, ...] | None = None,
 ) -> PendingMerge:
     m = table.manifest()
     txn = table.new_txn_dir()
     res = spj_merge_frame(
-        table, upd, op_col, delete_op, evolved, txn
+        table, upd, op_col, delete_op, evolved, txn, stat_cols=stat_cols
     ).collect()  # bounded: one row per affected bucket
 
+    affected = sorted(int(r["bucket"]) for r in res)
     new_files = {int(r["bucket"]): [r["file"]] for r in res if r["rows"]}
     new_counts = {int(r["bucket"]): int(r["rows"]) for r in res if r["rows"]}
     rows_before = sum(m.row_counts.get(str(b), 0) for b in affected)
@@ -397,4 +434,15 @@ def _spj_merge_write(
         new_row_counts=new_counts,
         schema=evolved,
         stats=stats,
+        bucket_stats={
+            int(r["bucket"]): {
+                "n_keys": int(r["n_keys"]),
+                "n_events": int(r["n_events"]),
+                "n_deletes": int(r["n_deletes"]),
+                "min_lsn": r["min_lsn"],
+                "max_lsn": r["max_lsn"],
+                "bytes_in": int(r["bytes_in"]),
+            }
+            for r in res
+        },
     )
