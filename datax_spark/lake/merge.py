@@ -13,24 +13,27 @@ Reference analog: the RDBMS writer's last-writer-wins upsert
 ``deleteFlag`` pre-delete path (``CommonRdbmsWriter.java:322-362``),
 executed set-wise instead of row-batch-wise.
 
-Physical plan (scale notes):
+Physical plans (scale notes) — two strategies, same verified output:
 
-* **Bucket pruning**: updates are hashed to buckets first; only
-  affected buckets' data files are read and rewritten. An epoch that
-  touches 5% of the key space costs 5% of the table in I/O, not 100%.
-* The matched/not-matched split is ONE left-anti join (survivors =
-  current rows whose key has no update) plus a union with the upsert
-  rows — no full-outer join, no window. Both sides shuffle on the
-  key columns once; AQE handles skewed key distributions
-  (``spark.sql.adaptive.skewJoin``). On a real cluster with
-  storage-partitioned joins (Spark 3.3+, SPARK-37375) the shuffle on
-  the current side disappears entirely because the table is already
-  bucket-partitioned; locally we keep the plain shuffle.
-* Output is repartitioned by bucket and sorted within partitions by
-  key before write — stable file sizes, better compression, and
-  future merges read back sorted runs.
-* Row counts per new file come from parquet footers (driver-side
-  metadata read, no extra Spark job).
+* **spj** (default for batch replay): the storage-partitioned merge.
+  The table is already bucket-hashed on its keys, so the current side
+  needs no Exchange at all — the epoch batch shuffles once (grouped
+  by bucket) and each bucket's task reads its own data files
+  executor-side, filters evicted keys with Arrow kernels, and writes
+  one new file. Optionally fuses the per-bucket lineage aggregation
+  into the same task (``stat_cols``), making a whole replay epoch one
+  Spark job. Memory per task = one bucket; ``num_buckets`` is the
+  dial. See ``spj_merge_frame``.
+* **shuffle**: bucket pruning (only affected buckets' files read and
+  rewritten: an epoch touching 5% of the key space costs 5% of the
+  table in I/O), then ONE left-anti join (survivors = current rows
+  whose key has no update) plus a union with the upsert rows — no
+  full-outer join, no window. Both sides shuffle on the key columns
+  once; AQE handles skewed key distributions and memory, which is why
+  this remains the fallback for pathological bucket sizes, and it is
+  the only plan supporting the cross-batch ``order_cols`` guard.
+  Output is repartitioned by bucket and sorted within partitions;
+  row counts come from parquet footers (driver-side metadata read).
 """
 
 from __future__ import annotations
