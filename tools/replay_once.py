@@ -107,6 +107,7 @@ def main() -> None:
 
     if mode == "replay":
         events_root, work_root, cpus = sys.argv[2], sys.argv[3], int(sys.argv[4])
+        strategy = sys.argv[5] if len(sys.argv) > 5 else "spj"
         from datax_spark.engine.replay import ReplayConfig, ReplayEngine
 
         spark = get_spark(
@@ -115,7 +116,11 @@ def main() -> None:
             shuffle_partitions=SHUFFLE_PARTITIONS,
             extra_conf=size_conf(cpus),
         )
-        cfg = ReplayConfig(num_buckets=NUM_BUCKETS, transforms=(content_transforms,))
+        cfg = ReplayConfig(
+            num_buckets=NUM_BUCKETS,
+            transforms=(content_transforms,),
+            merge_strategy=strategy,
+        )
         eng = ReplayEngine(
             spark,
             events_root=events_root,
@@ -134,6 +139,7 @@ def main() -> None:
                 {
                     "mode": "replay",
                     "cpus": cpus,
+                    "merge_strategy": strategy,
                     "events": n_events,
                     "epochs": len(results),
                     "rows_after": results[-1].rows_after if results else 0,
