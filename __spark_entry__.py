@@ -14,7 +14,9 @@ oracle-checked (round 2 eliminated all rows-only entries):
                                      cdc_lineage_metrics (engine lineage vs
                                      recount of the raw log),
                                      cdc_change_feed (snapshot-diff CDF vs
-                                     log-derived diff)
+                                     log-derived diff),
+                                     cdc_time_travel (read-at-version vs
+                                     log replay truncated at that epoch)
 * dx_* transformer parity (§2.4) ... dx_substr_pad_replace, dx_filter_null_rules,
                                      dx_json_extract, dx_encryption_roundtrip
 * split / framework ops (§2.1/2.3).. range_split_scan, string_pk_split
@@ -151,7 +153,11 @@ def _replay_run_root(spark: SparkSession, sf_dir: str) -> str:
         events_root=os.path.join(root, "events"),
         table_root=os.path.join(root, "table"),
         metrics_root=os.path.join(root, "metrics"),
-        config=ReplayConfig(num_buckets=16, salt_buckets=8),
+        # the SHIPPED default config: fused storage-partitioned merge
+        # (one Spark job per epoch). The salted two-stage dedup variant
+        # is oracle-checked separately (hot_key_salted_agg) and
+        # crash-tested in pytest (test_replay_e2e CFG salt_buckets=8).
+        config=ReplayConfig(num_buckets=16),
     )
     eng.run()
     _REPLAY_CACHE["root"] = root
@@ -170,6 +176,23 @@ def _q_cdc_replay_repo_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = LakeTable.load(spark, os.path.join(root, "table"))
     return t.read().select(
         "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot time travel (the Iceberg read-at-version surface):
+    read the replay table AS OF the snapshot committed by epoch 1
+    (version 2: create = v0, epoch k commits v = k+1) — a
+    pre-schema-evolution snapshot, so the old schema comes back
+    verbatim. Oracle: the pure-SQL LWW replay of the raw log
+    restricted to epochs <= 1."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable.load(spark, os.path.join(root, "table"))
+    return t.read(version=2).select(
+        "repo", "path", "commit", "lsn", "lang",
         F.sha2("content", 256).alias("content_sha256"),
     )
 
@@ -783,6 +806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_latest_state": _q_cdc_lww_latest_state,
         "cdc_replay_state": _q_cdc_replay_state,
         "cdc_replay_repo_table": _q_cdc_replay_repo_table,
+        "cdc_time_travel": _q_cdc_time_travel,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         "dx_substr_pad_replace": _q_dx_substr_pad_replace,
@@ -1008,6 +1032,23 @@ def oracle_sql() -> dict[str, str]:
               FROM ev
             )
             SELECT repo, path, commit, lsn, lang, lang_variant,
+                   sha256(content) AS content_sha256
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_time_travel": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true, hive_partitioning = true,
+                  hive_types = {{'epoch': BIGINT}})
+              WHERE epoch <= 1
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT repo, path, commit, lsn, lang,
                    sha256(content) AS content_sha256
             FROM w WHERE rn = 1 AND op <> 'D'
         """,
