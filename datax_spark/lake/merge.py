@@ -345,18 +345,23 @@ def spj_merge_frame(
                 "n_keys": len(pdf), "n_events": 0, "n_deletes": 0,
                 "min_lsn": None, "max_lsn": None, "bytes_in": 0,
             }
-        sep = "\x00"
 
         def composite(tbl):
-            # one kernel for BOTH sides: pandas elementwise concat is
-            # numpy-str_-backed and silently strips NUL bytes, so the
-            # batch keys are converted to Arrow and joined with the
-            # same binary_join as the file side — symmetric by
-            # construction, any key type
+            # One kernel for BOTH sides (pandas elementwise concat is
+            # numpy-str_-backed and silently strips NUL bytes): each
+            # key part is LENGTH-PREFIXED ("3:abc;2:de"), which makes
+            # the encoding injective for arbitrary key bytes — a plain
+            # separator would make ("r\x00", "a") and ("r", "\x00a")
+            # collide and evict the wrong key when both hash to one
+            # bucket. Keys must be non-null (the replay dirty gate
+            # enforces this; they are the table's primary key).
             kc = None
             for k in keys:
                 s = _pc.cast(tbl.column(k), _pa.string())
-                kc = s if kc is None else _pc.binary_join_element_wise(kc, s, sep)
+                part = _pc.binary_join_element_wise(
+                    _pc.cast(_pc.binary_length(s), _pa.string()), s, ":"
+                )
+                kc = part if kc is None else _pc.binary_join_element_wise(kc, part, ";")
             return kc
 
         evicted = _pc.unique(

@@ -330,3 +330,57 @@ def test_all_dirty_epoch_advances_watermark(spark, tmp_path):
     again = eng.run()
     assert all(r.skipped for r in again)
     assert eng.table().total_rows() == rows_epoch0
+
+
+@pytest.mark.parametrize("strategy", ["spj", "shuffle"])
+def test_adversarial_key_and_content_bytes(spark, tmp_path, strategy):
+    """Keys and content containing NUL bytes, the composite-encoding
+    metacharacters (':' ';'), emoji and empty strings replay
+    correctly under BOTH merge plans. num_buckets=1 forces every key
+    into one bucket, so the spj eviction composite is exercised on
+    the ambiguous pairs directly: ('r\\x00','a') vs ('r','\\x00a')
+    must remain DISTINCT keys (a plain NUL-separator join would
+    collide them and evict the wrong row)."""
+    import hashlib
+
+    rows = [
+        # (repo, path, op, commit, lsn, content, epoch)
+        ("r\x00", "a", "I", "c01", 1, "alpha", 0),
+        ("r", "\x00a", "I", "c01", 2, "beta", 0),
+        ("1:r", ";2", "I", "c01", 3, "with \x00 nul and émoji 🚀", 0),
+        ("k", "k", "I", "c01", 4, "", 0),               # empty content
+        ("big", "doc", "I", "c01", 5, "x" * 300_000, 0),
+        # epoch 1: update ONE of the ambiguous pair, delete another key
+        ("r\x00", "a", "U", "c02", 6, "alpha-v2", 1),
+        ("k", "k", "D", "c02", 7, None, 1),
+        ("1:r", ";2", "U", "c02", 8, "ascii now", 1),
+    ]
+    ev = spark.createDataFrame(
+        rows, "repo string, path string, op string, commit string, "
+              "lsn long, content string, epoch int",
+    )
+    ev.write.partitionBy("epoch").parquet(str(tmp_path / f"ev_{strategy}"))
+    eng = ReplayEngine(
+        spark, str(tmp_path / f"ev_{strategy}"),
+        str(tmp_path / f"t_{strategy}"), str(tmp_path / f"m_{strategy}"),
+        ReplayConfig(num_buckets=1, merge_strategy=strategy),
+    )
+    eng.run()
+    got = {
+        (r["repo"], r["path"]): r["content"]
+        for r in eng.table().read().collect()
+    }
+    assert got == {
+        ("r\x00", "a"): "alpha-v2",
+        ("r", "\x00a"): "beta",          # must NOT be evicted by the update above
+        ("1:r", ";2"): "ascii now",
+        ("big", "doc"): "x" * 300_000,
+    }
+    # byte-level parity: Spark sha2 == python hashlib over utf-8
+    h = {
+        (r["repo"], r["path"]): r["h"]
+        for r in eng.table().read().select(
+            "repo", "path", F.sha2("content", 256).alias("h")).collect()
+    }
+    for k, v in got.items():
+        assert h[k] == hashlib.sha256(v.encode()).hexdigest()
