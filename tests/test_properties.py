@@ -171,3 +171,66 @@ def test_bigint_split_points_property(left, gap, n):
     if gap >= n:
         widths = [b - a for a, b in zip(pts, pts[1:])]
         assert max(widths) - min(widths) <= 1
+
+
+# ---------------------------------------------------------------------------
+# Whole-engine property: ANY changelog replays to the sequential fold
+# ---------------------------------------------------------------------------
+
+_KEYS = ["a", "b", "a\x00b", "1:x", ";", "émoji🚀", ""]
+_event = st.tuples(
+    st.sampled_from(_KEYS),                # repo
+    st.sampled_from(_KEYS),                # path
+    st.sampled_from(["I", "U", "D"]),      # op
+    st.text(alphabet=st.characters(min_codepoint=0, max_codepoint=0x24F),
+            max_size=8),                   # content incl. control chars
+)
+
+
+@given(events=st.lists(_event, min_size=1, max_size=40),
+       n_epochs=st.integers(min_value=1, max_value=3))
+@settings(max_examples=6, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_replay_equals_sequential_fold_property(spark, tmp_path_factory,
+                                                events, n_epochs):
+    """For ANY sequence of I/U/D events over adversarial keys
+    (NUL/metachar/emoji/empty) split into arbitrary epochs, the fused
+    default engine's final table equals the obviously-correct python
+    fold: apply events in (commit, lsn) order, last writer wins,
+    delete removes the key. Covers delete-of-nonexistent,
+    delete-then-reinsert within an epoch, epochs that empty the whole
+    table, and keys colliding into the same bucket (num_buckets=2)."""
+    import shutil
+
+    from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+
+    # total order: commit ties across epochs broken by lsn; commit is
+    # the epoch tag so cross-epoch order matches epoch order
+    per_epoch = max(1, -(-len(events) // n_epochs))
+    rows = [
+        (repo, path, op, f"c{i // per_epoch:04d}", i,
+         content if op != "D" else None, i // per_epoch)
+        for i, (repo, path, op, content) in enumerate(events)
+    ]
+    state: dict[tuple[str, str], str] = {}
+    for repo, path, op, _c, _lsn, content, _e in rows:
+        if op == "D":
+            state.pop((repo, path), None)
+        else:
+            state[(repo, path)] = content
+
+    root = tmp_path_factory.mktemp("prop")
+    ev = spark.createDataFrame(
+        rows, "repo string, path string, op string, commit string, "
+              "lsn long, content string, epoch int",
+    )
+    ev.write.partitionBy("epoch").parquet(str(root / "ev"))
+    eng = ReplayEngine(
+        spark, str(root / "ev"), str(root / "t"), str(root / "m"),
+        ReplayConfig(num_buckets=2),
+    )
+    eng.run()
+    got = {(r["repo"], r["path"]): r["content"]
+           for r in eng.table().read().collect()}
+    assert got == state
+    shutil.rmtree(root, ignore_errors=True)
