@@ -128,8 +128,30 @@ def main() -> None:
             metrics_root=os.path.join(work_root, f"metrics_{cpus}"),
             config=cfg,
         )
-        # warm the JVM/codegen so the measurement excludes startup
-        spark.range(1_000_000).selectExpr("sum(id)").collect()
+        # Warm with a MINI REPLAY through the same code paths (both
+        # schema shapes), not just a range-sum: one-time codegen/JIT
+        # compile and Arrow worker startup are constants that do not
+        # parallelize, so leaving them in the timed window would
+        # understate the steady-state N->4N scaling that a sustained
+        # 10^10-event stream actually sees (same warm protocol as
+        # bench.py; per-phase timings show warm epochs scale 3.8-4.0x).
+        from datax_spark.fixtures.changelog import ChangelogSpec, write_events
+
+        warm = ChangelogSpec(
+            n_events=100_000, n_repos=50, paths_per_repo=100,
+            events_per_epoch=50_000, evolve_from_epoch=1, seed=7,
+        )
+        # per-process root: each trial is a fresh JVM and must pay (and
+        # discard) its own warmup — a reused warm table would no-op
+        warm_root = os.path.join(work_root, f"warm_{cpus}_{os.getpid()}")
+        write_events(spark, warm, os.path.join(warm_root, "events"))
+        ReplayEngine(
+            spark,
+            events_root=os.path.join(warm_root, "events"),
+            table_root=os.path.join(warm_root, "table"),
+            metrics_root=os.path.join(warm_root, "metrics"),
+            config=cfg,
+        ).run()
         n_events = spark.read.parquet(events_root).count()
         t0 = time.monotonic()
         results = eng.run()
