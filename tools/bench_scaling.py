@@ -134,6 +134,21 @@ def write_report(hist: list[dict]) -> None:
         for h in hist
     )
 
+    spj_runs = [h for h in hist if h.get("merge_strategy") == "spj"]
+    default_md = ""
+    if spj_runs:
+        d = max(spj_runs, key=lambda h: h["scaling_efficiency"])
+        dc = (d.get("cpu_control") or {}).get("efficiency", "—")
+        default_md = (
+            f"\n### Shipped default plan (fused spj), best run\n\n"
+            f"local[{d['sizes'][0]}] {d['small']['sec']}s "
+            f"({d['small']['events_per_sec']:,.0f} ev/s) -> "
+            f"local[{d['sizes'][1]}] {d['big']['sec']}s "
+            f"({d['big']['events_per_sec']:,.0f} ev/s): speedup "
+            f"**{d['speedup']}x**, efficiency **{d['scaling_efficiency']}** "
+            f"(same-window control ceiling {dc}).\n"
+        )
+
     ctrl_md = ""
     if control:
         ctrl_md = f"""
@@ -191,6 +206,7 @@ package zipped, per the north_rule's deployment form.
 * speedup N->4N: **{speedup}x** (ideal 4x)
 * scaling efficiency: **{eff}** (north_rule target >= 0.8)
 * final table rows (both sizes, asserted equal): {rs["rows_after"]:,}
+{default_md}
 
 ## All runs (BENCH/scaling.json)
 
