@@ -358,6 +358,66 @@ class LakeTable:
             base_version=m.version,
         )
 
+    def rebucket(self, new_num_buckets: int) -> int:
+        """Bucket-count evolution (the Iceberg partition-spec-evolution
+        analog for this format): rewrite the table under a new key-hash
+        bucket count and commit it as one snapshot. The dial that keeps
+        CoW blast radius and per-task merge memory bounded as a table
+        grows — a stream that starts at 64 buckets and reaches 10^9
+        keys rebuckets to O(10^3-10^4) without downtime: readers keep
+        the old snapshot until the atomic pointer swap, and the epoch
+        watermark carries over so replay/resume is unaffected.
+
+        One full-table rewrite (scan -> exchange on the new bucket
+        hash -> sorted write), the same cost as a full compaction.
+        Returns the new snapshot version.
+        """
+        import glob as _glob
+        import re as _re
+
+        import pyarrow.parquet as _pq
+        from pyspark.sql import functions as _F
+
+        if new_num_buckets < 1:
+            raise ValueError("new_num_buckets must be >= 1")
+        m = self.manifest()
+        if new_num_buckets == m.num_buckets:
+            return m.version
+        txn = self.new_txn_dir()
+        bucket = _F.pmod(
+            _F.xxhash64(*[_F.col(k) for k in m.key_cols]), _F.lit(new_num_buckets)
+        ).cast("int")
+        (
+            self.read()
+            .withColumn("__b", bucket)
+            .repartition(new_num_buckets, _F.col("__b"))
+            .sortWithinPartitions(*m.key_cols)
+            .write.mode("overwrite")
+            .partitionBy("__b")
+            .parquet(txn)
+        )
+        files: dict[str, list[str]] = {}
+        counts: dict[str, int] = {}
+        for d in _glob.glob(os.path.join(txn, "__b=*")):
+            b = _re.search(r"__b=(\d+)$", d).group(1)
+            fs = sorted(_glob.glob(os.path.join(d, "*.parquet")))
+            rows = sum(_pq.ParquetFile(f).metadata.num_rows for f in fs)
+            if rows:
+                files[b] = [os.path.relpath(f, self.root) for f in fs]
+                counts[b] = rows
+        nm = Manifest(
+            version=m.version + 1,
+            parent=m.version,
+            schema_json=m.schema_json,
+            num_buckets=new_num_buckets,
+            key_cols=m.key_cols,
+            files=files,
+            row_counts=counts,
+            summary={**m.summary, "rebucketed_from": m.num_buckets},
+        )
+        self._write_manifest(nm, expected_parent=m.version)
+        return nm.version
+
     def vacuum(self) -> list[str]:
         """Delete data files not referenced by the current snapshot
         (orphans from crashed commits). Returns removed paths."""

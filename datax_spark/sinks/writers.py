@@ -208,7 +208,10 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
             # pure upsert (writeMode=replace/update analog): inject op=U
             df = df.withColumn("__op", F.lit("U"))
             op_col = "__op"
-        pending = merge_into(table, df, op_col=op_col, delete_op=p.get("delete_op", "D"))
+        pending = merge_into(
+            table, df, op_col=op_col, delete_op=p.get("delete_op", "D"),
+            strategy=p.get("mergeStrategy", "shuffle"),
+        )
         version = pending.commit(summary=p.get("summary"))
         return {"rows_after": pending.stats.rows_after, "version": version}
     else:

@@ -182,3 +182,67 @@ def test_change_data_feed(spark, tmp_path):
     merge_into(t2, df2.withColumn("op", F.lit("U"))).commit()
     out = t2.changes(1, 2).collect()
     assert len(out) == 1 and out[0]["_change_type"] == "update"
+
+
+def test_rebucket_evolution(spark, tmp_path):
+    """Bucket-count evolution: rewrite under a new key-hash width in
+    one snapshot — state byte-identical, watermark preserved, merges
+    (both plans) keep working against the new layout, old snapshot
+    still time-travelable, vacuum safe."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=2)
+    rows = [(f"r{i%7}", f"p{i}", i, f"c{i}") for i in range(200)]
+    merge_into(t, _upserts(spark, rows)).commit(summary={"last_epoch": 0})
+    before = sorted((r.repo, r.path, r.lsn, r.content) for r in t.read().collect())
+
+    v = t.rebucket(16)
+    m = t.manifest()
+    assert m.num_buckets == 16 and m.version == v
+    assert m.summary.get("rebucketed_from") == 2
+    assert m.last_epoch == 0  # watermark carries over
+    after = sorted((r.repo, r.path, r.lsn, r.content) for r in t.read().collect())
+    assert after == before
+    assert sum(m.row_counts.values()) == 200
+    # old snapshot still readable at the old layout
+    assert t.read(version=v - 1).count() == 200
+    t.vacuum()
+    assert t.read().count() == 200
+
+    # merges against the evolved layout, both physical plans
+    merge_into(t, _upserts(spark, [("r1", "p1", 999, "NEW")])).commit()
+    merge_into(
+        t, _upserts(spark, [("r2", "p2", 1000, "NEW2")]), strategy="spj"
+    ).commit()
+    got = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert got[("r1", "p1")] == "NEW" and got[("r2", "p2")] == "NEW2"
+    assert len(got) == 200
+
+    # no-op and validation
+    assert t.rebucket(16) == t.current_version()
+    with pytest.raises(ValueError):
+        t.rebucket(0)
+
+
+def test_lakewriter_merge_strategy_passthrough(spark, tmp_path):
+    from datax_spark.sinks.writers import write_sink
+
+    root = str(tmp_path / "lw")
+    df = spark.createDataFrame(
+        [("r1", "a", 1, "x"), ("r2", "b", 2, "y")],
+        "repo string, path string, lsn long, content string",
+    )
+    write_sink(df, "lakewriter", {
+        "path": root, "keys": ["repo", "path"], "numBuckets": 4,
+        "mergeStrategy": "spj",
+    })
+    df2 = spark.createDataFrame(
+        [("r1", "a", 3, "x2")],
+        "repo string, path string, lsn long, content string",
+    )
+    out = write_sink(df2, "lakewriter", {
+        "path": root, "keys": ["repo", "path"], "mergeStrategy": "spj",
+    })
+    t = LakeTable.load(spark, root)
+    got = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert got == {("r1", "a"): "x2", ("r2", "b"): "y"}
+    assert out["rows_after"] >= 1
