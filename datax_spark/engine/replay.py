@@ -93,8 +93,9 @@ class ReplayConfig:
     # 1.8x on 10 small epochs — identical sha256-verified state.
     # "shuffle": anti-join + re-bucketed CoW write, Catalyst/AQE own
     # skew and memory — the fallback when one bucket's batch+current
-    # rows could exceed task memory (then raise num_buckets instead),
-    # and the only plan supporting the cross-batch order guard.
+    # rows could exceed task memory (then raise num_buckets instead).
+    # Both plans support the cross-batch order guard (the streaming
+    # sink's stale-batch protection).
     # "spj_staged": diagnostic — the spj merge but with the two-job
     # staged structure (persisted dedup + separate lineage collect),
     # kept so fused-vs-staged can be A/B-measured in one noise window.

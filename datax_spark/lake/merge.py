@@ -30,10 +30,10 @@ Physical plans (scale notes) — two strategies, same verified output:
   whose key has no update) plus a union with the upsert rows — no
   full-outer join, no window. Both sides shuffle on the key columns
   once; AQE handles skewed key distributions and memory, which is why
-  this remains the fallback for pathological bucket sizes, and it is
-  the only plan supporting the cross-batch ``order_cols`` guard.
-  Output is repartitioned by bucket and sorted within partitions;
-  row counts come from parquet footers (driver-side metadata read).
+  this remains the fallback for pathological bucket sizes. Both plans
+  support the cross-batch ``order_cols`` guard. Output is
+  repartitioned by bucket and sorted within partitions; row counts
+  come from parquet footers (driver-side metadata read).
 """
 
 from __future__ import annotations
@@ -153,15 +153,13 @@ def merge_into(
     upd = updates.withColumn("__b", bucket)
 
     if strategy == "spj":
-        if order_cols:
-            raise ValueError(
-                "strategy='spj' does not implement the order guard; "
-                "use the shuffle plan for out-of-order streams"
-            )
         # affected buckets come back with the merge result itself (one
-        # stats row per bucket group) — no pre-pass needed
+        # stats row per bucket group) — no pre-pass needed; the order
+        # guard runs inside the bucket task (vectorized pandas on the
+        # matched subset)
         return _spj_merge_write(
-            table, upd, op_col, delete_op, evolved, stat_cols=stat_cols
+            table, upd, op_col, delete_op, evolved,
+            stat_cols=stat_cols, order_cols=order_cols,
         )
     if strategy != "shuffle":
         raise ValueError(f"unknown merge strategy: {strategy}")
@@ -273,6 +271,7 @@ def spj_merge_frame(
     evolved: T.StructType,
     txn: str,
     stat_cols: tuple[str, ...] | None = None,
+    order_cols: list[str] | None = None,
 ) -> DataFrame:
     """Storage-partitioned merge write phase (no Exchange on the
     current side).
@@ -308,6 +307,14 @@ def spj_merge_frame(
     becomes ONE Spark job with no intermediate persist/collect barrier
     (previously a separate bucket-stats job cost ~1s of fixed overhead
     per epoch on small epochs).
+
+    ``order_cols`` enables the cross-batch LWW guard (``WHEN MATCHED
+    AND s.order > t.order``) inside the bucket task: matched current
+    rows are only evicted when the update's order tuple is strictly
+    greater, and stale upserts are dropped — all via vectorized pandas
+    merges on the (bounded) matched subset, never per-row Python. Used
+    by the streaming sink, where re-delivered or out-of-order
+    micro-batches must not regress a key.
     """
     import pandas as pd
 
@@ -368,6 +375,33 @@ def spj_merge_frame(
             composite(_pa.Table.from_pandas(pdf[keys], preserve_index=False))
         )
 
+        guard = list(order_cols or ())
+
+        def lex_gt(dfm, pairs):
+            """Vectorized lexicographic compare over column pairs:
+            True where tuple(left cols) > tuple(right cols)."""
+            import numpy as np
+
+            gt = np.zeros(len(dfm), dtype=bool)
+            eq = np.ones(len(dfm), dtype=bool)
+            for lcol, rcol in pairs:
+                lv, rv = dfm[lcol], dfm[rcol]
+                gt |= eq & (lv > rv).fillna(False).to_numpy(dtype=bool)
+                eq &= (lv == rv).fillna(False).to_numpy(dtype=bool)
+            return gt
+
+        def pd_to_arrow(dfp):
+            dfp = dfp.copy()
+            for c in out_cols:
+                if c not in dfp.columns:
+                    dfp[c] = None
+            return _pa.Table.from_pandas(
+                dfp[out_cols], schema=evolved_pa, preserve_index=False
+            )
+
+        upd_ko = pdf[keys + guard] if guard else None
+        cur_seen = []  # matched current (keys + order), for stale-upsert drop
+
         final = _os.path.join(txn, f"b{b:05d}.parquet")
         tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
         writer = None
@@ -377,22 +411,41 @@ def spj_merge_frame(
                 t = _pq.read_table(f)
                 if not t.num_rows:
                     continue
-                surv = t.filter(
-                    _pc.invert(_pc.is_in(composite(t), value_set=evicted))
-                )
+                in_upd = _pc.is_in(composite(t), value_set=evicted)
+                surv = t.filter(_pc.invert(in_upd))
                 if surv.num_rows:
                     surv = _conform_arrow(surv, evolved_pa)
                     writer = writer or _pq.ParquetWriter(tmp, evolved_pa)
                     writer.write_table(surv)
                     rows += surv.num_rows
-            ups = pdf[pdf[op_col] != delete_op].sort_values(keys)
-            if len(ups):
-                for c in out_cols:
-                    if c not in ups.columns:
-                        ups[c] = None
-                ut = _pa.Table.from_pandas(
-                    ups[out_cols], schema=evolved_pa, preserve_index=False
+                if guard:
+                    matched = t.filter(in_upd)
+                    if matched.num_rows:
+                        mp = matched.to_pandas()
+                        cur_seen.append(mp[keys + guard])
+                        mm = mp.merge(
+                            upd_ko, on=keys, how="left", suffixes=("", "__u")
+                        )
+                        newer = lex_gt(mm, [(c + "__u", c) for c in guard])
+                        keep = mp[~newer]  # update is stale: current row stays
+                        if len(keep):
+                            writer = writer or _pq.ParquetWriter(tmp, evolved_pa)
+                            kt = pd_to_arrow(keep)
+                            writer.write_table(kt)
+                            rows += kt.num_rows
+            ups = pdf[pdf[op_col] != delete_op]
+            if guard and len(ups) and cur_seen:
+                cur_ord = pd.concat(cur_seen, ignore_index=True)
+                mm = ups.merge(
+                    cur_ord, on=keys, how="left",
+                    suffixes=("", "__c"), indicator=True,
                 )
+                newer = lex_gt(mm, [(c, c + "__c") for c in guard])
+                keep_mask = (mm["_merge"] == "left_only").to_numpy() | newer
+                ups = ups[keep_mask]
+            ups = ups.sort_values(keys)
+            if len(ups):
+                ut = pd_to_arrow(ups)
                 writer = writer or _pq.ParquetWriter(tmp, evolved_pa)
                 writer.write_table(ut)
                 rows += ut.num_rows
@@ -416,11 +469,13 @@ def _spj_merge_write(
     delete_op: str,
     evolved: T.StructType,
     stat_cols: tuple[str, ...] | None = None,
+    order_cols: list[str] | None = None,
 ) -> PendingMerge:
     m = table.manifest()
     txn = table.new_txn_dir()
     res = spj_merge_frame(
-        table, upd, op_col, delete_op, evolved, txn, stat_cols=stat_cols
+        table, upd, op_col, delete_op, evolved, txn,
+        stat_cols=stat_cols, order_cols=order_cols,
     ).collect()  # bounded: one row per affected bucket
 
     affected = sorted(int(r["bucket"]) for r in res)

@@ -101,6 +101,11 @@ class StreamReplay:
             op_col=cfg.op_col,
             delete_op=cfg.delete_op,
             order_cols=list(cfg.order_cols),  # cross-batch LWW guard
+            # the guard runs inside the bucket task on the spj default;
+            # spj_staged maps to the same physical merge
+            strategy={"spj_staged": "spj"}.get(
+                cfg.merge_strategy, cfg.merge_strategy
+            ),
         )
         pending.commit(summary={"last_epoch": batch_id})
         self.applied_batches.append(batch_id)

@@ -164,20 +164,50 @@ def test_spj_merge_matches_oracle_and_shuffle(spark, events_root, expected, tmp_
     assert chk.count() == 0
 
 
-def test_spj_rejects_order_guard(spark, events_root, tmp_path):
+def test_spj_order_guard(spark, tmp_path):
+    """Cross-batch LWW order guard inside the spj bucket task: a
+    re-delivered/stale micro-batch can neither regress nor delete a
+    key that already holds a newer image, while genuinely newer
+    updates/deletes and brand-new keys apply — same contract as the
+    shuffle plan's WHEN MATCHED AND s.order > t.order."""
     from datax_spark.lake.merge import merge_into
     from datax_spark.lake.table import LakeTable
+    from pyspark.sql import types as T
 
-    eng = ReplayEngine(
-        spark, events_root, str(tmp_path / "t"), str(tmp_path / "m"),
-        ReplayConfig(num_buckets=4, merge_strategy="spj"),
-    )
-    eng.run(through_epoch=0)
-    upd = eng.table().read().withColumn("op", F.lit("U")).limit(10)
-    with pytest.raises(ValueError, match="order guard"):
-        merge_into(
-            eng.table(), upd, order_cols=["commit", "lsn"], strategy="spj"
-        )
+    schema = T.StructType([
+        T.StructField("k", T.StringType()),
+        T.StructField("commit", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+        T.StructField("v", T.StringType()),
+    ])
+    t = LakeTable.create(spark, str(tmp_path / "og"), schema, ["k"], num_buckets=2)
+    cols = "k string, commit string, lsn long, v string, op string"
+    merge_into(
+        t, spark.createDataFrame(
+            [("a", "c2", 5, "new", "U"), ("b", "c2", 6, "bee", "U")], cols),
+        order_cols=["commit", "lsn"], strategy="spj",
+    ).commit()
+    # stale batch: regress 'a', delete 'b' with an OLDER order, insert 'c'
+    merge_into(
+        t, spark.createDataFrame(
+            [("a", "c1", 1, "old", "U"), ("b", "c1", 2, None, "D"),
+             ("c", "c1", 3, "cee", "U")], cols),
+        order_cols=["commit", "lsn"], strategy="spj",
+    ).commit()
+    got = {r["k"]: (r["commit"], r["lsn"], r["v"]) for r in t.read().collect()}
+    assert got == {
+        "a": ("c2", 5, "new"),   # stale update rejected
+        "b": ("c2", 6, "bee"),   # stale delete rejected
+        "c": ("c1", 3, "cee"),   # new key inserted
+    }
+    # newer batch: update 'a', delete 'b' — both apply
+    merge_into(
+        t, spark.createDataFrame(
+            [("a", "c3", 9, "newer", "U"), ("b", "c3", 10, None, "D")], cols),
+        order_cols=["commit", "lsn"], strategy="spj",
+    ).commit()
+    got = {r["k"]: r["v"] for r in t.read().collect()}
+    assert got == {"a": "newer", "c": "cee"}
 
 
 def test_intermediate_epoch_matches_oracle(spark, events_root, tmp_path):
