@@ -19,7 +19,9 @@ partition/bucket pruning):
   manifest ``v{N}.json``; (3) atomically rename a tmp pointer over
   ``_current``. A crash before (3) leaves the table at the old
   snapshot with orphan files (cleaned by ``vacuum``); after (3) the
-  new snapshot is live. Exactly-once replay rides on the manifest's
+  new snapshot is live. Retention: ``expire_snapshots`` retires old
+  manifests (Iceberg expire_snapshots), after which ``vacuum``
+  reclaims the data files only they referenced. Exactly-once replay rides on the manifest's
   ``last_epoch`` watermark: re-applying an epoch <= watermark is a
   no-op. Reference analog: hdfswriter's tmp-dir + rename two-phase
   commit (``HdfsWriter.java:151-196,293-326``) and otsstreamreader's
@@ -418,11 +420,46 @@ class LakeTable:
         self._write_manifest(nm, expected_parent=m.version)
         return nm.version
 
+    def versions(self) -> list[int]:
+        """All snapshot versions that still have a manifest, ascending."""
+        out = []
+        for fn in os.listdir(self._manifest_dir()):
+            if fn.startswith("v") and fn.endswith(".json"):
+                out.append(int(fn[1:-5]))
+        return sorted(out)
+
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Retire old snapshots (Iceberg's expire_snapshots): delete the
+        manifest files of all but the newest ``keep_last`` versions (the
+        current snapshot is always kept). Time travel and ``changes()``
+        into the expired range stop working by design; data files that
+        were referenced only by expired snapshots become orphans that
+        the next ``vacuum()`` reclaims. Under CoW every epoch rewrites
+        whole buckets, so without expiration storage grows linearly
+        with epochs — this is the retention dial. Returns the expired
+        versions.
+        """
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        vs = self.versions()
+        cur = self.current_version()
+        keep = set(vs[-keep_last:]) | {cur}
+        expired = [v for v in vs if v not in keep]
+        for v in expired:
+            os.remove(os.path.join(self._manifest_dir(), f"v{v:08d}.json"))
+        return expired
+
     def vacuum(self) -> list[str]:
-        """Delete data files not referenced by the current snapshot
-        (orphans from crashed commits). Returns removed paths."""
-        m = self.manifest()
-        live = {os.path.join(self.root, p) for fs in m.files.values() for p in fs}
+        """Delete data files referenced by NO live snapshot manifest —
+        orphans from crashed commits and files released by
+        ``expire_snapshots``. Files referenced by any retained snapshot
+        are kept, so time travel across the retained range survives a
+        vacuum (Iceberg's remove_orphan_files contract). Returns the
+        removed paths."""
+        live: set[str] = set()
+        for v in self.versions():
+            m = self.manifest(v)
+            live |= {os.path.join(self.root, p) for fs in m.files.values() for p in fs}
         removed = []
         data_dir = os.path.join(self.root, "data")
         for dirpath, _dirnames, filenames in os.walk(data_dir):

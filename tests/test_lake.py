@@ -145,6 +145,39 @@ def test_compact_preserves_state(spark, tmp_path):
     assert sorted(tuple(r) for r in t.read().collect()) == before
 
 
+def test_vacuum_preserves_time_travel_and_expire_releases(spark, tmp_path):
+    """vacuum removes ONLY true orphans (files referenced by no live
+    manifest) — historical snapshots stay readable after a vacuum.
+    expire_snapshots retires old manifests; the next vacuum then
+    reclaims exactly the files only those snapshots referenced."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=2)
+    merge_into(t, _upserts(spark, [("r1", "a", 1, "x")])).commit()       # v1
+    merge_into(t, _upserts(spark, [("r1", "a", 2, "y")])).commit()       # v2: CoW rewrites the bucket
+    merge_into(t, _upserts(spark, [("r2", "b", 3, "z")])).commit()       # v3
+    assert t.versions() == [0, 1, 2, 3]
+
+    # no crashed commits -> nothing is an orphan; every snapshot readable
+    assert t.vacuum() == []
+    assert {r.content for r in t.read(version=1).collect()} == {"x"}
+    assert {r.content for r in t.read(version=2).collect()} == {"y"}
+    assert set(t.changes(1, 3).toPandas()["content"]) == {"y", "z"}
+
+    expired = t.expire_snapshots(keep_last=2)
+    assert expired == [0, 1] and t.versions() == [2, 3]
+    with pytest.raises(FileNotFoundError):
+        t.manifest(1)
+    removed = t.vacuum()
+    # v1's bucket file was superseded at v2, so it is the one reclaimed
+    assert len(removed) == 1
+    # retained range untouched: v2 time travel, CDF, and current state
+    assert {r.content for r in t.read(version=2).collect()} == {"y"}
+    assert t.changes(2, 3).count() == 1
+    assert {r.content for r in t.read().collect()} == {"y", "z"}
+    with pytest.raises(ValueError):
+        t.expire_snapshots(keep_last=0)
+
+
 def test_change_data_feed(spark, tmp_path):
     """changes(v1, v2) classifies per-key diffs between snapshots as
     insert / update / delete with the right image on each side."""
