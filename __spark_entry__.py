@@ -180,6 +180,40 @@ def _q_cdc_replay_repo_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_replay_mor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same binlog replay executed with merge_strategy='mor'
+    (merge-on-read: each epoch APPENDS delta files with tombstones —
+    the Iceberg v2 equality-delete write shape — instead of rewriting
+    buckets) with a compact_every=3 cadence, so the final snapshot has
+    BOTH compacted base buckets and pending deltas from the last
+    epoch. The returned state is the bucket-local LWW MERGED read
+    (LakeTable._read_merged_buckets); the oracle is the identical
+    pure-SQL sequential replay that checks the CoW path — write path
+    and read path differ end-to-end, the answer must not."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+    from datax_spark.lake.table import LakeTable
+
+    if not _REPLAY_CACHE.get("mor"):
+        eng = ReplayEngine(
+            spark,
+            events_root=os.path.join(root, "events"),
+            table_root=os.path.join(root, "table_mor"),
+            metrics_root=os.path.join(root, "metrics_mor"),
+            config=ReplayConfig(
+                num_buckets=16, merge_strategy="mor", compact_every=3
+            ),
+        )
+        eng.run()
+        _REPLAY_CACHE["mor"] = "done"
+    t = LakeTable.load(spark, os.path.join(root, "table_mor"))
+    assert t.manifest().delta_files, "expected pending deltas in the final snapshot"
+    return t.read().select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
 def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (the Iceberg read-at-version surface):
     read the replay table AS OF the snapshot committed by epoch 1
@@ -806,6 +840,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_latest_state": _q_cdc_lww_latest_state,
         "cdc_replay_state": _q_cdc_replay_state,
         "cdc_replay_repo_table": _q_cdc_replay_repo_table,
+        "cdc_replay_mor_table": _q_cdc_replay_mor_table,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
@@ -1021,6 +1056,24 @@ def oracle_sql() -> dict[str, str]:
         # final state excludes keys whose winner is a delete; sha256 of
         # the winning content is the per-row invariant.
         "cdc_replay_repo_table": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT repo, path, commit, lsn, lang, lang_variant,
+                   sha256(content) AS content_sha256
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # merge-on-read replay: different write path (delta append +
+        # tombstones) and read path (bucket-local LWW merge), same
+        # final state — so the oracle is the same sequential replay.
+        "cdc_replay_mor_table": f"""
             WITH ev AS (
               SELECT * FROM read_parquet(
                   '{_REPLAY_ROOT}/events/epoch=*/*.parquet',

@@ -99,7 +99,23 @@ class ReplayConfig:
     # "spj_staged": diagnostic — the spj merge but with the two-job
     # staged structure (persisted dedup + separate lineage collect),
     # kept so fused-vs-staged can be A/B-measured in one noise window.
+    # "mor": merge-on-read — each epoch APPENDS one delta file per
+    # touched bucket (tombstones for deletes) and never reads or
+    # rewrites the current table: write cost O(batch) instead of
+    # O(touched buckets), the Iceberg v2 equality-delete shape. Reads
+    # pay a bucket-local LWW merge until compaction folds deltas down;
+    # set compact_every to bound that read amplification. The strategy
+    # for write-rate-bound ingest whose epochs are much smaller than
+    # the key space they touch.
     merge_strategy: str = "spj"
+    # With merge_strategy="mor": fold pending deltas into fresh base
+    # files (LakeTable.compact) after every N committed epochs — the
+    # minor-compaction cadence that caps a reader's per-bucket merge at
+    # N delta files. None = never (compaction left to a maintenance
+    # job, Iceberg-style). The compaction is itself a snapshot commit,
+    # so a crash between commit and compaction is harmless: the next
+    # run simply compacts later.
+    compact_every: int | None = None
     dirty_record_limit: int | None = None
     # Percentage limit (errorLimit.percentage): the epoch fails when
     # n_dirty / n_total exceeds this fraction, checked per epoch (the
@@ -284,7 +300,7 @@ class ReplayEngine:
             deduped,
             op_col=cfg.op_col,
             delete_op=cfg.delete_op,
-            strategy="spj",
+            strategy=cfg.merge_strategy,  # "spj" or "mor" — same fused shape
             stat_cols=STAT_COLS,
         )
         ph["fused_dedup_merge"] = (time.monotonic() - tp) * 1000
@@ -321,6 +337,14 @@ class ReplayEngine:
         ph["commit"] = (time.monotonic() - tp) * 1000
         if "after_commit" in failpoints:
             raise ReplayCrash("after_commit")
+        if (
+            cfg.merge_strategy == "mor"
+            and cfg.compact_every
+            and (epoch + 1) % cfg.compact_every == 0
+        ):
+            tp = time.monotonic()
+            version = table.compact()
+            ph["compact"] = (time.monotonic() - tp) * 1000
         return EpochResult(
             epoch=epoch,
             skipped=False,
@@ -368,7 +392,7 @@ class ReplayEngine:
         )
         ev_clean = ev_obs.filter(~dirty_pred)
 
-        if cfg.merge_strategy == "spj" and not cfg.salt_buckets:
+        if cfg.merge_strategy in ("spj", "mor") and not cfg.salt_buckets:
             return self._apply_epoch_fused_spj(
                 epoch, table, ev, ev_obs, ev_clean, obs, dirty_pred, t0, ph,
                 failpoints,

@@ -13,7 +13,7 @@ Reference analog: the RDBMS writer's last-writer-wins upsert
 ``deleteFlag`` pre-delete path (``CommonRdbmsWriter.java:322-362``),
 executed set-wise instead of row-batch-wise.
 
-Physical plans (scale notes) — two strategies, same verified output:
+Physical plans (scale notes) — three strategies, same verified output:
 
 * **spj** (default for batch replay): the storage-partitioned merge.
   The table is already bucket-hashed on its keys, so the current side
@@ -34,6 +34,15 @@ Physical plans (scale notes) — two strategies, same verified output:
   support the cross-batch ``order_cols`` guard. Output is
   repartitioned by bucket and sorted within partitions; row counts
   come from parquet footers (driver-side metadata read).
+* **mor** (merge-on-read): the epoch batch is APPENDED as one delta
+  file per touched bucket (tombstone rows for deletes) and no current
+  data is read or rewritten — write cost O(batch), independent of
+  table size (Iceberg v2 equality-delete shape). Readers pay a
+  bucket-local LWW merge until ``LakeTable.compact()`` folds deltas
+  into a fresh base. The strategy for write-rate-bound ingest where
+  epochs are far smaller than the touched buckets' base rows; pair
+  with a compaction cadence (``ReplayConfig.compact_every``) to bound
+  read amplification. See ``mor_delta_frame``.
 """
 
 from __future__ import annotations
@@ -48,7 +57,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datax_spark.lake.table import LakeTable
+from datax_spark.lake.table import LakeTable, composite_key_array, conform_arrow
 from datax_spark.operators.schema_evolution import evolve_schema, union_by_name
 
 
@@ -79,8 +88,20 @@ class PendingMerge:
     schema: T.StructType
     stats: MergeStats
     bucket_stats: dict[int, dict] | None = None
+    # "cow": commit replaces the touched buckets' base files.
+    # "mor": commit APPENDS the files as merge-on-read deltas instead —
+    # base files untouched, readers merge until the next compact().
+    mode: str = "cow"
 
     def commit(self, summary: dict | None = None) -> int:
+        if self.mode == "mor":
+            return self.table.commit_deltas(
+                self.new_files,
+                self.new_row_counts,
+                schema=self.schema,
+                summary=summary,
+                base_version=self.base_version,
+            )
         return self.table.commit(
             self.replaced_buckets,
             self.new_files,
@@ -127,6 +148,9 @@ def merge_into(
       in Arrow — the current side never enters an Exchange and is
       never re-written through a second shuffle. See
       ``_spj_merge_write`` for the memory model and crash-safety.
+    * ``"mor"``: merge-on-read delta append — writes O(batch) delta
+      files with tombstones and defers the merge to read/compact time.
+      See ``mor_delta_frame``.
     """
     if update_keys is not None and order_cols:
         # update_keys supplies the anti-join key set from the
@@ -140,8 +164,8 @@ def merge_into(
             "anti-join key set would include keys whose update the "
             "order guard rejects"
         )
-    if stat_cols and strategy != "spj":
-        raise ValueError("stat_cols (fused lineage) requires strategy='spj'")
+    if stat_cols and strategy not in ("spj", "mor"):
+        raise ValueError("stat_cols (fused lineage) requires strategy='spj' or 'mor'")
     m = table.manifest()
     keys = m.key_cols
     nb = m.num_buckets
@@ -153,6 +177,14 @@ def merge_into(
     upd = updates.withColumn("__b", bucket)
 
     if strategy == "spj":
+        if m.delta_files:
+            # the spj tasks read raw BASE files per bucket; pending MoR
+            # deltas would be silently ignored — refuse instead.
+            raise ValueError(
+                "table has pending merge-on-read deltas; run "
+                "table.compact() first or use strategy='mor'/'shuffle' "
+                "(the shuffle plan reads the merged view)"
+            )
         # affected buckets come back with the merge result itself (one
         # stats row per bucket group) — no pre-pass needed; the order
         # guard runs inside the bucket task (vectorized pandas on the
@@ -160,6 +192,20 @@ def merge_into(
         return _spj_merge_write(
             table, upd, op_col, delete_op, evolved,
             stat_cols=stat_cols, order_cols=order_cols,
+        )
+    if strategy == "mor":
+        if order_cols:
+            # the cross-batch guard needs the CURRENT row's order tuple,
+            # i.e. a read of the base — which is exactly what MoR's
+            # O(batch) write refuses to pay. Out-of-order delivery needs
+            # the spj/shuffle guard; the batch engine's epoch watermark
+            # already serializes epochs, so MoR epochs are in-order.
+            raise ValueError(
+                "order_cols (cross-batch LWW guard) is not supported "
+                "with strategy='mor'; use 'spj' or 'shuffle'"
+            )
+        return _mor_delta_write(
+            table, upd, op_col, delete_op, evolved, stat_cols=stat_cols
         )
     if strategy != "shuffle":
         raise ValueError(f"unknown merge strategy: {strategy}")
@@ -243,18 +289,7 @@ def merge_into(
     )
 
 
-def _conform_arrow(t, schema):
-    """Project an Arrow table onto ``schema``: present columns cast,
-    absent columns (pre-evolution files) null-filled."""
-    import pyarrow as pa
-
-    arrays = []
-    for f in schema:
-        if f.name in t.column_names:
-            arrays.append(t.column(f.name).cast(f.type))
-        else:
-            arrays.append(pa.nulls(t.num_rows, type=f.type))
-    return pa.Table.from_arrays(arrays, schema=schema)
+_conform_arrow = conform_arrow  # shared with the table's MoR read path
 
 
 SPJ_STATS_SCHEMA = (
@@ -354,22 +389,10 @@ def spj_merge_frame(
             }
 
         def composite(tbl):
-            # One kernel for BOTH sides (pandas elementwise concat is
-            # numpy-str_-backed and silently strips NUL bytes): each
-            # key part is LENGTH-PREFIXED ("3:abc;2:de"), which makes
-            # the encoding injective for arbitrary key bytes — a plain
-            # separator would make ("r\x00", "a") and ("r", "\x00a")
-            # collide and evict the wrong key when both hash to one
-            # bucket. Keys must be non-null (the replay dirty gate
-            # enforces this; they are the table's primary key).
-            kc = None
-            for k in keys:
-                s = _pc.cast(tbl.column(k), _pa.string())
-                part = _pc.binary_join_element_wise(
-                    _pc.cast(_pc.binary_length(s), _pa.string()), s, ":"
-                )
-                kc = part if kc is None else _pc.binary_join_element_wise(kc, part, ";")
-            return kc
+            # One kernel for BOTH sides — the shared length-prefixed
+            # injective encoding (see table.composite_key_array for why
+            # pandas elementwise concat must never build these keys).
+            return composite_key_array(tbl, keys)
 
         evicted = _pc.unique(
             composite(_pa.Table.from_pandas(pdf[keys], preserve_index=False))
@@ -508,4 +531,141 @@ def _spj_merge_write(
             }
             for r in res
         },
+    )
+
+
+def mor_delta_frame(
+    table: LakeTable,
+    upd: DataFrame,
+    op_col: str,
+    delete_op: str,
+    evolved: T.StructType,
+    txn: str,
+    stat_cols: tuple[str, ...] | None = None,
+) -> DataFrame:
+    """Merge-on-read write phase: the epoch batch becomes one DELTA
+    file per touched bucket — upserts carry the new image, deletes
+    become tombstone rows (``__op='D'``) — and NOTHING of the current
+    table is read or rewritten. This is the Iceberg v2 equality-delete
+    write shape: an epoch's write cost is O(batch), independent of
+    table size, where CoW (spj/shuffle) pays O(touched buckets of the
+    table) per epoch. Readers resolve base ⊕ deltas with bucket-local
+    LWW (``LakeTable._read_merged_buckets``) until ``compact()`` folds
+    the deltas into a fresh base.
+
+    Physical shape: ONE exchange of the epoch batch grouped by bucket
+    (``applyInPandas``); each task sorts its bucket's rows by key and
+    streams them into one parquet file under the txn dir (tmp +
+    atomic rename; deterministic name makes task retries idempotent).
+    ``stat_cols`` fuses the per-bucket lineage aggregation exactly as
+    the spj plan does, so a whole MoR epoch is ONE Spark job.
+
+    Within a delta file keys are unique (the epoch batch is LWW-
+    deduplicated upstream); across files the manifest's delta order is
+    the apply order, and the engine's epoch watermark guarantees that
+    order matches event time for the batch engine.
+    """
+    import pandas as pd
+
+    from pyspark.sql.pandas.types import to_arrow_schema
+
+    evolved_pa = to_arrow_schema(evolved)
+    out_cols = [f.name for f in evolved.fields]
+    keys_b = list(table.manifest().key_cols)
+
+    def write_bucket(pdf: pd.DataFrame) -> pd.DataFrame:
+        import os as _os
+        import uuid as _uuid
+
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+
+        b = int(pdf["__b"].iloc[0])
+        if stat_cols:
+            st = {
+                "n_keys": len(pdf),
+                "n_events": int(pdf[stat_cols[0]].sum()),
+                "n_deletes": int(pdf[stat_cols[1]].sum()),
+                "min_lsn": int(pdf[stat_cols[2]].min()),
+                "max_lsn": int(pdf[stat_cols[3]].max()),
+                "bytes_in": int(pdf[stat_cols[4]].sum()),
+            }
+        else:
+            st = {
+                "n_keys": len(pdf), "n_events": 0, "n_deletes": 0,
+                "min_lsn": None, "max_lsn": None, "bytes_in": 0,
+            }
+        pdf = pdf.sort_values(keys_b)
+        dfp = pdf.copy()
+        for c in out_cols:
+            if c not in dfp.columns:
+                dfp[c] = None
+        t = _pa.Table.from_pandas(
+            dfp[out_cols], schema=evolved_pa, preserve_index=False
+        )
+        # normalized tombstone marker, independent of the caller's
+        # delete_op token — the read path only ever checks 'D'
+        op_norm = _pa.array(
+            [("D" if v == delete_op else "U") for v in pdf[op_col]],
+            type=_pa.string(),
+        )
+        t = t.append_column("__op", op_norm)
+        final = _os.path.join(txn, f"b{b:05d}.parquet")
+        tmp = f"{final}.{_uuid.uuid4().hex}.tmp"
+        _pq.write_table(t, tmp)
+        _os.rename(tmp, final)
+        return pd.DataFrame(
+            [{"bucket": b, "rows": t.num_rows, "file": final, **st}]
+        )
+
+    return upd.groupBy("__b").applyInPandas(write_bucket, schema=SPJ_STATS_SCHEMA)
+
+
+def _mor_delta_write(
+    table: LakeTable,
+    upd: DataFrame,
+    op_col: str,
+    delete_op: str,
+    evolved: T.StructType,
+    stat_cols: tuple[str, ...] | None = None,
+) -> PendingMerge:
+    m = table.manifest()
+    txn = table.new_txn_dir()
+    res = mor_delta_frame(
+        table, upd, op_col, delete_op, evolved, txn, stat_cols=stat_cols
+    ).collect()  # bounded: one row per affected bucket
+
+    affected = sorted(int(r["bucket"]) for r in res)
+    new_files = {int(r["bucket"]): [r["file"]] for r in res if r["rows"]}
+    new_counts = {int(r["bucket"]): int(r["rows"]) for r in res if r["rows"]}
+    rows_before = sum(m.row_counts.get(str(b), 0) for b in affected)
+    stats = MergeStats(
+        affected_buckets=affected,
+        rows_before=rows_before,
+        # for MoR this is DELTA rows appended (incl. tombstones) — the
+        # merged table size is only known at read/compact time
+        rows_after=sum(new_counts.values()),
+        files_written=len(new_files),
+        bucket_rows_after=dict(new_counts),
+    )
+    return PendingMerge(
+        table=table,
+        base_version=m.version,
+        replaced_buckets=affected,
+        new_files=new_files,
+        new_row_counts=new_counts,
+        schema=evolved,
+        stats=stats,
+        bucket_stats={
+            int(r["bucket"]): {
+                "n_keys": int(r["n_keys"]),
+                "n_events": int(r["n_events"]),
+                "n_deletes": int(r["n_deletes"]),
+                "min_lsn": r["min_lsn"],
+                "max_lsn": r["max_lsn"],
+                "bytes_in": int(r["bytes_in"]),
+            }
+            for r in res
+        },
+        mode="mor",
     )

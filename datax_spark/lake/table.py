@@ -64,6 +64,15 @@ class Manifest:
     files: dict[str, list[str]]  # bucket id (str) -> relative parquet paths
     row_counts: dict[str, int]  # bucket id (str) -> rows
     summary: dict = field(default_factory=dict)
+    # Merge-on-read deltas (the Iceberg v2 equality-delete analog):
+    # bucket id (str) -> ORDERED relative paths of delta files appended
+    # by MoR epochs. List position is the apply sequence — later files
+    # win LWW against earlier files and against the base. Delta rows
+    # carry a ``__op`` column ('U' upsert / 'D' tombstone); base files
+    # have no ``__op`` (read as alive). Empty for pure-CoW tables, so
+    # pre-MoR manifests load unchanged.
+    delta_files: dict[str, list[str]] = field(default_factory=dict)
+    delta_row_counts: dict[str, int] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -84,6 +93,8 @@ class Manifest:
                 "files": self.files,
                 "row_counts": self.row_counts,
                 "summary": self.summary,
+                "delta_files": self.delta_files,
+                "delta_row_counts": self.delta_row_counts,
             },
             indent=1,
         )
@@ -91,6 +102,44 @@ class Manifest:
     @classmethod
     def from_json(cls, s: str) -> "Manifest":
         return cls(**json.loads(s))
+
+
+def conform_arrow(t, schema):
+    """Project an Arrow table onto ``schema``: present columns cast,
+    absent columns (files written before a schema evolution) null-
+    filled — the parquet reader's missing-column semantics, applied
+    executor-side."""
+    import pyarrow as pa
+
+    arrays = []
+    for f in schema:
+        if f.name in t.column_names:
+            arrays.append(t.column(f.name).cast(f.type))
+        else:
+            arrays.append(pa.nulls(t.num_rows, type=f.type))
+    return pa.Table.from_arrays(arrays, schema=schema)
+
+
+def composite_key_array(tbl, keys: list[str]):
+    """Injective composite-key encoding over Arrow key columns, one
+    kernel for every consumer (pandas elementwise concat is
+    numpy-str_-backed and silently strips NUL bytes): each key part is
+    LENGTH-PREFIXED ("3:abc;2:de"), so arbitrary key bytes cannot
+    collide — a plain separator would make ("r\\x00", "a") and
+    ("r", "\\x00a") encode identically. Keys must be non-null (they
+    are the table's primary key; the replay dirty gate enforces it).
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    kc = None
+    for k in keys:
+        s = pc.cast(tbl.column(k), pa.string())
+        part = pc.binary_join_element_wise(
+            pc.cast(pc.binary_length(s), pa.string()), s, ":"
+        )
+        kc = part if kc is None else pc.binary_join_element_wise(kc, part, ";")
+    return kc
 
 
 def _atomic_write(path: str, data: str) -> None:
@@ -192,16 +241,125 @@ class LakeTable:
         The explicit manifest schema makes old files (written before a
         schema evolution) come back null-filled for new columns — the
         parquet reader's missing-column semantics.
+
+        Buckets with pending merge-on-read deltas are merged at read
+        time (base ⊕ ordered deltas, LWW per key, tombstones dropped)
+        via :meth:`_read_merged_buckets`; delta-free buckets stay a
+        plain parquet scan with full pushdown. A compacted or pure-CoW
+        table therefore pays zero MoR read cost.
         """
         m = self.manifest(version)
-        items = m.files.items()
-        if buckets is not None:
-            want = {str(b) for b in buckets}
-            items = [(b, fs) for b, fs in m.files.items() if b in want]
-        paths = [os.path.join(self.root, p) for _, fs in items for p in fs]
-        if not paths:
+        want = None if buckets is None else {str(b) for b in buckets}
+        sel = [b for b in (set(m.files) | set(m.delta_files)) if want is None or b in want]
+        delta_b = sorted(int(b) for b in sel if m.delta_files.get(b))
+        base_only = [b for b in sel if not m.delta_files.get(b)]
+        paths = [os.path.join(self.root, p) for b in base_only for p in m.files.get(b, [])]
+        parts = []
+        if paths:
+            parts.append(self.spark.read.schema(m.schema).parquet(*paths))
+        if delta_b:
+            parts.append(self._read_merged_buckets(m, delta_b))
+        if not parts:
             return self.spark.createDataFrame([], m.schema)
-        return self.spark.read.schema(m.schema).parquet(*paths)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        return out
+
+    def _read_merged_buckets(self, m: Manifest, bucket_ids: list[int]) -> DataFrame:
+        """Merge-on-read scan of the buckets that carry delta files —
+        the read half of the MoR contract (Iceberg v2 equality-delete
+        apply, done storage-partitioned).
+
+        Physical shape: the ONLY thing that enters a Spark exchange is
+        the tiny bucket-id list; each task then reads its buckets'
+        base + delta files executor-side with Arrow and resolves LWW
+        locally (``mapInArrow``, zero pandas, so column types survive
+        bit-exactly). Per key the winner is the row with the highest
+        apply sequence (base = 0, deltas = manifest order); winners
+        whose ``__op`` is the tombstone 'D' are dropped. Memory per
+        task = one bucket's base+delta rows — the same ``num_buckets``
+        dial as the CoW blast radius, and reads never shuffle table
+        data regardless of table size.
+        """
+        from pyspark.sql.pandas.types import to_arrow_schema
+
+        root = self.root
+        keys = list(m.key_cols)
+        schema = m.schema
+        pa_schema = to_arrow_schema(schema)
+        file_plan = {
+            b: (
+                [os.path.join(root, p) for p in m.files.get(str(b), [])],
+                [os.path.join(root, p) for p in m.delta_files[str(b)]],
+            )
+            for b in bucket_ids
+        }
+
+        def merge_read(batches):
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            for batch in batches:
+                for b in batch.column(0).to_pylist():
+                    base, deltas = file_plan[b]
+                    parts = []
+                    # base files share one consistent snapshot: a key
+                    # appears in at most one of them, so they all take
+                    # sequence 0 and (key, seq) stays unique.
+                    for seq, f in [(0, p) for p in base] + [
+                        (i + 1, p) for i, p in enumerate(deltas)
+                    ]:
+                        t = pq.read_table(f)
+                        if not t.num_rows:
+                            continue
+                        op = (
+                            t.column("__op").cast(pa.string())
+                            if "__op" in t.column_names
+                            else pa.nulls(t.num_rows, type=pa.string())
+                        )
+                        ct = conform_arrow(t, pa_schema)
+                        ct = ct.append_column("__op", op).append_column(
+                            "__seq", pa.array([seq] * t.num_rows, type=pa.int64())
+                        )
+                        parts.append(ct)
+                    if not parts:
+                        continue
+                    tbl = pa.concat_tables(parts)
+                    tbl = tbl.append_column("__k", composite_key_array(tbl, keys))
+                    idx = pc.sort_indices(
+                        tbl,
+                        sort_keys=[("__k", "ascending"), ("__seq", "descending")],
+                    )
+                    tbl = tbl.take(idx).combine_chunks()
+                    karr = tbl.column("__k").chunk(0) if tbl.column("__k").num_chunks else None
+                    if karr is None or not len(karr):
+                        continue
+                    # winner per key = first row of each sorted key run
+                    first = pa.concat_arrays(
+                        [
+                            pa.array([True]),
+                            pc.not_equal(
+                                karr.slice(1), karr.slice(0, len(karr) - 1)
+                            ),
+                        ]
+                    )
+                    win = tbl.filter(first)
+                    alive = win.filter(
+                        pc.or_kleene(
+                            pc.is_null(win.column("__op")),
+                            pc.not_equal(win.column("__op"), "D"),
+                        )
+                    )
+                    if alive.num_rows:
+                        out = alive.select(pa_schema.names).combine_chunks()
+                        yield from out.to_batches()
+
+        bl = self.spark.createDataFrame(
+            [(b,) for b in bucket_ids], "bucket int"
+        ).repartition(len(bucket_ids), F.col("bucket"))
+        return bl.mapInArrow(merge_read, schema=schema)
 
     def changes(
         self, from_version: int, to_version: int | None = None
@@ -276,6 +434,11 @@ class LakeTable:
         """Commit a new snapshot: replaced buckets take the new file
         lists; untouched buckets carry over from the parent. Atomic.
 
+        A replaced bucket's pending MoR delta files are cleared from
+        the new snapshot — a rewrite produced its files from the
+        MERGED read, so the deltas are baked in (this is exactly
+        Iceberg's rewrite_data_files dropping applied delete files).
+
         ``base_version`` anchors optimistic concurrency: if another
         commit landed since the writer read that version, raise
         CommitConflictError instead of silently clobbering it.
@@ -288,9 +451,13 @@ class LakeTable:
         parent = self.manifest()
         files = dict(parent.files)
         counts = dict(parent.row_counts)
+        dfiles = dict(parent.delta_files)
+        dcounts = dict(parent.delta_row_counts)
         for b in replaced_buckets:
             files.pop(str(b), None)
             counts.pop(str(b), None)
+            dfiles.pop(str(b), None)
+            dcounts.pop(str(b), None)
         for b, fs in new_files.items():
             rel = [os.path.relpath(f, self.root) for f in fs]
             if rel:
@@ -305,6 +472,53 @@ class LakeTable:
             files=files,
             row_counts=counts,
             summary={**parent.summary, **(summary or {})},
+            delta_files=dfiles,
+            delta_row_counts=dcounts,
+        )
+        self._write_manifest(m, expected_parent=parent.version)
+        return m.version
+
+    def commit_deltas(
+        self,
+        new_delta_files: dict[int, list[str]],
+        new_delta_rows: dict[int, int],
+        schema: T.StructType | None = None,
+        summary: dict | None = None,
+        base_version: int | None = None,
+    ) -> int:
+        """Commit a merge-on-read epoch: APPEND each bucket's new delta
+        files to its ordered delta list, leaving every base file
+        untouched. The write cost of the snapshot is O(epoch batch) —
+        independent of table size — which is the whole point of MoR;
+        readers pay the merge until ``compact()`` folds the deltas
+        down. Atomic pointer swap, same two-phase crash contract as
+        :meth:`commit`."""
+        if base_version is not None and self.current_version() != base_version:
+            raise CommitConflictError(
+                f"commit conflict: table moved from v{base_version} "
+                f"to v{self.current_version()} since this merge started"
+            )
+        parent = self.manifest()
+        dfiles = dict(parent.delta_files)
+        dcounts = dict(parent.delta_row_counts)
+        for b, fs in new_delta_files.items():
+            rel = [os.path.relpath(f, self.root) for f in fs]
+            if rel:
+                dfiles[str(b)] = [*dfiles.get(str(b), []), *rel]
+                dcounts[str(b)] = int(dcounts.get(str(b), 0)) + int(
+                    new_delta_rows.get(b, 0)
+                )
+        m = Manifest(
+            version=parent.version + 1,
+            parent=parent.version,
+            schema_json=json.dumps((schema or parent.schema).jsonValue()),
+            num_buckets=parent.num_buckets,
+            key_cols=parent.key_cols,
+            files=dict(parent.files),
+            row_counts=dict(parent.row_counts),
+            summary={**parent.summary, **(summary or {})},
+            delta_files=dfiles,
+            delta_row_counts=dcounts,
         )
         self._write_manifest(m, expected_parent=parent.version)
         return m.version
@@ -314,18 +528,29 @@ class LakeTable:
 
     def compact(self, buckets: list[int] | None = None, target_file_rows: int | None = None) -> int:
         """Maintenance: rewrite each (selected) bucket's files into one
-        sorted file, commit as a new snapshot. Data is unchanged — only
-        the file layout. The small-file problem is inherent to CoW
-        epochs (each epoch adds a file per touched bucket); periodic
-        compaction restores one-file-per-bucket reads, like Iceberg's
-        rewrite_data_files. Returns the new snapshot version.
+        sorted file, commit as a new snapshot. The visible data is
+        unchanged — only the physical layout. Two jobs in one pass,
+        both Iceberg's rewrite_data_files: multi-file CoW buckets get
+        one file back, and merge-on-read buckets have their pending
+        deltas FOLDED into a fresh base (the rewrite reads the merged
+        view, and the commit clears the applied delta files), which
+        resets MoR read amplification to zero. Returns the new
+        snapshot version.
         """
         import pyarrow.parquet as _pq
         from pyspark.sql import functions as _F
 
         m = self.manifest()
-        todo = [b for b in (buckets if buckets is not None else sorted(int(x) for x in m.files))
-                if str(b) in m.files and len(m.files[str(b)]) > 1]
+        cand = (
+            buckets
+            if buckets is not None
+            else sorted({int(x) for x in m.files} | {int(x) for x in m.delta_files})
+        )
+        todo = [
+            b
+            for b in cand
+            if len(m.files.get(str(b), [])) > 1 or m.delta_files.get(str(b))
+        ]
         if not todo:
             return m.version
         txn = self.new_txn_dir()
@@ -460,6 +685,11 @@ class LakeTable:
         for v in self.versions():
             m = self.manifest(v)
             live |= {os.path.join(self.root, p) for fs in m.files.values() for p in fs}
+            live |= {
+                os.path.join(self.root, p)
+                for fs in m.delta_files.values()
+                for p in fs
+            }
         removed = []
         data_dir = os.path.join(self.root, "data")
         for dirpath, _dirnames, filenames in os.walk(data_dir):
