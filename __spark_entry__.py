@@ -214,6 +214,33 @@ def _q_cdc_replay_mor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed point read (LakeTable.lookup — the serving-path analog of
+    otsreader's keyed GetRange): fetch the first 20 keys of the final
+    state, by explicit (repo, path) list, from the MERGE-ON-READ table
+    while it still has pending deltas — so the bucket-pruned lookup
+    path AND the bucket-local LWW merge are both on the line. Oracle:
+    the pure-SQL sequential replay limited to the same first-20 key
+    range."""
+    _q_cdc_replay_mor_table(spark, sf_dir)  # ensure the MoR run exists
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable.load(spark, os.path.join(root, "table_mor"))
+    keys = [
+        (r.repo, r.path)
+        for r in t.read()
+        .select("repo", "path")
+        .orderBy("repo", "path")
+        .limit(20)
+        .collect()
+    ]
+    return t.lookup(keys).select(
+        "repo", "path", "commit", "lsn", "lang",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
 def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (the Iceberg read-at-version surface):
     read the replay table AS OF the snapshot committed by epoch 1
@@ -841,6 +868,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state": _q_cdc_replay_state,
         "cdc_replay_repo_table": _q_cdc_replay_repo_table,
         "cdc_replay_mor_table": _q_cdc_replay_mor_table,
+        "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
@@ -1087,6 +1115,22 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, commit, lsn, lang, lang_variant,
                    sha256(content) AS content_sha256
             FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        "cdc_point_lookup": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT repo, path, commit, lsn, lang,
+                   sha256(content) AS content_sha256
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY repo, path LIMIT 20
         """,
         "cdc_time_travel": f"""
             WITH ev AS (

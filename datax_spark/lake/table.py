@@ -361,6 +361,39 @@ class LakeTable:
         ).repartition(len(bucket_ids), F.col("bucket"))
         return bl.mapInArrow(merge_read, schema=schema)
 
+    def lookup(self, key_values: list[tuple], version: int | None = None) -> DataFrame:
+        """Keyed point read: the current rows for an explicit set of
+        primary keys — the serving-path analog of otsreader's keyed
+        GetRange (``OtsReaderSlaveProxy.java`` keyed scan), done with
+        bucket pruning instead of an index: the requested keys hash to
+        at most ``len(key_values)`` buckets, so the scan touches
+        O(|touched buckets|) files regardless of table size, then a
+        broadcast semi-join keeps exactly the requested keys.
+
+        MoR-aware (goes through :meth:`read`, so pending deltas are
+        merged and tombstoned keys correctly come back absent) and
+        time-travel-aware (``version``). The bucket computation is one
+        tiny Spark job over the key list itself, using the same JVM
+        xxhash64 as the writer — never reimplemented driver-side.
+        """
+        m = self.manifest(version)
+        # tuples are positional: field order must follow key_cols, not
+        # the table schema
+        by_name = {f.name: f for f in m.schema.fields}
+        kschema = T.StructType([by_name[k] for k in m.key_cols])
+        if not key_values:
+            return self.spark.createDataFrame([], m.schema)
+        kdf = self.spark.createDataFrame(key_values, kschema)
+        bexpr = F.pmod(
+            F.xxhash64(*[F.col(k) for k in m.key_cols]), F.lit(m.num_buckets)
+        ).cast("int")
+        bs = sorted(
+            r[0] for r in kdf.select(bexpr.alias("__b")).distinct().collect()
+        )  # bounded by |key_values| — a point-lookup list, not data
+        return self.read(buckets=bs, version=version).join(
+            F.broadcast(kdf), on=list(m.key_cols), how="left_semi"
+        )
+
     def changes(
         self, from_version: int, to_version: int | None = None
     ) -> DataFrame:

@@ -212,6 +212,61 @@ def test_strategy_guards(spark, tmp_path):
     assert not t.manifest().delta_files
 
 
+def test_lookup_point_read(spark, tmp_path):
+    """LakeTable.lookup: bucket-pruned point read returns exactly the
+    requested keys, sees pending MoR deltas (updated image, tombstoned
+    key absent), and respects time travel."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    t = LakeTable.create(
+        spark, str(tmp_path / "pl"), schema, key_cols=["repo", "path"], num_buckets=8
+    )
+    ddl = "repo string, path string, commit string, lsn long, content string, op string"
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [
+                ("r1", "a", "c1", 1, "A1", "U"),
+                ("r1", "b", "c1", 2, "B1", "U"),
+                ("r2", "a", "c1", 3, "X1", "U"),
+            ],
+            ddl,
+        ),
+        strategy="mor",
+    ).commit()
+    v1 = t.current_version()
+    merge_into(
+        t,
+        spark.createDataFrame(
+            [("r1", "a", "c2", 4, "A2", "U"), ("r1", "b", "c2", 5, None, "D")], ddl
+        ),
+        strategy="mor",
+    ).commit()
+
+    got = {
+        (r.repo, r.path): r.content
+        for r in t.lookup([("r1", "a"), ("r1", "b"), ("r9", "nope")]).collect()
+    }
+    assert got == {("r1", "a"): "A2"}  # updated image; tombstoned + missing absent
+    # untouched key still served; time travel sees the pre-delete state
+    assert t.lookup([("r2", "a")]).collect()[0].content == "X1"
+    old = {
+        (r.repo, r.path): r.content
+        for r in t.lookup([("r1", "a"), ("r1", "b")], version=v1).collect()
+    }
+    assert old == {("r1", "a"): "A1", ("r1", "b"): "B1"}
+    assert t.lookup([]).count() == 0
+
+
 def test_mor_tombstone_resurrection_and_compact(spark, tmp_path):
     """Delete → tombstone hides the key; re-insert resurrects it; a
     tombstone-only bucket compacts away to nothing."""
