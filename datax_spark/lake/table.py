@@ -73,6 +73,18 @@ class Manifest:
     # pre-MoR manifests load unchanged.
     delta_files: dict[str, list[str]] = field(default_factory=dict)
     delta_row_counts: dict[str, int] = field(default_factory=dict)
+    # Optional EVENT-ORDER resolution for the MoR read (set at create
+    # time): when non-empty, the merged read picks each key's winner by
+    # max (resolve_order..., apply sequence) instead of apply sequence
+    # alone. With it, out-of-order DELIVERY is harmless — a late batch
+    # carrying older images (or older tombstones) can never regress a
+    # key, which is strictly stronger than the CoW cross-batch guard:
+    # retained tombstones even suppress a delete-then-earlier-update
+    # arrival, the case order-guarded CoW documents as unsupportable.
+    # The reordering window it tolerates is bounded by compaction
+    # (folded tombstones are gone — the Kafka compacted-topic
+    # retention trade-off).
+    resolve_order: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> T.StructType:
@@ -95,6 +107,7 @@ class Manifest:
                 "summary": self.summary,
                 "delta_files": self.delta_files,
                 "delta_row_counts": self.delta_row_counts,
+                "resolve_order": self.resolve_order,
             },
             indent=1,
         )
@@ -165,12 +178,23 @@ class LakeTable:
         schema: T.StructType,
         key_cols: list[str],
         num_buckets: int = 64,
+        resolve_order: list[str] | None = None,
     ) -> "LakeTable":
+        """``resolve_order`` (e.g. ``["commit", "lsn"]``) opts the
+        table into event-order MoR resolution: merged reads pick each
+        key's winner by max (resolve_order..., apply sequence), making
+        out-of-order delta delivery unable to regress a key. The
+        columns must exist in ``schema`` and be non-null on every
+        written row (they are the event's order tuple)."""
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)
         if t.current_version() is not None:
             raise FileExistsError(f"table already exists at {root}")
+        names = {f.name for f in schema.fields}
+        for c in resolve_order or ():
+            if c not in names:
+                raise ValueError(f"resolve_order column {c!r} not in schema")
         m = Manifest(
             version=0,
             parent=None,
@@ -180,6 +204,7 @@ class LakeTable:
             files={},
             row_counts={},
             summary={"last_epoch": -1},
+            resolve_order=list(resolve_order or ()),
         )
         t._write_manifest(m, expected_parent=None)
         return t
@@ -286,6 +311,7 @@ class LakeTable:
 
         root = self.root
         keys = list(m.key_cols)
+        resolve = list(m.resolve_order)
         schema = m.schema
         pa_schema = to_arrow_schema(schema)
         file_plan = {
@@ -328,9 +354,16 @@ class LakeTable:
                         continue
                     tbl = pa.concat_tables(parts)
                     tbl = tbl.append_column("__k", composite_key_array(tbl, keys))
+                    # winner per key: max (resolve_order..., seq) when
+                    # the table opted into event-order resolution (see
+                    # Manifest.resolve_order), else max apply sequence
                     idx = pc.sort_indices(
                         tbl,
-                        sort_keys=[("__k", "ascending"), ("__seq", "descending")],
+                        sort_keys=[
+                            ("__k", "ascending"),
+                            *[(c, "descending") for c in resolve],
+                            ("__seq", "descending"),
+                        ],
                     )
                     tbl = tbl.take(idx).combine_chunks()
                     karr = tbl.column("__k").chunk(0) if tbl.column("__k").num_chunks else None
@@ -507,6 +540,7 @@ class LakeTable:
             summary={**parent.summary, **(summary or {})},
             delta_files=dfiles,
             delta_row_counts=dcounts,
+            resolve_order=parent.resolve_order,
         )
         self._write_manifest(m, expected_parent=parent.version)
         return m.version
@@ -552,6 +586,7 @@ class LakeTable:
             summary={**parent.summary, **(summary or {})},
             delta_files=dfiles,
             delta_row_counts=dcounts,
+            resolve_order=parent.resolve_order,
         )
         self._write_manifest(m, expected_parent=parent.version)
         return m.version
@@ -674,6 +709,7 @@ class LakeTable:
             files=files,
             row_counts=counts,
             summary={**m.summary, "rebucketed_from": m.num_buckets},
+            resolve_order=m.resolve_order,
         )
         self._write_manifest(nm, expected_parent=m.version)
         return nm.version

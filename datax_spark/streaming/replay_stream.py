@@ -22,14 +22,17 @@ emit op-typed events → checkpoint each boundary):
   the guard makes the second apply a no-op or an identical commit.
 
 Ordering note: within one micro-batch, LWW picks max (commit, lsn)
-per key. ACROSS batches, upserts are order-guarded against the
-current table row (``order_cols`` in ``merge_into``), so a late batch
-carrying older images cannot regress a key. Deletes are applied only
-when newer than the current row; a delete followed by an EARLIER
-update arriving in a later batch would need tombstone retention to
-suppress — out of scope here and in the reference (its writers apply
-deletes immediately too; otsstreamreader guarantees in-order delivery
-per key via parent-before-child shard ordering,
+per key. ACROSS batches, the CoW plans (spj/shuffle) order-guard
+upserts against the current table row (``order_cols`` in
+``merge_into``), so a late batch carrying older images cannot regress
+a key; a delete followed by an EARLIER update arriving in a later
+batch would need tombstone retention to suppress — which is exactly
+what ``merge_strategy="mor"`` provides: the table is created with
+``resolve_order=order_cols`` and merged reads pick winners by event
+order, so retained tombstones suppress even that case until a
+compaction folds them (the retention window). The reference applies
+deletes immediately too and relies on in-order delivery
+(otsstreamreader parent-before-child shard ordering,
 ``ShardStatusChecker.java:21-36``).
 """
 
@@ -78,6 +81,15 @@ class StreamReplay:
             schema=batch_df.drop(self.config.op_col).schema,
             key_cols=list(self.config.keys),
             num_buckets=self.config.num_buckets,
+            # MoR streams get event-order read resolution instead of
+            # the write-time guard: winners resolve by (order_cols,
+            # apply seq) at read time, so a late batch carrying older
+            # images or tombstones cannot regress a key
+            resolve_order=(
+                list(self.config.order_cols)
+                if self.config.merge_strategy == "mor"
+                else None
+            ),
         )
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -95,17 +107,19 @@ class StreamReplay:
         )
         for fn in cfg.transforms:
             deduped = fn(deduped)
+        strategy = {"spj_staged": "spj"}.get(cfg.merge_strategy, cfg.merge_strategy)
         pending = merge_into(
             table,
             deduped,
             op_col=cfg.op_col,
             delete_op=cfg.delete_op,
-            order_cols=list(cfg.order_cols),  # cross-batch LWW guard
-            # the guard runs inside the bucket task on the spj default;
-            # spj_staged maps to the same physical merge
-            strategy={"spj_staged": "spj"}.get(
-                cfg.merge_strategy, cfg.merge_strategy
-            ),
+            # CoW plans take the write-time cross-batch guard (the
+            # guard runs inside the bucket task on the spj default);
+            # the MoR plan replaces it with event-order READ
+            # resolution (the table's resolve_order, set at create) —
+            # stale batches land as deltas that simply never win.
+            order_cols=None if strategy == "mor" else list(cfg.order_cols),
+            strategy=strategy,
         )
         pending.commit(summary={"last_epoch": batch_id})
         self.applied_batches.append(batch_id)

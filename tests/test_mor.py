@@ -267,6 +267,114 @@ def test_lookup_point_read(spark, tmp_path):
     assert t.lookup([]).count() == 0
 
 
+def test_mor_resolve_order_out_of_order_deltas(spark, tmp_path):
+    """A table created with ``resolve_order`` picks winners by EVENT
+    order (commit, lsn), not delivery order: a late batch carrying
+    older images cannot regress a key, and a retained tombstone
+    suppresses even a delete-then-EARLIER-update arrival — the case
+    the write-time order-guarded CoW plans document as unsupportable.
+    Compaction folds tombstones, which closes that reordering window
+    for deleted keys (the compacted-topic retention trade-off) while
+    base rows keep their order columns and stay regression-proof."""
+    import pyspark.sql.types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("repo", T.StringType()),
+            T.StructField("path", T.StringType()),
+            T.StructField("commit", T.StringType()),
+            T.StructField("lsn", T.LongType()),
+            T.StructField("content", T.StringType()),
+        ]
+    )
+    with pytest.raises(ValueError, match="resolve_order"):
+        LakeTable.create(
+            spark, str(tmp_path / "bad"), schema,
+            key_cols=["repo", "path"], resolve_order=["nope"],
+        )
+    t = LakeTable.create(
+        spark, str(tmp_path / "ooo"), schema,
+        key_cols=["repo", "path"], num_buckets=4,
+        resolve_order=["commit", "lsn"],
+    )
+    assert LakeTable.load(spark, t.root).manifest().resolve_order == ["commit", "lsn"]
+    ddl = "repo string, path string, commit string, lsn long, content string, op string"
+
+    def apply(rows):
+        merge_into(t, spark.createDataFrame(rows, ddl), strategy="mor").commit()
+
+    def state():
+        return {(r.repo, r.path): r.content for r in t.read().collect()}
+
+    # delivery batch 1 carries the NEWER events: a=c2, delete b at c3
+    apply([("r1", "a", "c2", 2, "A2", "U"), ("r1", "b", "c3", 3, None, "D")])
+    # delivery batch 2 arrives late with OLDER events for both keys
+    apply([("r1", "a", "c1", 1, "A-old", "U"), ("r1", "b", "c2", 2, "B-old", "U")])
+    assert state() == {("r1", "a"): "A2"}  # no regression, delete holds
+    # lookup goes through the same merged read
+    assert t.lookup([("r1", "a")]).collect()[0].content == "A2"
+    # an update genuinely newer than the tombstone resurrects the key
+    apply([("r1", "b", "c4", 4, "B4", "U")])
+    assert state() == {("r1", "a"): "A2", ("r1", "b"): "B4"}
+
+    # compaction folds deltas through the same event-order resolution:
+    # visible state unchanged, resolve_order survives on the manifest
+    t.compact()
+    m = t.manifest()
+    assert not m.delta_files and m.resolve_order == ["commit", "lsn"]
+    assert state() == {("r1", "a"): "A2", ("r1", "b"): "B4"}
+
+    # base rows keep their order columns: a stale image still loses
+    # against the compacted base
+    apply([("r1", "a", "c0", 0, "A-ancient", "U")])
+    assert state()[("r1", "a")] == "A2"
+
+    # the documented retention window: once a DELETED key's tombstone
+    # is folded away by compaction, a sufficiently stale update can
+    # resurrect it — bounded-reordering is the price of compaction
+    apply([("r1", "b", "c9", 9, None, "D")])
+    t.compact()
+    apply([("r1", "b", "c1", 1, "B-stale", "U")])
+    assert state()[("r1", "b")] == "B-stale"
+
+
+def test_stream_mor_out_of_order_batch_delivery(spark, tmp_path):
+    """StreamReplay with merge_strategy='mor': micro-batches applied in
+    the WRONG event order converge to the event-order winner. The
+    stream creates the table with resolve_order=order_cols, so the late
+    batch's older image and older-than-tombstone update both lose at
+    read time — stricter than the CoW cross-batch guard, which cannot
+    suppress the delete-then-earlier-update arrival."""
+    from datax_spark.engine.replay import ReplayConfig
+    from datax_spark.streaming import StreamReplay
+
+    ddl = "repo string, path string, commit string, lsn long, content string, op string"
+    cfg = ReplayConfig(num_buckets=4, merge_strategy="mor")
+    newer = spark.createDataFrame(
+        [("r1", "a", "c2", 2, "A2", "U"), ("r1", "b", "c3", 3, None, "D")], ddl
+    )
+    older = spark.createDataFrame(
+        [("r1", "a", "c1", 1, "A-old", "U"), ("r1", "b", "c2", 2, "B-old", "U")], ddl
+    )
+    newer.write.parquet(str(tmp_path / "events" / "f1"))
+    sr = StreamReplay(
+        spark, str(tmp_path / "events"), str(tmp_path / "table"),
+        str(tmp_path / "ckpt"), config=cfg, schema=newer.schema,
+    )
+    sr.run_available_now()
+    assert sr.table().manifest().resolve_order == ["commit", "lsn"]
+
+    older.write.parquet(str(tmp_path / "events" / "f2"))
+    sr2 = StreamReplay(
+        spark, str(tmp_path / "events"), str(tmp_path / "table"),
+        str(tmp_path / "ckpt"), config=cfg, schema=newer.schema,
+    )
+    sr2.run_available_now()
+    assert sr2.applied_batches, "second drain must apply the late batch"
+    got = {(r.repo, r.path): r.content for r in sr2.table().read().collect()}
+    assert got == {("r1", "a"): "A2"}
+
+
 def test_mor_tombstone_resurrection_and_compact(spark, tmp_path):
     """Delete → tombstone hides the key; re-insert resurrects it; a
     tombstone-only bucket compacts away to nothing."""
