@@ -82,11 +82,18 @@ def main(argv: list[str] | None = None) -> int:
                               "resume_from": eng.resume_epoch()}))
             return 0
         results = eng.run(through_epoch=r.get("through_epoch"))
+        applied = [x for x in results if not x.skipped]
         print(json.dumps({
             "mode": "replay",
-            "epochs_applied": [x.epoch for x in results if not x.skipped],
+            "master": spark.sparkContext.master,
+            "epochs_applied": [x.epoch for x in applied],
             "epochs_skipped": [x.epoch for x in results if x.skipped],
             "rows_after": results[-1].rows_after if results else None,
+            # replay-only wall (sum of per-epoch apply walls): excludes
+            # JVM/session cold start, so two spark-submit runs at N and
+            # 4N cores compare engine throughput, not startup noise.
+            "events_applied": sum(x.n_events for x in applied),
+            "replay_sec": round(sum(x.apply_ms for x in applied) / 1000.0, 3),
         }))
         return 0
 

@@ -27,13 +27,18 @@ def get_spark(
     if cores is None:
         env = os.environ.get("SPARK_GRAFT_CPUS")
         cores = int(env) if env else (os.cpu_count() or 8)
+    explicit_shuffle = shuffle_partitions is not None
     if shuffle_partitions is None:
         shuffle_partitions = max(8, 2 * cores)
+    # Under spark-submit the JVM gateway is already up and its conf
+    # carries the submitted --master (local[N], yarn, k8s, ...).
+    # Forcing .master() here would silently override the cluster the
+    # operator asked for — the exact bug class the north rule's
+    # "spark-submit --py-files at N and 4N executors" form exists to
+    # catch. Detect the pre-launched gateway and leave master alone.
+    under_submit = "PYSPARK_GATEWAY_PORT" in os.environ
     builder = (
-        SparkSession.builder.master(f"local[{cores}]")
-        .appName(app_name)
-        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
-        .config("spark.default.parallelism", str(cores))
+        SparkSession.builder.appName(app_name)
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
@@ -53,10 +58,20 @@ def get_spark(
         .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "1000000")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.parquet.compression.codec", "snappy")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
     )
+    if not under_submit:
+        # Sizing heuristics are local-mode only: on a submitted cluster
+        # the operator's --conf (or AQE) owns parallelism and memory.
+        builder = (
+            builder.master(f"local[{cores}]")
+            .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+            .config("spark.default.parallelism", str(cores))
+            .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "48g"))
+        )
+    elif explicit_shuffle:
+        builder = builder.config("spark.sql.shuffle.partitions", str(shuffle_partitions))
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)
     spark = builder.getOrCreate()

@@ -10,7 +10,10 @@ engine's efficiency can be judged against what the hardware can give.
 Results append to BENCH/scaling.json; BENCH/BASELINE.md is rewritten.
 
 Usage: python tools/bench_scaling.py [n_events] [N] [--keep] [--no-control]
-       [--strategy=spj|shuffle]
+       [--strategy=spj|shuffle] [--submit] [--no-hist]
+       --submit launches every worker via spark-submit --py-files
+       datax_spark.zip (the north rule's literal deployment form);
+       --no-hist skips appending to BENCH/scaling.json (plumbing runs)
        default n_events=4000000, N=1 (so 4N=4; both sizes sit inside
        this VM's real-hardware regime — see the control section).
 """
@@ -26,12 +29,50 @@ import tempfile
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+# --submit: run every worker through the literal north-rule deployment
+# form — `spark-submit --py-files datax_spark.zip` — instead of a bare
+# python process. Same worker script, same timed window (the worker
+# times only the warm replay, so JVM cold start stays out of the
+# comparison); only the launcher differs.
+SUBMIT_ZIP: str | None = None
 
-def run(args: list[str]) -> dict:
-    out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "tools", "replay_once.py"), *args],
-        capture_output=True, text=True, check=True,
-    )
+
+def _build_zip() -> str:
+    global SUBMIT_ZIP
+    if SUBMIT_ZIP is None:
+        d = tempfile.mkdtemp(prefix="datax_spark_pyfiles_")
+        SUBMIT_ZIP = os.path.join(d, "datax_spark.zip")
+        subprocess.run(
+            ["zip", "-qr", SUBMIT_ZIP, "datax_spark", "-x", "*__pycache__*"],
+            cwd=REPO, check=True,
+        )
+    return SUBMIT_ZIP
+
+
+def _worker_cpus(args: list[str]) -> int:
+    if args[0] == "replay":
+        return int(args[3])
+    if args[0] == "control":
+        return int(args[1])
+    return 32  # gen
+
+
+def run(args: list[str], submit: bool = False) -> dict:
+    if submit:
+        cpus = _worker_cpus(args)
+        cmd = [
+            "spark-submit",
+            "--master", f"local[{cpus}]",
+            "--py-files", _build_zip(),
+            # JVM-launch-time settings that a builder config can no
+            # longer apply once spark-submit has started the gateway
+            "--conf", f"spark.driver.extraJavaOptions=-XX:ActiveProcessorCount={cpus}",
+            "--conf", "spark.local.dir=/dev/shm/datax_spark_sparktmp",
+            os.path.join(REPO, "tools", "replay_once.py"), *args,
+        ]
+    else:
+        cmd = [sys.executable, os.path.join(REPO, "tools", "replay_once.py"), *args]
+    out = subprocess.run(cmd, capture_output=True, text=True, check=True)
     line = [ln for ln in out.stdout.strip().splitlines() if ln.startswith("{")][-1]
     return json.loads(line)
 
@@ -45,6 +86,7 @@ def main() -> None:
     for a in sys.argv[1:]:
         if a.startswith("--strategy="):
             strategy = a.split("=", 1)[1]
+    submit = "--submit" in sys.argv
 
     hist_path = os.path.join(REPO, "BENCH", "scaling.json")
     if "--report-only" in sys.argv:
@@ -55,7 +97,7 @@ def main() -> None:
     root = tempfile.mkdtemp(prefix="datax_spark_scaling_")
     events_root = os.path.join(root, "events")
     try:
-        gen = run(["gen", events_root, str(n_events)])
+        gen = run(["gen", events_root, str(n_events)], submit=submit)
         print(f"generated {n_events} events in {gen['sec']}s", flush=True)
         # interleaved best-of-2 per size: this VM shows CPU-steal bursts
         # of tens of seconds; best-of filters them, interleaving keeps
@@ -65,7 +107,7 @@ def main() -> None:
             for size, slot in ((n_small, "s"), (n_big, "b")):
                 shutil.rmtree(os.path.join(root, f"table_{size}"), ignore_errors=True)
                 shutil.rmtree(os.path.join(root, f"metrics_{size}"), ignore_errors=True)
-                r = run(["replay", events_root, root, str(size), strategy])
+                r = run(["replay", events_root, root, str(size), strategy], submit=submit)
                 print(
                     f"trial{trial} local[{size}]: {r['events_per_sec']} ev/s ({r['sec']}s)",
                     flush=True,
@@ -80,8 +122,8 @@ def main() -> None:
 
     control = None
     if "--no-control" not in sys.argv:
-        cs = run(["control", str(n_small)])
-        cb = run(["control", str(n_big)])
+        cs = run(["control", str(n_small)], submit=submit)
+        cb = run(["control", str(n_big)], submit=submit)
         control = {
             "small_sec": cs["sec"],
             "big_sec": cb["sec"],
@@ -96,7 +138,7 @@ def main() -> None:
     result = {
         "n_events": n_events,
         "sizes": [n_small, n_big],
-        "merge_strategy": strategy,
+        "merge_strategy": strategy + ("+submit" if submit else ""),
         "small": {k: rs[k] for k in ("cpus", "sec", "events_per_sec", "rows_after")},
         "big": {k: rb[k] for k in ("cpus", "sec", "events_per_sec", "rows_after")},
         "speedup": round(speedup, 3),
@@ -105,6 +147,8 @@ def main() -> None:
     }
     print(json.dumps(result))
 
+    if "--no-hist" in sys.argv:
+        return
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     hist = []
     if os.path.exists(hist_path):
