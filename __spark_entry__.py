@@ -301,6 +301,31 @@ def _q_cdc_lineage_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-lineage metadata table (the Iceberg ``snapshots``
+    metadata-table surface): one row per committed snapshot of the
+    replay table — version, parent version, the epoch watermark that
+    snapshot committed, and its total live row count (sum of the
+    manifest's per-bucket counts, i.e. what COUNT(*) at that version
+    returns). Metadata-only: built from the O(num_versions) manifest
+    JSONs, no data files touched — at 10^10 events this reads a few KB.
+    Oracle: the raw event log replayed per epoch PREFIX (LWW winners
+    whose final op is not a delete), plus the empty create snapshot
+    v0 — so every snapshot's committed row count is value-checked
+    against an independent sequential replay."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable.load(spark, os.path.join(root, "table"))
+    rows = []
+    for v in t.versions():
+        m = t.manifest(v)
+        rows.append((v, m.parent, m.last_epoch, sum(m.row_counts.values())))
+    return spark.createDataFrame(
+        rows, "version int, parent int, last_epoch int, n_rows bigint"
+    )
+
+
 # ---------------------------------------------------------------------------
 # dx_* transformer parity
 # ---------------------------------------------------------------------------
@@ -870,6 +895,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mor_table": _q_cdc_replay_mor_table,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_snapshot_lineage": _q_cdc_snapshot_lineage,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         "dx_substr_pad_replace": _q_dx_substr_pad_replace,
@@ -1148,6 +1174,36 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, commit, lsn, lang,
                    sha256(content) AS content_sha256
             FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # snapshots metadata table: v0 is the empty create; each epoch k
+        # commits version k+1 whose live-row count equals the LWW
+        # winners (non-delete) over the epoch<=k prefix of the raw log.
+        "cdc_snapshot_lineage": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true, hive_partitioning = true,
+                  hive_types = {{'epoch': BIGINT}})
+            ),
+            eps AS (SELECT DISTINCT epoch FROM ev),
+            per AS (
+              SELECT p.epoch AS pe, ev.repo, ev.path, ev.op,
+                     row_number() OVER (
+                       PARTITION BY p.epoch, ev.repo, ev.path
+                       ORDER BY ev.commit DESC, ev.lsn DESC) AS rn
+              FROM eps p JOIN ev ON ev.epoch <= p.epoch
+            ),
+            counts AS (
+              SELECT pe, count(*) AS n_rows
+              FROM per WHERE rn = 1 AND op <> 'D'
+              GROUP BY pe
+            )
+            SELECT CAST(0 AS INT) AS version, CAST(NULL AS INT) AS parent,
+                   CAST(-1 AS INT) AS last_epoch, CAST(0 AS BIGINT) AS n_rows
+            UNION ALL
+            SELECT CAST(pe + 1 AS INT) AS version, CAST(pe AS INT) AS parent,
+                   CAST(pe AS INT) AS last_epoch, CAST(n_rows AS BIGINT) AS n_rows
+            FROM counts
         """,
         "cdc_change_feed": f"""
             WITH ev AS (

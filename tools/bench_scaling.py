@@ -63,6 +63,11 @@ def run(args: list[str], submit: bool = False) -> dict:
         cmd = [
             "spark-submit",
             "--master", f"local[{cpus}]",
+            # driver memory is a JVM-launch setting: without it the
+            # submitted driver gets the 1g default (the in-process path
+            # gets it from get_spark's builder, which correctly defers
+            # to submit-time conf when a gateway is already up)
+            "--driver-memory", os.environ.get("SPARK_DRIVER_MEM", "48g"),
             "--py-files", _build_zip(),
             # JVM-launch-time settings that a builder config can no
             # longer apply once spark-submit has started the gateway
@@ -193,6 +198,30 @@ def write_report(hist: list[dict]) -> None:
             f"(same-window control ceiling {dc}).\n"
         )
 
+    submit_runs = [h for h in hist if h.get("merge_strategy") == "spj+submit"]
+    submit_md = ""
+    if submit_runs:
+        s = max(submit_runs, key=lambda h: h["scaling_efficiency"])
+        sc = (s.get("cpu_control") or {}).get("efficiency")
+        rel = (
+            f" — {round(s['scaling_efficiency'] / sc, 2)} of the same-window "
+            f"hardware ceiling {sc}"
+            if sc
+            else ""
+        )
+        submit_md = (
+            f"\n### Deployment form (spark-submit --py-files), best run\n\n"
+            f"The same replay launched as `spark-submit --master local[N] "
+            f"--py-files datax_spark.zip` (fresh JVM per size — the "
+            f"north_rule's literal submission form, via "
+            f"`tools/bench_scaling.py --submit`): local[{s['sizes'][0]}] "
+            f"{s['small']['sec']}s ({s['small']['events_per_sec']:,.0f} ev/s) "
+            f"-> local[{s['sizes'][1]}] {s['big']['sec']}s "
+            f"({s['big']['events_per_sec']:,.0f} ev/s): speedup "
+            f"**{s['speedup']}x**, efficiency "
+            f"**{s['scaling_efficiency']}**{rel}.\n"
+        )
+
     ctrl_md = ""
     if control:
         ctrl_md = f"""
@@ -250,8 +279,7 @@ package zipped, per the north_rule's deployment form.
 * speedup N->4N: **{speedup}x** (ideal 4x)
 * scaling efficiency: **{eff}** (north_rule target >= 0.8)
 * final table rows (both sizes, asserted equal): {rs["rows_after"]:,}
-{default_md}
-
+{default_md}{submit_md}
 ## All runs (BENCH/scaling.json)
 
 | sizes | merge plan | events | N wall (s) | 4N wall (s) | speedup | efficiency | control ceiling |
