@@ -128,6 +128,7 @@ _REPLAY_CACHE: dict[str, str] = {}
 # oracle_sql() always execute in the same process, so the embedded
 # path stays consistent where it matters.
 _REPLAY_ROOT = f"/tmp/datax_spark_contract_replay_{os.getpid()}"
+_REPLAY_N_EVENTS = 20_000  # the fixed contract ChangelogSpec size
 
 
 def _replay_run_root(spark: SparkSession, sf_dir: str) -> str:
@@ -144,7 +145,7 @@ def _replay_run_root(spark: SparkSession, sf_dir: str) -> str:
     root = _REPLAY_ROOT
     shutil.rmtree(root, ignore_errors=True)
     spec = ChangelogSpec(
-        n_events=20_000, n_repos=50, paths_per_repo=120,
+        n_events=_REPLAY_N_EVENTS, n_repos=50, paths_per_repo=120,
         events_per_epoch=5_000, evolve_from_epoch=2, seed=42,
     )
     write_events(spark, spec, os.path.join(root, "events"))
@@ -157,7 +158,10 @@ def _replay_run_root(spark: SparkSession, sf_dir: str) -> str:
         # (one Spark job per epoch). The salted two-stage dedup variant
         # is oracle-checked separately (hot_key_salted_agg) and
         # crash-tested in pytest (test_replay_e2e CFG salt_buckets=8).
-        config=ReplayConfig(num_buckets=16),
+        # stats_cols: every commit also harvests per-file lsn bounds
+        # into the manifest (the filtered-read skipping they enable is
+        # oracle-checked by cdc_recent_changes_scan on the fine table).
+        config=ReplayConfig(num_buckets=16, stats_cols=("lsn",)),
     )
     eng.run()
     _REPLAY_CACHE["root"] = root
@@ -323,6 +327,43 @@ def _q_cdc_snapshot_lineage(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((v, m.parent, m.last_epoch, sum(m.row_counts.values())))
     return spark.createDataFrame(
         rows, "version int, parent int, last_epoch int, n_rows bigint"
+    )
+
+
+def _q_cdc_recent_changes_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Manifest-stats file skipping (the Iceberg lower/upper-bounds scan
+    planning surface): replay the same changelog into a FINE-bucketed
+    table (96 buckets) with per-file [min, max, null_count] stats on
+    ``lsn``, then serve "which keys' current state changed in the last
+    100 events" as ``read(filters=[('lsn', '>=', hi-100)])``. Only the
+    ~100 winning keys' buckets have a file whose max-lsn bound reaches
+    the range, so the scan SKIPS the other buckets' files entirely —
+    asserted here, so a layout regression fails loudly rather than
+    silently scanning everything. At 100 TB this is the difference
+    between touching O(changed buckets) files and a full-table scan.
+    Oracle: the pure-SQL LWW replay restricted to the same lsn range.
+    """
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+    from datax_spark.lake.table import LakeTable
+
+    if not _REPLAY_CACHE.get("fine"):
+        eng = ReplayEngine(
+            spark,
+            events_root=os.path.join(root, "events"),
+            table_root=os.path.join(root, "table_fine"),
+            metrics_root=os.path.join(root, "metrics_fine"),
+            config=ReplayConfig(num_buckets=96, stats_cols=("lsn",)),
+        )
+        eng.run()
+        _REPLAY_CACHE["fine"] = "done"
+    t = LakeTable.load(spark, os.path.join(root, "table_fine"))
+    flt = [("lsn", ">=", _REPLAY_N_EVENTS - 100)]
+    kept, skipped = t.plan_files(flt)
+    assert skipped, "stats pruning skipped nothing — bounds harvesting broke"
+    return t.read(filters=flt).select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
     )
 
 
@@ -896,6 +937,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_snapshot_lineage": _q_cdc_snapshot_lineage,
+        "cdc_recent_changes_scan": _q_cdc_recent_changes_scan,
         "cdc_change_feed": _q_cdc_change_feed,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         "dx_substr_pad_replace": _q_dx_substr_pad_replace,
@@ -1204,6 +1246,26 @@ def oracle_sql() -> dict[str, str]:
             SELECT CAST(pe + 1 AS INT) AS version, CAST(pe AS INT) AS parent,
                    CAST(pe AS INT) AS last_epoch, CAST(n_rows AS BIGINT) AS n_rows
             FROM counts
+        """,
+        # stats-pruned "recent changes" scan: the engine serves it by
+        # skipping files via manifest bounds; the oracle replays the
+        # raw log and keeps winners in the same lsn range — file
+        # skipping must be invisible in the answer.
+        "cdc_recent_changes_scan": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT repo, path, commit, lsn, lang, lang_variant,
+                   sha256(content) AS content_sha256
+            FROM w
+            WHERE rn = 1 AND op <> 'D' AND lsn >= {_REPLAY_N_EVENTS - 100}
         """,
         "cdc_change_feed": f"""
             WITH ev AS (

@@ -126,6 +126,13 @@ class ReplayConfig:
     # fraction must lie in [0.0, 1.0].
     dirty_pct_limit: float | None = None
     quarantine: bool = True
+    # File-level min/max/null stats harvested at every commit for these
+    # columns (LakeTable stats_cols): lets downstream filtered reads
+    # skip whole data files via the manifest (Iceberg scan planning).
+    # Natural picks for a CDC table are the order columns — a
+    # time-ranged read then touches only files whose commit/lsn bounds
+    # overlap the range. Empty = stats off (the default).
+    stats_cols: tuple[str, ...] = ()
 
     def __post_init__(self) -> None:
         if self.dirty_pct_limit is not None and not (
@@ -185,6 +192,7 @@ class ReplayEngine:
             schema=schema,
             key_cols=list(self.config.keys),
             num_buckets=self.config.num_buckets,
+            stats_cols=list(self.config.stats_cols),
         )
 
     def resume_epoch(self) -> int:

@@ -85,6 +85,17 @@ class Manifest:
     # (folded tombstones are gone — the Kafka compacted-topic
     # retention trade-off).
     resolve_order: list[str] = field(default_factory=list)
+    # File-level column statistics (the Iceberg manifest
+    # lower_bounds/upper_bounds/null_value_counts analog): for each
+    # column named in ``stats_cols``, every BASE data file carries
+    # [min, max, null_count] harvested from its parquet footer at
+    # commit time — no data read, O(new files) footer metadata per
+    # commit, exactly the per-file stats Iceberg writers persist.
+    # ``read(filters=...)`` skips files whose bounds cannot satisfy a
+    # conjunct; absent stats (pre-stats files, unharvestable types)
+    # simply disable skipping for that file — never correctness.
+    stats_cols: list[str] = field(default_factory=list)
+    file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
 
     @property
     def schema(self) -> T.StructType:
@@ -108,6 +119,8 @@ class Manifest:
                 "delta_files": self.delta_files,
                 "delta_row_counts": self.delta_row_counts,
                 "resolve_order": self.resolve_order,
+                "stats_cols": self.stats_cols,
+                "file_stats": self.file_stats,
             },
             indent=1,
         )
@@ -155,6 +168,128 @@ def composite_key_array(tbl, keys: list[str]):
     return kc
 
 
+def harvest_file_stats(paths: list[str], stats_cols: list[str]) -> dict[str, dict[str, list]]:
+    """Per-file [min, max, null_count] for ``stats_cols``, read from
+    parquet FOOTERS only (row-group statistics folded per file) — the
+    stats an Iceberg writer persists into its manifest, harvested at
+    commit time with zero data pages read. A column whose footer lacks
+    min/max (unsupported physical type, stats disabled) gets
+    ``[None, None, nulls]``: pruning treats missing bounds as
+    "could match", so absent stats can never cost correctness.
+
+    Only JSON-stable types are kept (int/float/str/bool) — binary or
+    nested mins would not round-trip through the manifest.
+    """
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, list]] = {}
+    for p in paths:
+        md = pq.ParquetFile(p).metadata
+        idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+        per_col: dict[str, list] = {}
+        for c in stats_cols:
+            if c not in idx:
+                continue  # pre-evolution file: column absent => all null
+            mn = mx = None
+            nulls = 0
+            ok = True
+            for rg in range(md.num_row_groups):
+                st = md.row_group(rg).column(idx[c]).statistics
+                if st is None:
+                    ok = False
+                    break
+                nulls += st.null_count or 0
+                if not st.has_min_max:
+                    # all-null row group carries no bounds; fine
+                    continue
+                lo, hi = st.min, st.max
+                if not isinstance(lo, (int, float, str, bool)):
+                    ok = False
+                    break
+                mn = lo if mn is None else min(mn, lo)
+                mx = hi if mx is None else max(mx, hi)
+            if ok:
+                per_col[c] = [mn, mx, nulls]
+        if per_col:
+            out[p] = per_col
+    return out
+
+
+# file-skipping conjunct evaluation: True = file may contain matches,
+# False = provably empty for this conjunct. ``bounds`` is the manifest
+# triple [min, max, null_count]; min/max of None with null_count > 0
+# means the file's column is entirely null.
+def _bounds_may_match(bounds: list, op: str, val) -> bool:
+    mn, mx, _nulls = bounds
+    if op == "is_null":
+        return _nulls is None or _nulls > 0
+    if mn is None or mx is None:
+        # no bounds: only all-null files reach here with a positive
+        # null_count; any value predicate then fails, but is_not_null
+        # style checks are handled above/below conservatively
+        return op == "is_not_null" and (_nulls is None)
+    if op == "is_not_null":
+        return True
+    try:
+        if op in ("=", "=="):
+            return mn <= val <= mx
+        if op == "<":
+            return mn < val
+        if op == "<=":
+            return mn <= val
+        if op == ">":
+            return mx > val
+        if op == ">=":
+            return mx >= val
+        if op == "in":
+            return any(mn <= v <= mx for v in val)
+    except TypeError:
+        return True  # incomparable value/bounds types: never prune
+    return True  # unknown op: never prune
+
+
+def _file_may_match(per_col: dict[str, list], filters: list[tuple]) -> bool:
+    """AND of per-conjunct bounds checks for one file. A conjunct on a
+    column with no harvested stats is conservatively satisfiable."""
+    for col, op, *rest in filters:
+        bounds = per_col.get(col)
+        if bounds is None:
+            continue
+        if not _bounds_may_match(bounds, op, rest[0] if rest else None):
+            return False
+    return True
+
+
+def _filters_to_column(filters: list[tuple]):
+    """The same conjuncts as a Spark Column, applied to the scan so
+    ``read(filters=...)`` is exactly ``read().filter(...)`` no matter
+    what the stats allowed to be skipped."""
+    cond = None
+    for col, op, *rest in filters:
+        c = F.col(col)
+        v = rest[0] if rest else None
+        if op in ("=", "=="):
+            e = c == v
+        elif op == "<":
+            e = c < v
+        elif op == "<=":
+            e = c <= v
+        elif op == ">":
+            e = c > v
+        elif op == ">=":
+            e = c >= v
+        elif op == "in":
+            e = c.isin(list(v))
+        elif op == "is_null":
+            e = c.isNull()
+        elif op == "is_not_null":
+            e = c.isNotNull()
+        else:
+            raise ValueError(f"unsupported filter op: {op!r}")
+        cond = e if cond is None else cond & e
+    return cond
+
+
 def _atomic_write(path: str, data: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
@@ -179,13 +314,21 @@ class LakeTable:
         key_cols: list[str],
         num_buckets: int = 64,
         resolve_order: list[str] | None = None,
+        stats_cols: list[str] | None = None,
     ) -> "LakeTable":
         """``resolve_order`` (e.g. ``["commit", "lsn"]``) opts the
         table into event-order MoR resolution: merged reads pick each
         key's winner by max (resolve_order..., apply sequence), making
         out-of-order delta delivery unable to regress a key. The
         columns must exist in ``schema`` and be non-null on every
-        written row (they are the event's order tuple)."""
+        written row (they are the event's order tuple).
+
+        ``stats_cols`` opts the table into file-level min/max/null
+        statistics (the Iceberg manifest bounds analog): every commit
+        harvests those columns' bounds from the new files' parquet
+        footers, and ``read(filters=...)`` skips files the bounds
+        prove empty. Pick the columns queries range over (event time,
+        LSN, a monotone id) — not every payload column."""
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)
@@ -195,6 +338,9 @@ class LakeTable:
         for c in resolve_order or ():
             if c not in names:
                 raise ValueError(f"resolve_order column {c!r} not in schema")
+        for c in stats_cols or ():
+            if c not in names:
+                raise ValueError(f"stats_cols column {c!r} not in schema")
         m = Manifest(
             version=0,
             parent=None,
@@ -205,6 +351,7 @@ class LakeTable:
             row_counts={},
             summary={"last_epoch": -1},
             resolve_order=list(resolve_order or ()),
+            stats_cols=list(stats_cols or ()),
         )
         t._write_manifest(m, expected_parent=None)
         return t
@@ -260,7 +407,12 @@ class LakeTable:
         keys = key_cols or m.key_cols
         return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nb)).cast("int")
 
-    def read(self, buckets: list[int] | None = None, version: int | None = None) -> DataFrame:
+    def read(
+        self,
+        buckets: list[int] | None = None,
+        version: int | None = None,
+        filters: list[tuple] | None = None,
+    ) -> DataFrame:
         """Read the snapshot, optionally pruned to a bucket subset.
 
         The explicit manifest schema makes old files (written before a
@@ -272,24 +424,69 @@ class LakeTable:
         via :meth:`_read_merged_buckets`; delta-free buckets stay a
         plain parquet scan with full pushdown. A compacted or pure-CoW
         table therefore pays zero MoR read cost.
+
+        ``filters`` is a list of conjuncts ``(col, op[, value])`` with
+        op in {=, <, <=, >, >=, in, is_null, is_not_null}. Semantics
+        are exactly ``read().filter(AND(conjuncts))`` — the manifest's
+        per-file stats additionally let the scan SKIP base files whose
+        [min, max, null_count] bounds prove the conjunction empty
+        (Iceberg scan planning). MoR buckets are never file-pruned:
+        their LWW resolution needs every image of a key, so they merge
+        first and filter after — correctness over skipping.
         """
         m = self.manifest(version)
         want = None if buckets is None else {str(b) for b in buckets}
         sel = [b for b in (set(m.files) | set(m.delta_files)) if want is None or b in want]
         delta_b = sorted(int(b) for b in sel if m.delta_files.get(b))
         base_only = [b for b in sel if not m.delta_files.get(b)]
-        paths = [os.path.join(self.root, p) for b in base_only for p in m.files.get(b, [])]
+        rel = [p for b in base_only for p in m.files.get(b, [])]
+        if filters:
+            rel = [
+                p
+                for p in rel
+                if _file_may_match(m.file_stats.get(p, {}), filters)
+            ]
+        paths = [os.path.join(self.root, p) for p in rel]
         parts = []
         if paths:
             parts.append(self.spark.read.schema(m.schema).parquet(*paths))
         if delta_b:
             parts.append(self._read_merged_buckets(m, delta_b))
         if not parts:
-            return self.spark.createDataFrame([], m.schema)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionByName(p)
+            out = self.spark.createDataFrame([], m.schema)
+        else:
+            out = parts[0]
+            for p in parts[1:]:
+                out = out.unionByName(p)
+        if filters:
+            out = out.filter(_filters_to_column(filters))
         return out
+
+    def plan_files(
+        self,
+        filters: list[tuple],
+        buckets: list[int] | None = None,
+        version: int | None = None,
+    ) -> tuple[list[str], list[str]]:
+        """Scan planning only: (kept, skipped) relative base-file paths
+        for a filtered read — what Iceberg's planFiles reports. Lets
+        tests and operators assert/observe skipping without reading
+        data. MoR-bucket base files are always kept (see :meth:`read`).
+        """
+        m = self.manifest(version)
+        want = None if buckets is None else {str(b) for b in buckets}
+        kept: list[str] = []
+        skipped: list[str] = []
+        for b in set(m.files) | set(m.delta_files):
+            if want is not None and b not in want:
+                continue
+            mor = bool(m.delta_files.get(b))
+            for p in m.files.get(b, []):
+                if not mor and not _file_may_match(m.file_stats.get(p, {}), filters):
+                    skipped.append(p)
+                else:
+                    kept.append(p)
+        return sorted(kept), sorted(skipped)
 
     def _read_merged_buckets(self, m: Manifest, bucket_ids: list[int]) -> DataFrame:
         """Merge-on-read scan of the buckets that carry delta files —
@@ -524,11 +721,19 @@ class LakeTable:
             counts.pop(str(b), None)
             dfiles.pop(str(b), None)
             dcounts.pop(str(b), None)
+        stats = dict(parent.file_stats)
         for b, fs in new_files.items():
             rel = [os.path.relpath(f, self.root) for f in fs]
             if rel:
                 files[str(b)] = rel
                 counts[str(b)] = int(new_row_counts.get(b, 0))
+            if parent.stats_cols:
+                harvested = harvest_file_stats(fs, parent.stats_cols)
+                for f, r in zip(fs, rel):
+                    if f in harvested:
+                        stats[r] = harvested[f]
+        live = {p for fl in files.values() for p in fl}
+        stats = {p: s for p, s in stats.items() if p in live}
         m = Manifest(
             version=parent.version + 1,
             parent=parent.version,
@@ -541,6 +746,8 @@ class LakeTable:
             delta_files=dfiles,
             delta_row_counts=dcounts,
             resolve_order=parent.resolve_order,
+            stats_cols=parent.stats_cols,
+            file_stats=stats,
         )
         self._write_manifest(m, expected_parent=parent.version)
         return m.version
@@ -587,6 +794,8 @@ class LakeTable:
             delta_files=dfiles,
             delta_row_counts=dcounts,
             resolve_order=parent.resolve_order,
+            stats_cols=parent.stats_cols,
+            file_stats=dict(parent.file_stats),
         )
         self._write_manifest(m, expected_parent=parent.version)
         return m.version
@@ -700,6 +909,14 @@ class LakeTable:
             if rows:
                 files[b] = [os.path.relpath(f, self.root) for f in fs]
                 counts[b] = rows
+        stats: dict[str, dict[str, list]] = {}
+        if m.stats_cols:
+            for b, rel in files.items():
+                absf = [os.path.join(self.root, p) for p in rel]
+                harvested = harvest_file_stats(absf, m.stats_cols)
+                for f, r in zip(absf, rel):
+                    if f in harvested:
+                        stats[r] = harvested[f]
         nm = Manifest(
             version=m.version + 1,
             parent=m.version,
@@ -710,6 +927,8 @@ class LakeTable:
             row_counts=counts,
             summary={**m.summary, "rebucketed_from": m.num_buckets},
             resolve_order=m.resolve_order,
+            stats_cols=m.stats_cols,
+            file_stats=stats,
         )
         self._write_manifest(nm, expected_parent=m.version)
         return nm.version

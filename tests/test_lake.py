@@ -279,3 +279,109 @@ def test_lakewriter_merge_strategy_passthrough(spark, tmp_path):
     got = {(r.repo, r.path): r.content for r in t.read().collect()}
     assert got == {("r1", "a"): "x2", ("r2", "b"): "y"}
     assert out["rows_after"] >= 1
+
+
+def test_file_stats_pruning(spark, tmp_path):
+    """Iceberg-style manifest file stats: commits harvest per-file
+    [min, max, null_count] bounds from parquet footers; filtered reads
+    skip files the bounds prove empty, with identical results to a
+    plain post-filter."""
+    root = str(tmp_path / "t_stats")
+    t = LakeTable.create(
+        spark, root, SCHEMA, ["repo", "path"], num_buckets=8,
+        stats_cols=["lsn", "content"],
+    )
+    rows = [(f"r{i}", f"p{i}", i + 1, f"c{i}") for i in range(64)]
+    merge_into(t, _upserts(spark, rows)).commit()
+    m = t.manifest()
+    all_files = sorted(p for fs in m.files.values() for p in fs)
+    assert sorted(m.file_stats) == all_files  # every base file has stats
+    for st in m.file_stats.values():
+        assert set(st) == {"lsn", "content"} and st["lsn"][2] == 0
+
+    # bounds provably empty -> every file skipped, zero rows
+    kept, skipped = t.plan_files([("lsn", ">", 10_000)])
+    assert kept == [] and skipped == all_files
+    assert t.read(filters=[("lsn", ">", 10_000)]).count() == 0
+
+    # a point update to one key narrows a >=-scan to that ONE file
+    merge_into(t, _upserts(spark, [("r5", "p5", 999_999, "hot")]), strategy="spj").commit()
+    kept, skipped = t.plan_files([("lsn", ">=", 500_000)])
+    assert len(kept) == 1 and len(kept) + len(skipped) == len(
+        [p for fs in t.manifest().files.values() for p in fs]
+    )
+    got = t.read(filters=[("lsn", ">=", 500_000)]).collect()
+    assert [(r.repo, r.path, r.lsn) for r in got] == [("r5", "p5", 999_999)]
+
+    # null-count pruning: only the file carrying the null row is read
+    upd = spark.createDataFrame(
+        [("zz", "zz", "U", 70, None)],
+        "repo string, path string, op string, lsn long, content string",
+    )
+    merge_into(t, upd).commit()
+    kept, _skipped = t.plan_files([("content", "is_null")])
+    assert len(kept) == 1
+    got = t.read(filters=[("content", "is_null")]).collect()
+    assert [(r.repo, r.path) for r in got] == [("zz", "zz")]
+
+    # filtered read == unfiltered read + post-filter (exact semantics)
+    flt = [("lsn", "<=", 30), ("content", "is_not_null")]
+    a = {(r.repo, r.path, r.lsn) for r in t.read(filters=flt).collect()}
+    b = {
+        (r.repo, r.path, r.lsn)
+        for r in t.read().filter("lsn <= 30 and content is not null").collect()
+    }
+    assert a == b and len(a) == 29  # r5 left the range when it jumped to 999_999
+
+    # string-bounds pruning on the content column
+    kept, skipped = t.plan_files([("content", "=", "hot")])
+    assert skipped and [(r.content,) for r in t.read(filters=[("content", "=", "hot")]).collect()] == [("hot",)]
+
+    # stats survive compaction (commit() re-harvests rewritten files)
+    t.compact()
+    m3 = t.manifest()
+    assert sorted(m3.file_stats) == sorted(p for fs in m3.files.values() for p in fs)
+    assert t.read(filters=[("lsn", ">=", 500_000)]).count() == 1
+
+
+def test_file_stats_mor_and_validation(spark, tmp_path):
+    """MoR buckets are never file-pruned (their LWW needs every image);
+    unknown stats columns are rejected at create; stats-free tables
+    never prune."""
+    root = str(tmp_path / "t_stats_mor")
+    with pytest.raises(ValueError):
+        LakeTable.create(
+            spark, root + "_bad", SCHEMA, ["repo", "path"], stats_cols=["nope"]
+        )
+    t = LakeTable.create(
+        spark, root, SCHEMA, ["repo", "path"], num_buckets=4, stats_cols=["lsn"]
+    )
+    merge_into(t, _upserts(spark, [("r1", "a", 1, "x"), ("r2", "b", 2, "y")])).commit()
+    # MoR delta: r1 jumps to lsn 100 via a delta append — base file
+    # bounds still say [1, 2], but the bucket must NOT be pruned
+    upd = spark.createDataFrame(
+        [("r1", "a", "U", 100, "x2")],
+        "repo string, path string, op string, lsn long, content string",
+    )
+    merge_into(t, upd, strategy="mor").commit()
+    got = {(r.repo, r.path): r.lsn for r in t.read(filters=[("lsn", ">=", 100)]).collect()}
+    assert got == {("r1", "a"): 100}
+    kept, skipped = t.plan_files([("lsn", ">=", 100)])
+    m = t.manifest()
+    mor_buckets = {b for b in m.delta_files if m.delta_files[b]}
+    for b in mor_buckets:  # delta buckets keep all their base files
+        for p in m.files.get(b, []):
+            assert p in kept
+    # compaction folds the delta; now the stats know lsn reaches 100
+    t.compact()
+    assert t.read(filters=[("lsn", ">=", 100)]).count() == 1
+    assert t.plan_files([("lsn", ">", 100)])[0] == []
+
+    # a stats-free table keeps everything (no stats_cols configured)
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "t_nostats"), SCHEMA, ["repo", "path"], num_buckets=4
+    )
+    merge_into(t2, _upserts(spark, [("r1", "a", 1, "x")])).commit()
+    kept, skipped = t2.plan_files([("lsn", ">", 10_000)])
+    assert skipped == [] and len(kept) == 1
+    assert t2.read(filters=[("lsn", ">", 10_000)]).count() == 0

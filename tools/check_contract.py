@@ -101,6 +101,9 @@ def main() -> int:
         )
 
     qs = entrymod.queries()
+    only = sys.argv[2:]  # optional query-name filter(s) for iteration
+    if only:
+        qs = {k: v for k, v in qs.items() if any(s in k for s in only)}
     oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
