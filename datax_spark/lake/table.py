@@ -803,21 +803,42 @@ class LakeTable:
     def total_rows(self) -> int:
         return sum(self.manifest().row_counts.values())
 
-    def compact(self, buckets: list[int] | None = None, target_file_rows: int | None = None) -> int:
-        """Maintenance: rewrite each (selected) bucket's files into one
-        sorted file, commit as a new snapshot. The visible data is
-        unchanged — only the physical layout. Two jobs in one pass,
+    def compact(
+        self,
+        buckets: list[int] | None = None,
+        target_file_rows: int | None = None,
+        sort_cols: list[str] | None = None,
+    ) -> int:
+        """Maintenance: rewrite each (selected) bucket's files into a
+        clean sorted layout, commit as a new snapshot. The visible data
+        is unchanged — only the physical layout. Two jobs in one pass,
         both Iceberg's rewrite_data_files: multi-file CoW buckets get
-        one file back, and merge-on-read buckets have their pending
+        a fresh layout, and merge-on-read buckets have their pending
         deltas FOLDED into a fresh base (the rewrite reads the merged
         view, and the commit clears the applied delta files), which
         resets MoR read amplification to zero. Returns the new
         snapshot version.
+
+        ``sort_cols`` + ``target_file_rows`` together are the Iceberg
+        sort-order compaction: rows sort by ``sort_cols`` within each
+        bucket (default: the key columns) and the writer rolls over a
+        new file every ``target_file_rows`` rows, so a bucket's files
+        carry DISJOINT sort-column ranges. With ``stats_cols`` on the
+        sort column, a range-filtered read then skips all but ~one file
+        per bucket — at 100 TB the difference between a bucket scan and
+        a file read. Without ``target_file_rows`` each bucket comes
+        back as a single file (the pre-existing behavior).
         """
         import pyarrow.parquet as _pq
         from pyspark.sql import functions as _F
 
         m = self.manifest()
+        names = {f.name for f in m.schema.fields}
+        for c in sort_cols or ():
+            if c not in names:
+                raise ValueError(f"sort_cols column {c!r} not in schema")
+        if target_file_rows is not None and target_file_rows < 1:
+            raise ValueError("target_file_rows must be >= 1")
         cand = (
             buckets
             if buckets is not None
@@ -826,7 +847,9 @@ class LakeTable:
         todo = [
             b
             for b in cand
-            if len(m.files.get(str(b), [])) > 1 or m.delta_files.get(str(b))
+            if len(m.files.get(str(b), [])) > 1
+            or m.delta_files.get(str(b))
+            or target_file_rows is not None
         ]
         if not todo:
             return m.version
@@ -835,13 +858,16 @@ class LakeTable:
             "__b",
             _F.pmod(_F.xxhash64(*[_F.col(k) for k in m.key_cols]), _F.lit(m.num_buckets)).cast("int"),
         )
-        (
+        writer = (
             df.repartition(len(todo), _F.col("__b"))
-            .sortWithinPartitions(*m.key_cols)
+            .sortWithinPartitions(*(sort_cols or m.key_cols))
             .write.mode("overwrite")
-            .partitionBy("__b")
-            .parquet(txn)
         )
+        if target_file_rows is not None:
+            # the task streams its sorted partition and rolls a new
+            # file every N rows => files inherit disjoint sort ranges
+            writer = writer.option("maxRecordsPerFile", target_file_rows)
+        writer.partitionBy("__b").parquet(txn)
         new_files: dict[int, list[str]] = {}
         new_counts: dict[int, int] = {}
         import glob as _glob

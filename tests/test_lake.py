@@ -385,3 +385,38 @@ def test_file_stats_mor_and_validation(spark, tmp_path):
     kept, skipped = t2.plan_files([("lsn", ">", 10_000)])
     assert skipped == [] and len(kept) == 1
     assert t2.read(filters=[("lsn", ">", 10_000)]).count() == 0
+
+
+def test_sorted_compaction_splits_files_and_sharpens_stats(spark, tmp_path):
+    """Iceberg sort-order compaction: compact(sort_cols, target_file_rows)
+    rolls each bucket into multiple files with DISJOINT sort-column
+    ranges, so manifest-stats pruning keeps ~one file per bucket for a
+    narrow range read instead of the whole bucket."""
+    root = str(tmp_path / "t_sortcomp")
+    t = LakeTable.create(
+        spark, root, SCHEMA, ["repo", "path"], num_buckets=2, stats_cols=["lsn"]
+    )
+    rows = [(f"r{i}", f"p{i}", i + 1, f"c{i}") for i in range(200)]
+    merge_into(t, _upserts(spark, rows)).commit()
+    with pytest.raises(ValueError):
+        t.compact(sort_cols=["nope"])
+    with pytest.raises(ValueError):
+        t.compact(target_file_rows=0)
+    v = t.compact(target_file_rows=16, sort_cols=["lsn"])
+    m = t.manifest()
+    assert v == m.version
+    n_files = sum(len(fs) for fs in m.files.values())
+    assert n_files >= 10  # 200 rows / 16-row files across 2 buckets
+    # every file has harvested bounds; within a bucket the ranges are
+    # disjoint because the write streamed a sorted partition
+    for b, fs in m.files.items():
+        spans = sorted(tuple(m.file_stats[p]["lsn"][:2]) for p in fs)
+        for (lo1, hi1), (lo2, _hi2) in zip(spans, spans[1:]):
+            assert lo1 <= hi1 < lo2
+    # a narrow range read keeps ~1 file per bucket, skips the rest
+    kept, skipped = t.plan_files([("lsn", ">=", 100), ("lsn", "<=", 105)])
+    assert len(kept) <= 4 and len(skipped) >= n_files - 4
+    got = sorted(r.lsn for r in t.read(filters=[("lsn", ">=", 100), ("lsn", "<=", 105)]).collect())
+    assert got == list(range(100, 106))
+    # state unchanged by the rewrite
+    assert t.read().count() == 200
