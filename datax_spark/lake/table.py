@@ -605,6 +605,15 @@ class LakeTable:
         time-travel-aware (``version``). The bucket computation is one
         tiny Spark job over the key list itself, using the same JVM
         xxhash64 as the writer — never reimplemented driver-side.
+
+        Beyond bucket pruning, the requested key VALUES are pushed as
+        per-column ``IN`` literal predicates (a bounded point-lookup
+        list): Catalyst pushes them to the parquet scan (row-group
+        stats / dictionary pruning — surgical after a sorted
+        compaction), and when the table keeps manifest stats on a key
+        column they also skip whole files. The per-column conjunction
+        is a superset of the requested tuples; the broadcast semi-join
+        stays the exact arbiter.
         """
         m = self.manifest(version)
         # tuples are positional: field order must follow key_cols, not
@@ -620,7 +629,11 @@ class LakeTable:
         bs = sorted(
             r[0] for r in kdf.select(bexpr.alias("__b")).distinct().collect()
         )  # bounded by |key_values| — a point-lookup list, not data
-        return self.read(buckets=bs, version=version).join(
+        kflt = [
+            (k, "in", sorted({kv[i] for kv in key_values}))
+            for i, k in enumerate(m.key_cols)
+        ]
+        return self.read(buckets=bs, version=version, filters=kflt).join(
             F.broadcast(kdf), on=list(m.key_cols), how="left_semi"
         )
 

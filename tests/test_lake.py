@@ -420,3 +420,36 @@ def test_sorted_compaction_splits_files_and_sharpens_stats(spark, tmp_path):
     assert got == list(range(100, 106))
     # state unchanged by the rewrite
     assert t.read().count() == 200
+
+
+def test_lookup_pushes_key_literals_and_skips_files(spark, tmp_path):
+    """lookup() pushes the requested key values as IN literals: the
+    parquet scan gets PushedFilters (row-group pruning) and, with
+    manifest stats on a key column + sorted compaction, whole files
+    are skipped for a point read."""
+    import io
+    from contextlib import redirect_stdout
+
+    root = str(tmp_path / "t_lookup_push")
+    t = LakeTable.create(
+        spark, root, SCHEMA, ["repo", "path"], num_buckets=2, stats_cols=["repo"]
+    )
+    rows = [(f"r{i:03d}", f"p{i:03d}", i + 1, f"c{i}") for i in range(200)]
+    merge_into(t, _upserts(spark, rows)).commit()
+    t.compact(target_file_rows=16, sort_cols=["repo", "path"])
+
+    df = t.lookup([("r007", "p007"), ("r150", "p150")])
+    got = {(r.repo, r.path, r.content) for r in df.collect()}
+    assert got == {("r007", "p007", "c7"), ("r150", "p150", "c150")}
+
+    # the scan carries the literal In predicates
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain("formatted")
+    plan = buf.getvalue()
+    assert "PushedFilters" in plan and "r007" in plan and "p150" in plan
+
+    # manifest stats on `repo` skip all but the requested keys' files
+    kflt = [("repo", "in", ["r007", "r150"])]
+    kept, skipped = t.plan_files(kflt)
+    assert 1 <= len(kept) <= 4 and len(skipped) >= 8
