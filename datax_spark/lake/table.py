@@ -432,7 +432,11 @@ class LakeTable:
         [min, max, null_count] bounds prove the conjunction empty
         (Iceberg scan planning). MoR buckets are never file-pruned:
         their LWW resolution needs every image of a key, so they merge
-        first and filter after — correctness over skipping.
+        first and filter after — correctness over skipping. One safe
+        exception: conjuncts on KEY columns push into the merge tasks'
+        parquet reads (row-group pruning) — a key's columns are
+        constant across all its images, so pre-filtering by key keeps
+        every image of every surviving key and LWW is unaffected.
         """
         m = self.manifest(version)
         want = None if buckets is None else {str(b) for b in buckets}
@@ -440,18 +444,27 @@ class LakeTable:
         delta_b = sorted(int(b) for b in sel if m.delta_files.get(b))
         base_only = [b for b in sel if not m.delta_files.get(b)]
         rel = [p for b in base_only for p in m.files.get(b, [])]
+        key_safe = None
         if filters:
             rel = [
                 p
                 for p in rel
                 if _file_may_match(m.file_stats.get(p, {}), filters)
             ]
+            # key columns exist in every file (they predate any schema
+            # evolution) and these ops map 1:1 onto pyarrow's filters
+            key_safe = [
+                f
+                for f in filters
+                if f[0] in m.key_cols
+                and f[1] in ("=", "==", "<", "<=", ">", ">=", "in")
+            ] or None
         paths = [os.path.join(self.root, p) for p in rel]
         parts = []
         if paths:
             parts.append(self.spark.read.schema(m.schema).parquet(*paths))
         if delta_b:
-            parts.append(self._read_merged_buckets(m, delta_b))
+            parts.append(self._read_merged_buckets(m, delta_b, prefilter=key_safe))
         if not parts:
             out = self.spark.createDataFrame([], m.schema)
         else:
@@ -488,7 +501,12 @@ class LakeTable:
                     kept.append(p)
         return sorted(kept), sorted(skipped)
 
-    def _read_merged_buckets(self, m: Manifest, bucket_ids: list[int]) -> DataFrame:
+    def _read_merged_buckets(
+        self,
+        m: Manifest,
+        bucket_ids: list[int],
+        prefilter: list[tuple] | None = None,
+    ) -> DataFrame:
         """Merge-on-read scan of the buckets that carry delta files —
         the read half of the MoR contract (Iceberg v2 equality-delete
         apply, done storage-partitioned).
@@ -503,6 +521,11 @@ class LakeTable:
         task = one bucket's base+delta rows — the same ``num_buckets``
         dial as the CoW blast radius, and reads never shuffle table
         data regardless of table size.
+
+        ``prefilter`` (key-column conjuncts only — the caller
+        guarantees LWW safety) is handed to the Arrow parquet reads,
+        so a point lookup on a delta-carrying bucket decodes only the
+        row groups whose stats can match instead of the whole bucket.
         """
         from pyspark.sql.pandas.types import to_arrow_schema
 
@@ -534,7 +557,7 @@ class LakeTable:
                     for seq, f in [(0, p) for p in base] + [
                         (i + 1, p) for i, p in enumerate(deltas)
                     ]:
-                        t = pq.read_table(f)
+                        t = pq.read_table(f, filters=prefilter)
                         if not t.num_rows:
                             continue
                         op = (

@@ -453,3 +453,31 @@ def test_lookup_pushes_key_literals_and_skips_files(spark, tmp_path):
     kflt = [("repo", "in", ["r007", "r150"])]
     kept, skipped = t.plan_files(kflt)
     assert 1 <= len(kept) <= 4 and len(skipped) >= 8
+
+
+def test_mor_key_prefilter_preserves_lww(spark, tmp_path):
+    """Key-column conjuncts push into the MoR merge's parquet reads
+    (row-group pruning) without changing LWW results: updated keys
+    come back at their delta image, tombstoned keys stay absent."""
+    root = str(tmp_path / "t_mor_pref")
+    t = LakeTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=2)
+    rows = [(f"r{i}", f"p{i}", i + 1, f"c{i}") for i in range(50)]
+    merge_into(t, _upserts(spark, rows)).commit()
+    upd = spark.createDataFrame(
+        [("r3", "p3", "U", 100, "new3"), ("r7", "p7", "D", 101, None)],
+        "repo string, path string, op string, lsn long, content string",
+    )
+    merge_into(t, upd, strategy="mor").commit()
+    assert t.manifest().delta_files  # deltas pending — prefilter path live
+
+    got = {
+        (r.repo, r.path): (r.lsn, r.content)
+        for r in t.read(filters=[("repo", "in", ["r3", "r7", "r9"])]).collect()
+    }
+    assert got == {("r3", "p3"): (100, "new3"), ("r9", "p9"): (10, "c9")}
+    # equivalence with the unfiltered merged read + post-filter
+    want = {
+        (r.repo, r.path): (r.lsn, r.content)
+        for r in t.read().filter("repo in ('r3','r7','r9')").collect()
+    }
+    assert got == want
