@@ -90,6 +90,7 @@ class StreamReplay:
                 if self.config.merge_strategy == "mor"
                 else None
             ),
+            stats_cols=list(self.config.stats_cols),
         )
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:

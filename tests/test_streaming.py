@@ -39,7 +39,7 @@ def _assert_matches(table_df, events_root):
     pd.testing.assert_frame_equal(got, want, check_dtype=False)
 
 
-CFG = ReplayConfig(num_buckets=8, salt_buckets=4)
+CFG = ReplayConfig(num_buckets=8, salt_buckets=4, stats_cols=("lsn",))
 
 
 def test_stream_replay_single_drain(spark, tmp_path):
@@ -53,6 +53,13 @@ def test_stream_replay_single_drain(spark, tmp_path):
     sr.run_available_now()
     assert sr.applied_batches  # at least one batch applied
     _assert_matches(sr.table().read(), str(tmp_path / "events"))
+    # stats_cols flows through the streaming sink's table creation and
+    # every batch commit harvested bounds for its new files
+    m = sr.table().manifest()
+    assert m.stats_cols == ["lsn"]
+    assert sorted(m.file_stats) == sorted(
+        p for fs in m.files.values() for p in fs
+    )
 
 
 def test_stream_multi_batch_upserts_any_order(spark, tmp_path):
