@@ -716,6 +716,31 @@ class LakeTable:
             )
         )
 
+    def files_df(self, version: int | None = None) -> DataFrame:
+        """Files metadata table (the Iceberg ``files`` metadata-table
+        surface): one row per live data file of the snapshot — bucket,
+        kind ('base' or 'delta'), apply sequence (deltas only; the MoR
+        resolution order), relative path, and the manifest's harvested
+        stats as a ``col -> [min, max, null_count]`` JSON string when
+        the table keeps stats. Metadata-only: built from the manifest,
+        no data or footer reads — at any table size this is
+        O(live files) driver memory, the same as the manifest itself.
+        """
+        m = self.manifest(version)
+        rows = []
+        for b in sorted(set(m.files) | set(m.delta_files), key=int):
+            for p in m.files.get(b, []):
+                st = m.file_stats.get(p)
+                rows.append(
+                    (int(b), "base", None, p, json.dumps(st) if st else None)
+                )
+            for i, p in enumerate(m.delta_files.get(b, [])):
+                rows.append((int(b), "delta", i + 1, p, None))
+        return self.spark.createDataFrame(
+            rows,
+            "bucket int, kind string, seq int, path string, stats_json string",
+        )
+
     def new_txn_dir(self) -> str:
         d = os.path.join(self.root, "data", f"txn-{uuid.uuid4().hex[:12]}")
         os.makedirs(d, exist_ok=True)

@@ -481,3 +481,33 @@ def test_mor_key_prefilter_preserves_lww(spark, tmp_path):
         for r in t.read().filter("repo in ('r3','r7','r9')").collect()
     }
     assert got == want
+
+
+def test_files_metadata_table(spark, tmp_path):
+    """files_df(): one row per live file with bucket/kind/seq and the
+    harvested stats, matching the manifest exactly; time-travel-aware."""
+    import json as _json
+
+    root = str(tmp_path / "t_files_md")
+    t = LakeTable.create(
+        spark, root, SCHEMA, ["repo", "path"], num_buckets=2, stats_cols=["lsn"]
+    )
+    merge_into(t, _upserts(spark, [(f"r{i}", f"p{i}", i + 1, "x") for i in range(20)])).commit()
+    upd = spark.createDataFrame(
+        [("r1", "p1", "U", 99, "y")],
+        "repo string, path string, op string, lsn long, content string",
+    )
+    merge_into(t, upd, strategy="mor").commit()
+
+    fd = t.files_df().collect()
+    m = t.manifest()
+    base = [r for r in fd if r.kind == "base"]
+    delta = [r for r in fd if r.kind == "delta"]
+    assert sorted(r.path for r in base) == sorted(p for fs in m.files.values() for p in fs)
+    assert sorted(r.path for r in delta) == sorted(p for fs in m.delta_files.values() for p in fs)
+    assert all(r.seq == 1 for r in delta) and all(r.seq is None for r in base)
+    for r in base:
+        st = _json.loads(r.stats_json)
+        assert st == m.file_stats[r.path]
+    # time travel: the pre-MoR snapshot has no delta rows
+    assert all(r.kind == "base" for r in t.files_df(version=1).collect())
