@@ -57,8 +57,17 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from datax_spark.lake.table import LakeTable, composite_key_array, conform_arrow
-from datax_spark.operators.schema_evolution import evolve_schema, union_by_name
+from datax_spark.lake.table import (
+    CommitConflictError,
+    LakeTable,
+    composite_key_array,
+    conform_arrow,
+)
+from datax_spark.operators.schema_evolution import (
+    SchemaEvolutionError,
+    evolve_schema,
+    union_by_name,
+)
 
 
 @dataclass
@@ -93,23 +102,96 @@ class PendingMerge:
     # base files untouched, readers merge until the next compact().
     mode: str = "cow"
 
-    def commit(self, summary: dict | None = None) -> int:
-        if self.mode == "mor":
-            return self.table.commit_deltas(
-                self.new_files,
-                self.new_row_counts,
-                schema=self.schema,
-                summary=summary,
-                base_version=self.base_version,
+    def commit(self, summary: dict | None = None, rebase: bool = False,
+               max_retries: int = 5) -> int:
+        """Swap the snapshot pointer. With ``rebase=False`` (default) a
+        concurrent commit since ``base_version`` raises
+        CommitConflictError — the single-writer engine's behavior.
+
+        ``rebase=True`` is Iceberg's optimistic-concurrency retry: on
+        conflict, re-validate this merge against the NEW current
+        snapshot and re-commit on top of it when that is provably safe:
+
+        * CoW: every bucket this merge REWRITES must be untouched
+          between our base and the new current (buckets partition the
+          key space identically across versions, so disjoint buckets =
+          disjoint keys); untouched buckets carry over from the new
+          parent, preserving the concurrent writer's work.
+        * MoR: a delta append is computed from the batch alone, so it
+          is valid over any base — only a concurrent ``rebucket``
+          invalidates the bucket assignment.
+        * Schemas merge additively (the union must evolve cleanly from
+          the new current's schema), so neither writer's columns are
+          lost.
+
+        A genuine overlap still raises — recompute the merge then.
+        """
+        attempts = (max_retries if rebase else 0) + 1
+        for attempt in range(attempts):
+            try:
+                if self.mode == "mor":
+                    return self.table.commit_deltas(
+                        self.new_files,
+                        self.new_row_counts,
+                        schema=self.schema,
+                        summary=summary,
+                        base_version=self.base_version,
+                    )
+                return self.table.commit(
+                    self.replaced_buckets,
+                    self.new_files,
+                    self.new_row_counts,
+                    schema=self.schema,
+                    summary=summary,
+                    base_version=self.base_version,
+                )
+            except CommitConflictError:
+                if attempt == attempts - 1:
+                    raise
+                self._rebase_onto_current()
+        raise AssertionError("unreachable")
+
+    def _rebase_onto_current(self) -> None:
+        """Point this pending merge at the current snapshot, raising
+        CommitConflictError when the concurrent history makes that
+        unsafe (overlapping bucket rewrite, rebucket, expired base,
+        or an incompatible schema)."""
+        cur = self.table.manifest()
+        try:
+            base = self.table.manifest(self.base_version)
+        except FileNotFoundError as e:
+            raise CommitConflictError(
+                f"base snapshot v{self.base_version} expired; recompute the merge"
+            ) from e
+        if cur.num_buckets != base.num_buckets:
+            raise CommitConflictError(
+                "concurrent rebucket invalidated this merge's bucket "
+                "assignment; recompute the merge"
             )
-        return self.table.commit(
-            self.replaced_buckets,
-            self.new_files,
-            self.new_row_counts,
-            schema=self.schema,
-            summary=summary,
-            base_version=self.base_version,
-        )
+        if self.mode != "mor":
+            changed = {
+                b
+                for b in (
+                    set(cur.files) | set(base.files)
+                    | set(cur.delta_files) | set(base.delta_files)
+                )
+                if cur.files.get(b) != base.files.get(b)
+                or cur.delta_files.get(b) != base.delta_files.get(b)
+            }
+            overlap = changed & {str(b) for b in self.replaced_buckets}
+            if overlap:
+                raise CommitConflictError(
+                    f"concurrent commit touched buckets "
+                    f"{sorted(int(b) for b in overlap)} this merge rewrites; "
+                    f"recompute the merge"
+                )
+        try:
+            self.schema = evolve_schema(cur.schema, self.schema)
+        except SchemaEvolutionError as e:
+            raise CommitConflictError(
+                f"concurrent schema change is incompatible: {e}"
+            ) from e
+        self.base_version = cur.version
 
 
 def merge_into(

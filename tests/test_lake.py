@@ -511,3 +511,69 @@ def test_files_metadata_table(spark, tmp_path):
         assert st == m.file_stats[r.path]
     # time travel: the pre-MoR snapshot has no delta rows
     assert all(r.kind == "base" for r in t.files_df(version=1).collect())
+
+
+def test_commit_rebase_concurrent_writers(spark, tmp_path):
+    """Optimistic concurrency with rebase (Iceberg commit retry):
+    concurrent merges rewriting DISJOINT buckets both land; a genuine
+    bucket overlap, a concurrent rebucket, and an incompatible schema
+    still conflict; concurrent additive schemas union."""
+    root = str(tmp_path / "t_rebase")
+    t = LakeTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=16)
+    rows = [(f"r{i}", f"p{i}", i + 1, f"c{i}") for i in range(100)]
+    merge_into(t, _upserts(spark, rows)).commit()
+
+    # find two keys living in different buckets
+    kb = {
+        (r.repo, r.path): r.b
+        for r in t.read()
+        .select("repo", "path", t.bucket_expr().alias("b"))
+        .collect()
+    }
+    items = list(kb.items())
+    (k1, b1) = items[0]
+    (k2, b2) = next((k, b) for k, b in items[1:] if b != b1)
+    assert b1 != b2
+
+    p1 = merge_into(t, _upserts(spark, [(k1[0], k1[1], 500, "w1")]))
+    p2 = merge_into(t, _upserts(spark, [(k2[0], k2[1], 501, "w2")]))
+    p1.commit()
+    with pytest.raises(CommitConflictError):
+        p2.commit()  # plain commit still conflicts
+    assert p2.commit(rebase=True) == t.current_version()
+    got = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert got[k1] == "w1" and got[k2] == "w2" and len(got) == 100
+
+    # overlap: two writers to the SAME key's bucket -> rebase refuses
+    p3 = merge_into(t, _upserts(spark, [(k1[0], k1[1], 600, "w3")]))
+    p4 = merge_into(t, _upserts(spark, [(k1[0], k1[1], 601, "w4")]))
+    p3.commit()
+    with pytest.raises(CommitConflictError):
+        p4.commit(rebase=True)
+
+    # concurrent ADDITIVE schema: the rebased commit unions columns
+    ev = spark.createDataFrame(
+        [(k2[0], k2[1], "U", 700, "w5", "note")],
+        "repo string, path string, op string, lsn long, content string, note string",
+    )
+    p5 = merge_into(t, ev)
+    p6 = merge_into(t, _upserts(spark, [(k1[0], k1[1], 701, "w6")]))
+    p5.commit()
+    p6.commit(rebase=True)
+    got = {(r.repo, r.path): (r.content, r.note) for r in t.read().collect()}
+    assert got[k2] == ("w5", "note") and got[k1] == ("w6", None)
+
+    # concurrent rebucket invalidates the bucket assignment
+    p7 = merge_into(t, _upserts(spark, [(k2[0], k2[1], 800, "w7")]))
+    t.rebucket(8)
+    with pytest.raises(CommitConflictError):
+        p7.commit(rebase=True)
+
+    # MoR delta appends rebase over any non-rebucket concurrent commit,
+    # even to the same bucket (deltas are computed from the batch alone)
+    p8 = merge_into(t, _upserts(spark, [(k1[0], k1[1], 900, "m1")]), strategy="mor")
+    p9 = merge_into(t, _upserts(spark, [(k1[0], k1[1], 901, "m2")]), strategy="mor")
+    p8.commit()
+    p9.commit(rebase=True)
+    got = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert got[k1] == "m2"  # later apply sequence wins
