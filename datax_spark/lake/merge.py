@@ -336,7 +336,10 @@ def merge_into(
     )
     (
         result.repartition(n_parts, F.col("__b"))
-        .sortWithinPartitions(*keys)
+        # __b leads so the partitioned write's required ordering is a
+        # satisfied prefix — otherwise the key sort is superseded by
+        # the write's own Sort(__b) and the layout is arrival order
+        .sortWithinPartitions("__b", *keys)
         .write.mode("overwrite")
         .partitionBy("__b")
         .parquet(txn)

@@ -290,6 +290,43 @@ def _filters_to_column(filters: list[tuple]):
     return cond
 
 
+def zorder_expr(cols: list[str], bounds: dict[str, tuple], bits: int = 16):
+    """Z-value (Morton) Column for multi-dimensional clustering — the
+    Delta OPTIMIZE ZORDER BY / Iceberg z-order rewrite analog, as a
+    pure JVM expression tree (whole-stage codegen, no UDF): each
+    column is linearly binned into ``bits`` bits over its [min, max]
+    ``bounds``, then the columns' bits are interleaved so sorting by
+    the z-value clusters rows that are close in EVERY dimension.
+    Nulls bin to 0 (cluster together at the origin). Numeric columns
+    only — a caller with strings should bin them first (e.g. xxhash).
+    """
+    k = len(cols)
+    bins = []
+    for c in cols:
+        mn, mx = bounds[c]
+        span = float(mx) - float(mn)
+        if span <= 0:
+            bins.append(F.lit(0).cast("long"))
+            continue
+        scaled = (
+            (F.col(c).cast("double") - F.lit(float(mn)))
+            / F.lit(span)
+            * F.lit(float((1 << bits) - 1))
+        )
+        clamped = F.least(
+            F.greatest(scaled, F.lit(0.0)), F.lit(float((1 << bits) - 1))
+        )
+        bins.append(F.coalesce(F.floor(clamped), F.lit(0)).cast("long"))
+    if bits * k > 63:
+        raise ValueError(f"z-value needs bits*cols <= 63, got {bits}*{k}")
+    z = F.lit(0).cast("long")
+    for i in range(bits):
+        for j, b in enumerate(bins):
+            bit = F.shiftright(b, i).bitwiseAND(F.lit(1))
+            z = z.bitwiseOR(F.shiftleft(bit, i * k + j))
+    return z
+
+
 def _atomic_write(path: str, data: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
@@ -869,6 +906,7 @@ class LakeTable:
         buckets: list[int] | None = None,
         target_file_rows: int | None = None,
         sort_cols: list[str] | None = None,
+        zorder_cols: list[str] | None = None,
     ) -> int:
         """Maintenance: rewrite each (selected) bucket's files into a
         clean sorted layout, commit as a new snapshot. The visible data
@@ -889,15 +927,35 @@ class LakeTable:
         per bucket — at 100 TB the difference between a bucket scan and
         a file read. Without ``target_file_rows`` each bucket comes
         back as a single file (the pre-existing behavior).
+
+        ``zorder_cols`` (mutually exclusive with ``sort_cols``) sorts
+        by the interleaved-bit z-value of 2+ numeric columns instead —
+        the Delta OPTIMIZE ZORDER BY analog: files end up clustered in
+        EVERY listed dimension at once, so range reads on any single
+        one of them skip files (a lexicographic sort only serves its
+        leading column). Column bounds for the binning come free from
+        the manifest when ``stats_cols`` covers the z-order columns,
+        else one min/max aggregation of the data being rewritten.
         """
         import pyarrow.parquet as _pq
         from pyspark.sql import functions as _F
 
         m = self.manifest()
         names = {f.name for f in m.schema.fields}
-        for c in sort_cols or ():
+        if sort_cols and zorder_cols:
+            raise ValueError("sort_cols and zorder_cols are mutually exclusive")
+        if zorder_cols is not None and len(zorder_cols) < 2:
+            raise ValueError("zorder_cols needs >= 2 columns (use sort_cols for 1)")
+        for c in (*(sort_cols or ()), *(zorder_cols or ())):
             if c not in names:
-                raise ValueError(f"sort_cols column {c!r} not in schema")
+                raise ValueError(f"sort/zorder column {c!r} not in schema")
+        for c in zorder_cols or ():
+            dt = m.schema[c].dataType
+            if not isinstance(dt, T.NumericType):
+                raise ValueError(
+                    f"zorder_cols must be numeric; {c!r} is {dt.simpleString()} "
+                    "(bin strings first, e.g. via xxhash64)"
+                )
         if target_file_rows is not None and target_file_rows < 1:
             raise ValueError("target_file_rows must be >= 1")
         cand = (
@@ -919,9 +977,21 @@ class LakeTable:
             "__b",
             _F.pmod(_F.xxhash64(*[_F.col(k) for k in m.key_cols]), _F.lit(m.num_buckets)).cast("int"),
         )
+        if zorder_cols:
+            # materialize the z-value as a real column (readers ignore
+            # it via the explicit manifest schema)
+            df = df.withColumn("__z", self._zorder_column(m, df, zorder_cols, todo))
+            sort_names = ["__z"]
+        else:
+            sort_names = list(sort_cols or m.key_cols)
+        # the sort MUST lead with __b: the partitioned write requires
+        # ordering by its partition column, and a sort that does not
+        # already satisfy it is superseded by the write's own Sort —
+        # silently discarding the data ordering. With __b leading, the
+        # requirement is a satisfied prefix and the sort survives.
         writer = (
             df.repartition(len(todo), _F.col("__b"))
-            .sortWithinPartitions(*(sort_cols or m.key_cols))
+            .sortWithinPartitions("__b", *sort_names)
             .write.mode("overwrite")
         )
         if target_file_rows is not None:
@@ -948,6 +1018,43 @@ class LakeTable:
             summary={"compacted": len(todo)},
             base_version=m.version,
         )
+
+    def _zorder_column(self, m: Manifest, df: DataFrame, cols: list[str], todo: list[int]):
+        """Z-value sort Column for :meth:`compact`'s z-order mode.
+        Bounds per column come from the manifest's file stats when they
+        cover every file being rewritten (zero extra work), else from
+        one min/max aggregation of ``df``."""
+        bounds: dict[str, tuple] = {}
+        todo_files = [p for b in todo for p in m.files.get(str(b), [])]
+        mor = any(m.delta_files.get(str(b)) for b in todo)
+        manifest_ok = (
+            not mor
+            and todo_files
+            and all(c in m.stats_cols for c in cols)
+            and all(
+                c in m.file_stats.get(p, {})
+                and m.file_stats[p][c][0] is not None
+                for p in todo_files
+                for c in cols
+            )
+        )
+        if manifest_ok:
+            for c in cols:
+                bounds[c] = (
+                    min(m.file_stats[p][c][0] for p in todo_files),
+                    max(m.file_stats[p][c][1] for p in todo_files),
+                )
+        else:
+            row = df.agg(
+                *[F.min(c).alias(f"mn_{i}") for i, c in enumerate(cols)],
+                *[F.max(c).alias(f"mx_{i}") for i, c in enumerate(cols)],
+            ).collect()[0]
+            for i, c in enumerate(cols):
+                mn, mx = row[f"mn_{i}"], row[f"mx_{i}"]
+                if mn is None or mx is None:
+                    mn = mx = 0
+                bounds[c] = (mn, mx)
+        return zorder_expr(cols, bounds)
 
     def rebucket(self, new_num_buckets: int) -> int:
         """Bucket-count evolution (the Iceberg partition-spec-evolution
@@ -982,7 +1089,9 @@ class LakeTable:
             self.read()
             .withColumn("__b", bucket)
             .repartition(new_num_buckets, _F.col("__b"))
-            .sortWithinPartitions(*m.key_cols)
+            # __b leads so the partitioned write's required ordering is
+            # a satisfied prefix — otherwise the key sort is superseded
+            .sortWithinPartitions("__b", *m.key_cols)
             .write.mode("overwrite")
             .partitionBy("__b")
             .parquet(txn)

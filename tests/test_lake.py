@@ -577,3 +577,55 @@ def test_commit_rebase_concurrent_writers(spark, tmp_path):
     p9.commit(rebase=True)
     got = {(r.repo, r.path): r.content for r in t.read().collect()}
     assert got[k1] == "m2"  # later apply sequence wins
+
+
+def test_zorder_compaction_serves_both_dimensions(spark, tmp_path):
+    """compact(zorder_cols=[x, y]): files cluster in BOTH dimensions,
+    so a narrow range on either column alone skips most files — which
+    a lexicographic sort by (x, y) cannot do for y."""
+    xy_schema = T.StructType(
+        [
+            T.StructField("k", T.LongType()),
+            T.StructField("x", T.LongType()),
+            T.StructField("y", T.LongType()),
+        ]
+    )
+    grid = 64  # 4096 points on a 64x64 grid
+    rows = [(i, i % grid, i // grid) for i in range(grid * grid)]
+
+    def build(root, **compact_kw):
+        t = LakeTable.create(
+            spark, root, xy_schema, ["k"], num_buckets=1, stats_cols=["x", "y"]
+        )
+        df = spark.createDataFrame(rows, xy_schema).withColumn("op", F.lit("U"))
+        merge_into(t, df).commit()
+        t.compact(target_file_rows=256, **compact_kw)  # 16 files
+        return t
+
+    tz = build(str(tmp_path / "tz"), zorder_cols=["x", "y"])
+    tl = build(str(tmp_path / "tl"), sort_cols=["x", "y"])
+
+    def frac_kept(t, col):
+        flt = [(col, ">=", 30), (col, "<", 34)]
+        kept, skipped = t.plan_files(flt)
+        got = sorted((r.x, r.y) for r in t.read(filters=flt).collect())
+        want = sorted((x, y) for _, x, y in rows if 30 <= (x if col == "x" else y) < 34)
+        assert got == want  # pruning never changes the answer
+        return len(kept) / (len(kept) + len(skipped))
+
+    # z-order prunes on BOTH dims; lexicographic only on the leading one
+    assert frac_kept(tz, "x") <= 0.5 and frac_kept(tz, "y") <= 0.5
+    assert frac_kept(tl, "y") == 1.0  # trailing dim: no file skipped
+    assert frac_kept(tl, "x") <= 0.5
+
+    # validation
+    with pytest.raises(ValueError):
+        tz.compact(zorder_cols=["x"])
+    with pytest.raises(ValueError):
+        tz.compact(zorder_cols=["x", "y"], sort_cols=["x"])
+    t2 = LakeTable.create(
+        spark, str(tmp_path / "tstr"), SCHEMA, ["repo", "path"], num_buckets=1
+    )
+    merge_into(t2, _upserts(spark, [("r", "p", 1, "c")])).commit()
+    with pytest.raises(ValueError):
+        t2.compact(zorder_cols=["repo", "path"])  # strings rejected
