@@ -42,7 +42,9 @@ from __future__ import annotations
 
 import json
 import os
+import threading
 import uuid
+from collections import defaultdict
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
@@ -327,6 +329,22 @@ def zorder_expr(cols: list[str], bounds: dict[str, tuple], bits: int = 16):
     return z
 
 
+# Per-table commit locks: _write_manifest's parent check + pointer
+# rename must be one atomic compare-and-swap or two same-process
+# writers could both pass the check and the loser's rename would
+# silently clobber the winner (lost update). In-process, a lock per
+# table root provides the CAS; ACROSS processes the single-writer
+# contract stands (a shared deployment needs an atomic catalog CAS,
+# exactly as Iceberg requires of its catalog).
+_COMMIT_LOCKS_GUARD = threading.Lock()
+_COMMIT_LOCKS: dict[str, threading.Lock] = defaultdict(threading.Lock)
+
+
+def _commit_lock(root: str) -> threading.Lock:
+    with _COMMIT_LOCKS_GUARD:
+        return _COMMIT_LOCKS[os.path.realpath(root)]
+
+
 def _atomic_write(path: str, data: str) -> None:
     tmp = f"{path}.tmp.{uuid.uuid4().hex}"
     with open(tmp, "w") as fh:
@@ -427,15 +445,16 @@ class LakeTable:
         return self.manifest().last_epoch
 
     def _write_manifest(self, m: Manifest, expected_parent: int | None) -> None:
-        cur = self.current_version()
-        if cur != expected_parent:
-            raise CommitConflictError(
-                f"commit conflict: current={cur}, expected parent={expected_parent}"
+        with _commit_lock(self.root):  # check + swap = one CAS
+            cur = self.current_version()
+            if cur != expected_parent:
+                raise CommitConflictError(
+                    f"commit conflict: current={cur}, expected parent={expected_parent}"
+                )
+            _atomic_write(
+                os.path.join(self._manifest_dir(), f"v{m.version:08d}.json"), m.to_json()
             )
-        _atomic_write(
-            os.path.join(self._manifest_dir(), f"v{m.version:08d}.json"), m.to_json()
-        )
-        _atomic_write(os.path.join(self._manifest_dir(), "_current"), str(m.version))
+            _atomic_write(os.path.join(self._manifest_dir(), "_current"), str(m.version))
 
     # ---------- data ----------
     def bucket_expr(self, num_buckets: int | None = None, key_cols: list[str] | None = None):
