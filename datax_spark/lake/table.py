@@ -433,7 +433,13 @@ class LakeTable:
         with open(ptr) as fh:
             return int(fh.read().strip())
 
-    def manifest(self, version: int | None = None) -> Manifest:
+    def manifest(self, version: int | str | None = None) -> Manifest:
+        """Load a snapshot manifest: the current one, an explicit
+        version number, or a named ref (tag) — every read surface
+        (``read``/``lookup``/``changes``/``files_df``) resolves through
+        here, so tags work as AS-OF targets everywhere."""
+        if isinstance(version, str):
+            version = self.ref_version(version)
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError("table has no committed snapshot")
@@ -1156,6 +1162,84 @@ class LakeTable:
                 out.append(int(fn[1:-5]))
         return sorted(out)
 
+    # ---------- refs (named snapshots) ----------
+    def _refs_path(self) -> str:
+        return os.path.join(self._manifest_dir(), "_refs.json")
+
+    def refs(self) -> dict[str, int]:
+        """Named snapshot refs (the Iceberg tag surface): name ->
+        version. Tagged snapshots are pinned — ``expire_snapshots``
+        never retires them, so ``vacuum`` keeps their data files and
+        reads through a tag stay valid across retention cycles."""
+        if not os.path.exists(self._refs_path()):
+            return {}
+        with open(self._refs_path()) as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+
+    def ref_version(self, name: str) -> int:
+        refs = self.refs()
+        if name not in refs:
+            raise KeyError(f"no ref named {name!r} (have: {sorted(refs)})")
+        return refs[name]
+
+    def tag(self, name: str, version: int | None = None) -> int:
+        """Pin a snapshot under a name (Iceberg ``create_tag``).
+        Defaults to the current snapshot. Re-tagging an existing name
+        moves it. Returns the tagged version."""
+        with _commit_lock(self.root):
+            v = self.current_version() if version is None else int(version)
+            if v not in self.versions():
+                raise ValueError(f"cannot tag {name!r}: no snapshot v{v}")
+            refs = self.refs()
+            refs[name] = v
+            _atomic_write(self._refs_path(), json.dumps(refs, indent=1))
+        return v
+
+    def drop_tag(self, name: str) -> None:
+        with _commit_lock(self.root):
+            refs = self.refs()
+            if name not in refs:
+                raise KeyError(f"no ref named {name!r}")
+            del refs[name]
+            _atomic_write(self._refs_path(), json.dumps(refs, indent=1))
+
+    def rollback(self, version: int | str) -> int:
+        """Roll the table back to an earlier snapshot (Iceberg's
+        ``rollback_to_snapshot``): commit a NEW snapshot whose entire
+        content — file lists, row counts, pending MoR deltas, schema,
+        bucket layout, file stats, and the summary's epoch watermark —
+        is the target's. History is preserved (the rolled-past
+        snapshots stay time-travelable until expired) and the commit
+        goes through the same CAS pointer swap as any write, so a
+        rollback races cleanly against concurrent committers.
+
+        Because the ``last_epoch`` watermark reverts with the content,
+        a ReplayEngine resumed on the rolled-back table re-consumes
+        every epoch after the target and converges to the same final
+        state — the CDC reset-and-replay story, with the exactly-once
+        gate intact. Accepts a version number or a tag name."""
+        t = self.manifest(version)
+        cur = self.manifest()
+        if t.version == cur.version:
+            raise ValueError(f"table is already at snapshot v{t.version}")
+        m = Manifest(
+            version=cur.version + 1,
+            parent=cur.version,
+            schema_json=t.schema_json,
+            num_buckets=t.num_buckets,
+            key_cols=t.key_cols,
+            files=dict(t.files),
+            row_counts=dict(t.row_counts),
+            summary={**t.summary, "rollback_of": t.version},
+            delta_files=dict(t.delta_files),
+            delta_row_counts=dict(t.delta_row_counts),
+            resolve_order=t.resolve_order,
+            stats_cols=t.stats_cols,
+            file_stats=dict(t.file_stats),
+        )
+        self._write_manifest(m, expected_parent=cur.version)
+        return m.version
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Retire old snapshots (Iceberg's expire_snapshots): delete the
         manifest files of all but the newest ``keep_last`` versions (the
@@ -1164,14 +1248,15 @@ class LakeTable:
         were referenced only by expired snapshots become orphans that
         the next ``vacuum()`` reclaims. Under CoW every epoch rewrites
         whole buckets, so without expiration storage grows linearly
-        with epochs — this is the retention dial. Returns the expired
+        with epochs — this is the retention dial. Tagged snapshots
+        (``tag``) are pinned and never expire. Returns the expired
         versions.
         """
         if keep_last < 1:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
         cur = self.current_version()
-        keep = set(vs[-keep_last:]) | {cur}
+        keep = set(vs[-keep_last:]) | {cur} | set(self.refs().values())
         expired = [v for v in vs if v not in keep]
         for v in expired:
             os.remove(os.path.join(self._manifest_dir(), f"v{v:08d}.json"))

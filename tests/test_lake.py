@@ -670,3 +670,70 @@ def test_concurrent_commit_threads_all_land(spark, tmp_path):
     # every intermediate snapshot is a valid manifest (loser attempts
     # never leaked a manifest file)
     assert t.versions() == list(range(v0 + n + 1))
+
+
+def test_tags_pin_snapshots_across_retention(spark, tmp_path):
+    """Named refs (Iceberg tags): resolve as AS-OF targets on every
+    read surface, pin their snapshot against expire_snapshots, and
+    keep its data files alive across vacuum until dropped."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=2)
+    merge_into(t, _upserts(spark, [("r1", "a", 1, "x")])).commit()       # v1
+    t.tag("baseline")                                                    # -> v1
+    merge_into(t, _upserts(spark, [("r1", "a", 2, "y")])).commit()       # v2
+    merge_into(t, _upserts(spark, [("r2", "b", 3, "z")])).commit()       # v3
+
+    assert t.refs() == {"baseline": 1}
+    assert {r.content for r in t.read(version="baseline").collect()} == {"x"}
+    assert set(t.changes("baseline", 3).toPandas()["content"]) == {"y", "z"}
+    with pytest.raises(KeyError):
+        t.read(version="nope")
+    with pytest.raises(ValueError):
+        t.tag("bad", version=99)
+
+    # expire keeps the tagged v1 even though keep_last=1 would drop it
+    expired = t.expire_snapshots(keep_last=1)
+    assert 1 not in expired and t.manifest(1).version == 1
+    t.vacuum()
+    assert {r.content for r in t.read(version="baseline").collect()} == {"x"}
+
+    # dropping the tag releases it to the next retention cycle
+    t.drop_tag("baseline")
+    assert t.refs() == {}
+    assert 1 in t.expire_snapshots(keep_last=1)
+    with pytest.raises(KeyError):
+        t.drop_tag("baseline")
+
+
+def test_rollback_restores_state_and_watermark(spark, tmp_path):
+    """rollback commits a NEW snapshot equal to the target: content,
+    schema, and the last_epoch watermark all revert; history stays
+    time-travelable; the rollback itself is a CAS commit."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=2)
+    merge_into(t, _upserts(spark, [("r1", "a", 1, "x"), ("r2", "b", 2, "y")])).commit(
+        summary={"last_epoch": 0}
+    )                                                                    # v1
+    t.tag("epoch0")
+    upd = spark.createDataFrame(
+        [("r1", "a", "U", 3, "x2"), ("r2", "b", "D", 4, None)],
+        "repo string, path string, op string, lsn long, content string",
+    )
+    merge_into(t, upd).commit(summary={"last_epoch": 1})                 # v2
+    assert {(r.repo, r.content) for r in t.read().collect()} == {("r1", "x2")}
+
+    v = t.rollback("epoch0")                                             # v3 == v1 content
+    assert v == 3 and t.current_version() == 3
+    assert t.last_epoch == 0  # watermark reverted -> replay re-consumes epoch 1
+    assert t.manifest().summary["rollback_of"] == 1
+    got = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert got == {("r1", "a"): "x", ("r2", "b"): "y"}
+    # rolled-past snapshot still time-travelable
+    assert {r.content for r in t.read(version=2).collect()} == {"x2"}
+    # no-op rollback rejected
+    with pytest.raises(ValueError):
+        t.rollback(3)
+
+    # re-applying epoch 1 on the rolled-back table converges
+    merge_into(t, upd).commit(summary={"last_epoch": 1})                 # v4
+    assert {(r.repo, r.content) for r in t.read().collect()} == {("r1", "x2")}
