@@ -45,7 +45,7 @@ import os
 import threading
 import uuid
 from collections import defaultdict
-from dataclasses import dataclass, field
+from dataclasses import dataclass, field, replace as _dc_replace
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -337,10 +337,10 @@ def zorder_expr(cols: list[str], bounds: dict[str, tuple], bits: int = 16):
 # contract stands (a shared deployment needs an atomic catalog CAS,
 # exactly as Iceberg requires of its catalog).
 _COMMIT_LOCKS_GUARD = threading.Lock()
-_COMMIT_LOCKS: dict[str, threading.Lock] = defaultdict(threading.Lock)
+_COMMIT_LOCKS: dict[str, threading.RLock] = defaultdict(threading.RLock)
 
 
-def _commit_lock(root: str) -> threading.Lock:
+def _commit_lock(root: str) -> threading.RLock:
     with _COMMIT_LOCKS_GUARD:
         return _COMMIT_LOCKS[os.path.realpath(root)]
 
@@ -358,6 +358,11 @@ class LakeTable:
     def __init__(self, spark: SparkSession, root: str):
         self.spark = spark
         self.root = root
+        # Write-audit-publish: when set (Iceberg's spark.wap.id), every
+        # commit through this handle STAGES its snapshot — the manifest
+        # file is written but the branch pointer does not move — until
+        # publish_wap() fast-forwards (or cherry-picks) it onto main.
+        self.wap_id: str | None = None
 
     # ---------- lifecycle ----------
     @classmethod
@@ -437,9 +442,13 @@ class LakeTable:
         """Load a snapshot manifest: the current one, an explicit
         version number, or a named ref (tag) — every read surface
         (``read``/``lookup``/``changes``/``files_df``) resolves through
-        here, so tags work as AS-OF targets everywhere."""
+        here, so tags — and staged WAP ids, for audit reads — work as
+        AS-OF targets everywhere."""
         if isinstance(version, str):
-            version = self.ref_version(version)
+            try:
+                version = self.ref_version(version)
+            except KeyError:
+                version = self.wap_version(version)
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError("table has no committed snapshot")
@@ -450,17 +459,38 @@ class LakeTable:
     def last_epoch(self) -> int:
         return self.manifest().last_epoch
 
-    def _write_manifest(self, m: Manifest, expected_parent: int | None) -> None:
+    def _write_manifest(self, m: Manifest, expected_parent: int | None) -> int:
+        """CAS commit. Returns the FINAL snapshot version — callers
+        must use the return value, not ``m.version``: staged WAP
+        snapshots occupy version numbers, so the number a caller
+        computed as ``parent+1`` may be re-allocated under the lock.
+        With ``self.wap_id`` set the snapshot is staged (manifest file
+        written, pointer untouched) under that id."""
         with _commit_lock(self.root):  # check + swap = one CAS
             cur = self.current_version()
             if cur != expected_parent:
                 raise CommitConflictError(
                     f"commit conflict: current={cur}, expected parent={expected_parent}"
                 )
+            vs = self.versions()
+            nxt = (max(vs) + 1) if vs else 0
+            if nxt > m.version:
+                m = _dc_replace(m, version=nxt)
             _atomic_write(
                 os.path.join(self._manifest_dir(), f"v{m.version:08d}.json"), m.to_json()
             )
-            _atomic_write(os.path.join(self._manifest_dir(), "_current"), str(m.version))
+            if self.wap_id is None:
+                _atomic_write(os.path.join(self._manifest_dir(), "_current"), str(m.version))
+            else:
+                staged = self._wap_staged()
+                if self.wap_id in staged:
+                    raise ValueError(
+                        f"wap id {self.wap_id!r} already has a staged snapshot "
+                        f"v{staged[self.wap_id]} (publish or drop it first)"
+                    )
+                staged[self.wap_id] = m.version
+                _atomic_write(self._wap_path(), json.dumps(staged, indent=1))
+        return m.version
 
     # ---------- data ----------
     def bucket_expr(self, num_buckets: int | None = None, key_cols: list[str] | None = None):
@@ -872,8 +902,7 @@ class LakeTable:
             stats_cols=parent.stats_cols,
             file_stats=stats,
         )
-        self._write_manifest(m, expected_parent=parent.version)
-        return m.version
+        return self._write_manifest(m, expected_parent=parent.version)
 
     def commit_deltas(
         self,
@@ -920,8 +949,7 @@ class LakeTable:
             stats_cols=parent.stats_cols,
             file_stats=dict(parent.file_stats),
         )
-        self._write_manifest(m, expected_parent=parent.version)
-        return m.version
+        return self._write_manifest(m, expected_parent=parent.version)
 
     def total_rows(self) -> int:
         return sum(self.manifest().row_counts.values())
@@ -1151,8 +1179,7 @@ class LakeTable:
             stats_cols=m.stats_cols,
             file_stats=stats,
         )
-        self._write_manifest(nm, expected_parent=m.version)
-        return nm.version
+        return self._write_manifest(nm, expected_parent=m.version)
 
     def versions(self) -> list[int]:
         """All snapshot versions that still have a manifest, ascending."""
@@ -1203,6 +1230,111 @@ class LakeTable:
             del refs[name]
             _atomic_write(self._refs_path(), json.dumps(refs, indent=1))
 
+    # ---------- write-audit-publish (staged snapshots) ----------
+    def _wap_path(self) -> str:
+        return os.path.join(self._manifest_dir(), "_wap.json")
+
+    def _wap_staged(self) -> dict[str, int]:
+        if not os.path.exists(self._wap_path()):
+            return {}
+        with open(self._wap_path()) as fh:
+            return {k: int(v) for k, v in json.load(fh).items()}
+
+    def wap_version(self, wap_id: str) -> int:
+        """Version of the snapshot staged under ``wap_id`` — the audit
+        target: ``read(version=table.wap_version(id))`` (or just
+        ``read(version=id)``) sees the candidate state while main keeps
+        serving the published snapshot."""
+        staged = self._wap_staged()
+        if wap_id not in staged:
+            raise KeyError(f"no staged snapshot for wap id {wap_id!r} (have: {sorted(staged)})")
+        return staged[wap_id]
+
+    def publish_wap(self, wap_id: str) -> int:
+        """Publish a staged snapshot (Iceberg ``cherrypick_snapshot``
+        on a WAP-staged commit). Fast path: if main has not moved since
+        the snapshot was staged, the publish is a pointer fast-forward
+        — zero data work. If main HAS moved and the staged snapshot is
+        a pure MoR delta append (no base-file changes vs its parent),
+        its new delta files are re-applied onto the current head — the
+        append cherry-pick Iceberg allows; event-order ``resolve_order``
+        tables keep LWW exact under the re-ordering, apply-seq tables
+        inherit the head's ordering. Any other divergence raises
+        CommitConflictError: re-run the write against the new head
+        (CoW rewrites bake parent images into their files, so
+        re-pointing them would silently drop the interleaved commit).
+        Returns the published main version."""
+        with _commit_lock(self.root):
+            v = self.wap_version(wap_id)
+            m = self.manifest(v)
+            cur = self.current_version()
+            staged = self._wap_staged()
+            if cur == m.parent:
+                _atomic_write(os.path.join(self._manifest_dir(), "_current"), str(v))
+                del staged[wap_id]
+                _atomic_write(self._wap_path(), json.dumps(staged, indent=1))
+                return v
+            parent = self.manifest(m.parent)
+            delta_only = (
+                m.files == parent.files
+                and m.row_counts == parent.row_counts
+                and m.num_buckets == parent.num_buckets
+                and all(
+                    m.delta_files.get(b, [])[: len(fs)] == fs
+                    for b, fs in parent.delta_files.items()
+                )
+            )
+            if not delta_only:
+                raise CommitConflictError(
+                    f"cannot publish wap {wap_id!r}: main moved v{m.parent}->v{cur} "
+                    "and the staged snapshot rewrites base files (re-stage against "
+                    "the new head)"
+                )
+            head = self.manifest()
+            if m.schema_json != head.schema_json or m.num_buckets != head.num_buckets:
+                raise CommitConflictError(
+                    f"cannot publish wap {wap_id!r}: schema/bucket layout changed "
+                    "under the staged delta append"
+                )
+            new_deltas = {
+                int(b): [
+                    os.path.join(self.root, p)
+                    for p in fs[len(parent.delta_files.get(b, [])):]
+                ]
+                for b, fs in m.delta_files.items()
+            }
+            new_rows = {
+                int(b): int(m.delta_row_counts.get(b, 0))
+                - int(parent.delta_row_counts.get(b, 0))
+                for b in m.delta_files
+            }
+            # commit through a clean handle: the caller's wap_id (if
+            # any) must not re-stage the publish itself
+            pub = LakeTable(self.spark, self.root)
+            out = pub.commit_deltas(
+                new_delta_files={b: fs for b, fs in new_deltas.items() if fs},
+                new_delta_rows={b: n for b, n in new_rows.items() if n},
+                summary={**m.summary, "cherry_picked_from": v},
+                base_version=head.version,
+            )
+            del staged[wap_id]
+            _atomic_write(self._wap_path(), json.dumps(staged, indent=1))
+            # the staged manifest is superseded by the cherry-picked one
+            os.remove(os.path.join(self._manifest_dir(), f"v{v:08d}.json"))
+            return out
+
+    def drop_wap(self, wap_id: str) -> None:
+        """Abandon a staged snapshot: the audit failed. Its manifest is
+        removed; data files it alone referenced become orphans that the
+        next ``vacuum()`` reclaims."""
+        with _commit_lock(self.root):
+            staged = self._wap_staged()
+            if wap_id not in staged:
+                raise KeyError(f"no staged snapshot for wap id {wap_id!r}")
+            v = staged.pop(wap_id)
+            _atomic_write(self._wap_path(), json.dumps(staged, indent=1))
+            os.remove(os.path.join(self._manifest_dir(), f"v{v:08d}.json"))
+
     def rollback(self, version: int | str) -> int:
         """Roll the table back to an earlier snapshot (Iceberg's
         ``rollback_to_snapshot``): commit a NEW snapshot whose entire
@@ -1237,8 +1369,7 @@ class LakeTable:
             stats_cols=t.stats_cols,
             file_stats=dict(t.file_stats),
         )
-        self._write_manifest(m, expected_parent=cur.version)
-        return m.version
+        return self._write_manifest(m, expected_parent=cur.version)
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Retire old snapshots (Iceberg's expire_snapshots): delete the
@@ -1256,7 +1387,12 @@ class LakeTable:
             raise ValueError("keep_last must be >= 1")
         vs = self.versions()
         cur = self.current_version()
-        keep = set(vs[-keep_last:]) | {cur} | set(self.refs().values())
+        keep = (
+            set(vs[-keep_last:])
+            | {cur}
+            | set(self.refs().values())
+            | set(self._wap_staged().values())
+        )
         expired = [v for v in vs if v not in keep]
         for v in expired:
             os.remove(os.path.join(self._manifest_dir(), f"v{v:08d}.json"))

@@ -737,3 +737,104 @@ def test_rollback_restores_state_and_watermark(spark, tmp_path):
     # re-applying epoch 1 on the rolled-back table converges
     merge_into(t, upd).commit(summary={"last_epoch": 1})                 # v4
     assert {(r.repo, r.content) for r in t.read().collect()} == {("r1", "x2")}
+
+
+def test_wap_stage_audit_publish_fastforward(spark, tmp_path):
+    """Write-audit-publish: with wap_id set, a merge commits a STAGED
+    snapshot — main serves the old state, the candidate is readable by
+    wap id for the audit — and publish fast-forwards the pointer."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=2)
+    merge_into(t, _upserts(spark, [("r1", "a", 1, "x")])).commit()       # v1
+
+    t.wap_id = "audit-7"
+    sv = merge_into(t, _upserts(spark, [("r1", "a", 2, "x2"), ("r2", "b", 3, "y")])).commit()
+    t.wap_id = None
+
+    # main did not move; the staged candidate is audit-readable
+    assert t.current_version() == 1
+    assert {r.content for r in t.read().collect()} == {"x"}
+    assert t.wap_version("audit-7") == sv
+    assert {r.content for r in t.read(version="audit-7").collect()} == {"x2", "y"}
+    # staging the same id twice is rejected
+    t.wap_id = "audit-7"
+    with pytest.raises(ValueError):
+        merge_into(t, _upserts(spark, [("r9", "z", 9, "q")])).commit()
+    t.wap_id = None
+
+    assert t.publish_wap("audit-7") == sv
+    assert t.current_version() == sv
+    assert {r.content for r in t.read().collect()} == {"x2", "y"}
+    with pytest.raises(KeyError):
+        t.wap_version("audit-7")
+
+
+def test_wap_drop_and_conflict_on_moved_head(spark, tmp_path):
+    """A failed audit drops the staged snapshot (vacuum reclaims its
+    files); a CoW-staged snapshot cannot publish onto a moved head."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=2)
+    merge_into(t, _upserts(spark, [("r1", "a", 1, "x")])).commit()       # v1
+
+    t.wap_id = "bad"
+    merge_into(t, _upserts(spark, [("r1", "a", 2, "BAD")])).commit()     # staged v2
+    t.wap_id = None
+    # staged snapshots survive retention until dropped
+    t.expire_snapshots(keep_last=1)
+    assert {r.content for r in t.read(version="bad").collect()} == {"BAD"}
+    t.drop_wap("bad")
+    with pytest.raises(KeyError):
+        t.read(version="bad")
+    removed = t.vacuum()
+    assert removed  # the dropped candidate's files were reclaimed
+    assert {r.content for r in t.read().collect()} == {"x"}
+
+    # CoW stage, then main moves: publish must refuse (the staged files
+    # bake v1's images and would drop the interleaved commit)
+    t.wap_id = "stale"
+    merge_into(t, _upserts(spark, [("r1", "a", 3, "x3")])).commit()
+    t.wap_id = None
+    merge_into(t, _upserts(spark, [("r2", "b", 4, "y")])).commit()
+    with pytest.raises(CommitConflictError):
+        t.publish_wap("stale")
+    t.drop_wap("stale")
+
+    # version numbers allocated around staged snapshots never collide:
+    # every live manifest is loadable and distinct
+    vs = t.versions()
+    assert len(vs) == len(set(vs))
+    for v in vs:
+        t.manifest(v)
+
+
+def test_wap_cherry_pick_delta_append_onto_moved_head(spark, tmp_path):
+    """A staged MoR delta-append epoch cherry-picks onto a moved head:
+    its delta files are re-applied, and an event-order table resolves
+    LWW exactly as if the epochs had landed in order."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(
+        spark, root, SCHEMA, ["repo", "path"], num_buckets=2,
+        resolve_order=["lsn"],
+    )
+    merge_into(t, _upserts(spark, [("r1", "a", 1, "x"), ("r2", "b", 2, "y")])).commit()
+
+    # stage epoch A (lsn 3 on r1/a) as MoR deltas
+    t.wap_id = "epochA"
+    merge_into(t, _upserts(spark, [("r1", "a", 3, "xA")]), strategy="mor").commit()
+    t.wap_id = None
+    # head moves: epoch B lands first (lsn 4 on r1/a, plus a delete)
+    upd_b = spark.createDataFrame(
+        [("r1", "a", "U", 4, "xB"), ("r2", "b", "D", 5, None)],
+        "repo string, path string, op string, lsn long, content string",
+    )
+    merge_into(t, upd_b, strategy="mor").commit()
+
+    v = t.publish_wap("epochA")
+    assert t.current_version() == v
+    assert t.manifest().summary["cherry_picked_from"]
+    # resolve_order=lsn: epoch B's lsn-4 image wins over the
+    # cherry-picked lsn-3 delta despite later apply sequence
+    got = {(r.repo, r.path): r.content for r in t.read().collect()}
+    assert got == {("r1", "a"): "xB"}
+    with pytest.raises(KeyError):
+        t.wap_version("epochA")
