@@ -218,6 +218,37 @@ def _q_cdc_replay_mor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_replica_sync(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Downstream CDC fan-out (lake-to-lake incremental replication,
+    lake/replicate.py): a replica table is SEEDED from the replayed
+    source table at a mid-stream snapshot (pre-schema-evolution), then
+    brought to the source head by applying only the change feed between
+    the consumed version and current — exercising the snapshot diff,
+    the replica's merge, additive schema evolution THROUGH the feed,
+    and the replica_of_version exactly-once watermark. The returned
+    replica state must equal the source's, so the oracle is the same
+    pure-SQL sequential replay of the raw event log."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.replicate import sync
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable.load(spark, os.path.join(root, "table"))
+    rep_root = os.path.join(root, "replica")
+    if not _REPLAY_CACHE.get("replica"):
+        vs = t.versions()
+        mid = vs[len(vs) // 2]
+        r1 = sync(t, rep_root, to_version=mid)
+        r2 = sync(t, rep_root)
+        assert r1.mode == "seed" and r2.mode == "incremental", (r1, r2)
+        assert sync(t, rep_root).mode == "noop"
+        _REPLAY_CACHE["replica"] = "done"
+    rep = LakeTable.load(spark, rep_root)
+    return rep.read().select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
 def _q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Keyed point read (LakeTable.lookup — the serving-path analog of
     otsreader's keyed GetRange): fetch the first 20 keys of the final
@@ -934,6 +965,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state": _q_cdc_replay_state,
         "cdc_replay_repo_table": _q_cdc_replay_repo_table,
         "cdc_replay_mor_table": _q_cdc_replay_mor_table,
+        "cdc_replica_sync": _q_cdc_replica_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_snapshot_lineage": _q_cdc_snapshot_lineage,
@@ -1152,6 +1184,24 @@ def oracle_sql() -> dict[str, str]:
         # final state excludes keys whose winner is a delete; sha256 of
         # the winning content is the per-row invariant.
         "cdc_replay_repo_table": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT repo, path, commit, lsn, lang, lang_variant,
+                   sha256(content) AS content_sha256
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # replica sync: seed-at-mid-snapshot + incremental change-feed
+        # apply must reproduce the source state exactly — so the oracle
+        # is again the same sequential replay of the raw log.
+        "cdc_replica_sync": f"""
             WITH ev AS (
               SELECT * FROM read_parquet(
                   '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
