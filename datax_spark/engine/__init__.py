@@ -1,3 +1,17 @@
-from datax_spark.engine.replay import EpochResult, ReplayConfig, ReplayCrash, ReplayEngine
+from datax_spark.engine.replay import (
+    DirtyDataError,
+    EpochAuditError,
+    EpochResult,
+    ReplayConfig,
+    ReplayCrash,
+    ReplayEngine,
+)
 
-__all__ = ["ReplayEngine", "ReplayConfig", "EpochResult", "ReplayCrash"]
+__all__ = [
+    "ReplayEngine",
+    "ReplayConfig",
+    "EpochResult",
+    "ReplayCrash",
+    "DirtyDataError",
+    "EpochAuditError",
+]

@@ -58,6 +58,11 @@ class DirtyDataError(RuntimeError):
     analog); raised BEFORE any table write, so replay is clean."""
 
 
+class EpochAuditError(RuntimeError):
+    """An audited epoch's candidate snapshot failed its audit_fn; the
+    staged snapshot was dropped and the table is unchanged."""
+
+
 @dataclass(frozen=True)
 class ReplayConfig:
     keys: tuple[str, ...] = ("repo", "path")
@@ -133,6 +138,20 @@ class ReplayConfig:
     # time-ranged read then touches only files whose commit/lsn bounds
     # overlap the range. Empty = stats off (the default).
     stats_cols: tuple[str, ...] = ()
+    # Write-audit-publish epoch commits: when set, every epoch is
+    # first STAGED (LakeTable WAP — manifest written, pointer
+    # unmoved), then audit_fn(candidate_state_df) runs against the
+    # staged snapshot while readers still see the pre-epoch state; a
+    # True verdict fast-forward-publishes the pointer, False drops the
+    # candidate and raises EpochAuditError with the table unchanged.
+    # The data-quality circuit breaker downstream of the dirty-data
+    # gate: dirty limits reject malformed EVENTS pre-write, the audit
+    # rejects bad RESULTING STATE pre-publish (row-count collapse,
+    # invariant violations, a bad upstream backfill). Exactly-once is
+    # preserved: a crash between stage and publish leaves the
+    # watermark unmoved, and the epoch's retry drops the stale staged
+    # snapshot and re-runs.
+    audit_fn: Callable[[DataFrame], bool] | None = None
 
     def __post_init__(self) -> None:
         if self.dirty_pct_limit is not None and not (
@@ -266,6 +285,38 @@ class ReplayEngine:
             )
         return n_dirty
 
+    def _commit_epoch(
+        self, table: LakeTable, pending, epoch: int, n_dirty: int,
+        failpoints: Sequence[str] = (),
+    ) -> int:
+        """Phase-2 commit of an epoch, optionally write-audit-publish
+        gated (cfg.audit_fn). Returns the published table version."""
+        cfg = self.config
+        summary = {"last_epoch": epoch, "n_dirty": n_dirty}
+        if cfg.audit_fn is None:
+            return pending.commit(summary=summary)
+        wid = f"epoch-{epoch}"
+        if wid in table._wap_staged():
+            # a prior attempt crashed between stage and publish: the
+            # watermark never moved, so this retry owns the id — drop
+            # the stale candidate and re-stage
+            table.drop_wap(wid)
+        table.wap_id = wid
+        try:
+            pending.commit(summary=summary)
+        finally:
+            table.wap_id = None
+        if "after_stage" in failpoints:
+            raise ReplayCrash("after_stage")
+        if cfg.audit_fn(table.read(version=wid)):
+            return table.publish_wap(wid)
+        v = table.wap_version(wid)
+        table.drop_wap(wid)
+        raise EpochAuditError(
+            f"epoch {epoch} failed audit; staged snapshot v{v} dropped, "
+            f"table unchanged at v{table.current_version()}"
+        )
+
     def _apply_epoch_fused_spj(
         self, epoch, table, ev, ev_obs, ev_clean, obs, dirty_pred, t0, ph,
         failpoints,
@@ -341,7 +392,7 @@ class ReplayEngine:
         write_epoch_metrics(self.metrics_root, epoch, rows)
         ph["metrics"] = (time.monotonic() - tp) * 1000
         tp = time.monotonic()
-        version = pending.commit(summary={"last_epoch": epoch, "n_dirty": n_dirty})
+        version = self._commit_epoch(table, pending, epoch, n_dirty, failpoints)
         ph["commit"] = (time.monotonic() - tp) * 1000
         if "after_commit" in failpoints:
             raise ReplayCrash("after_commit")
@@ -535,8 +586,8 @@ class ReplayEngine:
 
             # --- commit (phase 2: atomic snapshot swap + epoch watermark) ---
             tp = time.monotonic()
-            version = pending.commit(
-                summary={"last_epoch": epoch, "n_dirty": n_dirty}
+            version = self._commit_epoch(
+                table, pending, epoch, n_dirty, failpoints
             )
             ph["commit"] = (time.monotonic() - tp) * 1000
             if "after_commit" in failpoints:

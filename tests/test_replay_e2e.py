@@ -414,3 +414,56 @@ def test_adversarial_key_and_content_bytes(spark, tmp_path, strategy):
     }
     for k, v in got.items():
         assert h[k] == hashlib.sha256(v.encode()).hexdigest()
+
+
+def test_audited_epochs_publish_fail_and_crash_resume(spark, events_root, expected, tmp_path):
+    """Write-audit-publish epoch commits: passing audits publish and
+    the full replay still matches the oracle; a failing audit leaves
+    the table at the pre-epoch state with the watermark unmoved; a
+    crash between stage and publish replays cleanly (the stale staged
+    candidate is dropped and re-staged)."""
+    from datax_spark.engine.replay import EpochAuditError
+
+    audits = []
+
+    def audit(df):
+        audits.append(df.count())
+        return True
+
+    cfg = ReplayConfig(num_buckets=16, audit_fn=audit)
+    eng = ReplayEngine(
+        spark, events_root, str(tmp_path / "t_audit"), str(tmp_path / "m_audit"), cfg
+    )
+    eng.run(through_epoch=1)
+    assert len(audits) == 2 and all(n > 0 for n in audits)
+    t = eng.table()
+    assert not t._wap_staged()  # every candidate was published
+
+    # crash between stage and publish: watermark unmoved, staged
+    # candidate left behind; the retry must drop it and converge
+    with pytest.raises(ReplayCrash):
+        eng.apply_epoch(2, failpoints=["after_stage"])
+    assert t.last_epoch == 1 and "epoch-2" in t._wap_staged()
+    eng.run()
+    _assert_match(eng, expected)
+    assert not t._wap_staged()
+
+    # failing audit: EpochAuditError, table unchanged, epoch retryable
+    # (salt_buckets routes through the generic apply_epoch commit site)
+    fail_cfg = ReplayConfig(num_buckets=16, salt_buckets=8, audit_fn=lambda df: False)
+    eng2 = ReplayEngine(
+        spark, events_root, str(tmp_path / "t_audit2"), str(tmp_path / "m_audit2"),
+        fail_cfg,
+    )
+    with pytest.raises(EpochAuditError):
+        eng2.run(through_epoch=0)
+    t2 = eng2.table()
+    assert t2.last_epoch == -1 and t2.total_rows() == 0
+    assert not t2._wap_staged()  # the rejected candidate was dropped
+    # flipping the audit on retry converges (exactly-once intact)
+    eng3 = ReplayEngine(
+        spark, events_root, str(tmp_path / "t_audit2"), str(tmp_path / "m_audit2"),
+        ReplayConfig(num_buckets=16, audit_fn=lambda df: True),
+    )
+    eng3.run()
+    _assert_match(eng3, expected)
