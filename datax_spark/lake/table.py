@@ -767,13 +767,33 @@ class LakeTable:
         one xxhash64 per side, never column-by-column Python. On a
         real cluster with storage-partitioned joins the shuffles
         disappear entirely (both sides share the bucket layout).
+
+        Bucket-pruned from the manifests alone: data files are
+        immutable, so a bucket whose base and delta file lists are
+        IDENTICAL in both snapshots cannot contain a changed key — the
+        diff reads only buckets the manifests prove touched. A small
+        epoch's change feed over a 10^10-row table therefore costs the
+        touched buckets, not the table (the same O(changed data)
+        property the merge has). Falls back to the full diff across a
+        rebucket boundary, where bucket ids aren't comparable.
         """
         from datax_spark.operators.schema_evolution import union_by_name
 
+        mf = self.manifest(from_version)
         m = self.manifest(to_version)
         keys = m.key_cols
-        old = union_by_name(self.read(version=from_version), m.schema)
-        new = union_by_name(self.read(version=to_version), m.schema)
+        buckets = None
+        if mf.num_buckets == m.num_buckets:
+            buckets = sorted(
+                int(b)
+                for b in (
+                    set(mf.files) | set(mf.delta_files) | set(m.files) | set(m.delta_files)
+                )
+                if mf.files.get(b) != m.files.get(b)
+                or mf.delta_files.get(b) != m.delta_files.get(b)
+            )
+        old = union_by_name(self.read(version=from_version, buckets=buckets), m.schema)
+        new = union_by_name(self.read(version=to_version, buckets=buckets), m.schema)
         payload = [f.name for f in m.schema.fields if f.name not in keys]
 
         def tag(df: DataFrame, side: str) -> DataFrame:

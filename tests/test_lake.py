@@ -838,3 +838,32 @@ def test_wap_cherry_pick_delta_append_onto_moved_head(spark, tmp_path):
     assert got == {("r1", "a"): "xB"}
     with pytest.raises(KeyError):
         t.wap_version("epochA")
+
+
+def test_change_feed_bucket_pruned_scan(spark, tmp_path):
+    """changes() reads only buckets whose file lists differ between the
+    two manifests — an epoch touching one bucket diffs one bucket, not
+    the table."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=8)
+    rows = [(f"r{i}", f"p{i}", i, f"c{i}") for i in range(64)]
+    merge_into(t, _upserts(spark, rows)).commit()                        # v1: all buckets
+    merge_into(t, _upserts(spark, [("r3", "p3", 100, "NEW")])).commit()  # v2: one bucket
+
+    cdf = t.changes(1, 2)
+    got = [(r.repo, r.path, r.lsn, r.content, r._change_type) for r in cdf.collect()]
+    assert got == [("r3", "p3", 100, "NEW", "update")]
+
+    # the scan touched only the changed bucket's files (one per side),
+    # not the 8 buckets of either snapshot
+    scanned = {f.removeprefix("file://") for f in cdf.inputFiles()}
+    m1, m2 = t.manifest(1), t.manifest(2)
+    all_files = {
+        os.path.join(root, p) for mm in (m1, m2) for fs in mm.files.values() for p in fs
+    }
+    assert len(all_files) > 8 and len(scanned) == 2
+    assert scanned < all_files
+
+    # a no-change diff is empty and reads no files
+    same = t.changes(2, 2)
+    assert same.count() == 0 and same.inputFiles() == []
