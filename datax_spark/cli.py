@@ -2,7 +2,7 @@
 (``core/src/main/java/com/alibaba/datax/core/Engine.java:117-170``
 parses -job/-jobid/-mode; here argparse + a JSON job spec).
 
-Two job kinds:
+Three job kinds:
 
 * ``{"job": {...}}`` — a DataX-style reader/transformer/writer spec
   executed by ``jobspec.run_job`` (one declarative Spark plan).
@@ -10,6 +10,10 @@ Two job kinds:
   ``{"replay": {"events_root": ..., "table_root": ..., "metrics_root":
   ..., "num_buckets": 64, "salt_buckets": null, "through_epoch": null,
   "streaming": false, "checkpoint_root": ...}}``
+* ``{"replicate": {...}}`` — lake-to-lake incremental replication:
+  ``{"replicate": {"source_root": ..., "replica_root": ...,
+  "to_version": null}}`` (idempotent; re-run = no-op at the same
+  source version)
 
 Usage (local or via spark-submit):
 
@@ -94,6 +98,31 @@ def main(argv: list[str] | None = None) -> int:
             # 4N cores compare engine throughput, not startup noise.
             "events_applied": sum(x.n_events for x in applied),
             "replay_sec": round(sum(x.apply_ms for x in applied) / 1000.0, 3),
+        }))
+        return 0
+
+    if "replicate" in spec:
+        # CDC fan-out as a job: follow a source LakeTable's change feed
+        # into a replica (lake/replicate.py) — the otsstreamreader →
+        # keyed-upsert-writer job shape, snapshot-to-snapshot.
+        from datax_spark.lake import LakeTable
+        from datax_spark.lake.replicate import sync
+
+        r = spec["replicate"]
+        src = LakeTable.load(spark, r["source_root"])
+        if args.dry_run:
+            print(json.dumps({
+                "mode": "replicate",
+                "source_version": src.current_version(),
+                "replica_exists": LakeTable.exists(r["replica_root"]),
+            }))
+            return 0
+        res = sync(src, r["replica_root"], to_version=r.get("to_version"))
+        print(json.dumps({
+            "mode": "replicate",
+            "sync_mode": res.mode,
+            "synced_to": res.synced_to,
+            "replica_version": res.replica_version,
         }))
         return 0
 

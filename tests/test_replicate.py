@@ -110,3 +110,36 @@ def test_repair_after_source_history_expired(spark, tmp_path):
 
     # repair is idempotent too
     assert sync(src, rep_root).mode == "noop"
+
+
+def test_cli_replicate_job(spark, tmp_path, capsys):
+    """`python -m datax_spark --job spec.json` with a replicate spec:
+    dry-run validates, the real run syncs, a re-run is a no-op."""
+    import json
+
+    from datax_spark.cli import main
+
+    src_root, rep_root = str(tmp_path / "src"), str(tmp_path / "rep")
+    src = LakeTable.create(spark, src_root, SCHEMA, ["repo", "path"], num_buckets=4)
+    merge_into(src, _upserts(spark, [("r1", "a", 1, "x")])).commit()
+    spec = tmp_path / "job.json"
+    spec.write_text(json.dumps(
+        {"replicate": {"source_root": src_root, "replica_root": rep_root}}
+    ))
+
+    assert main(["--job", str(spec), "--dry-run"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"mode": "replicate", "source_version": 1, "replica_exists": False}
+
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sync_mode"] == "seed" and out["synced_to"] == 1
+    assert _state(LakeTable.load(spark, rep_root)) == _state(src)
+
+    merge_into(src, _upserts(spark, [("r2", "b", 2, "y")])).commit()
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sync_mode"] == "incremental"
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sync_mode"] == "noop"
