@@ -63,6 +63,45 @@ class EpochAuditError(RuntimeError):
     staged snapshot was dropped and the table is unchanged."""
 
 
+def audit_gated_commit(
+    table: "LakeTable",
+    pending,
+    epoch: int,
+    summary: dict,
+    audit_fn: Callable[[DataFrame], bool] | None,
+    failpoints: Sequence[str] = (),
+) -> int:
+    """Phase-2 commit of an epoch/batch, optionally write-audit-publish
+    gated: stage the snapshot, run the audit on the candidate state
+    while readers still see the pre-epoch table, publish on True, drop
+    and raise EpochAuditError on False. Shared by the batch replay
+    driver and the streaming foreachBatch sink. Returns the published
+    table version."""
+    if audit_fn is None:
+        return pending.commit(summary=summary)
+    wid = f"epoch-{epoch}"
+    if wid in table._wap_staged():
+        # a prior attempt crashed between stage and publish: the
+        # watermark never moved, so this retry owns the id — drop the
+        # stale candidate and re-stage
+        table.drop_wap(wid)
+    table.wap_id = wid
+    try:
+        pending.commit(summary=summary)
+    finally:
+        table.wap_id = None
+    if "after_stage" in failpoints:
+        raise ReplayCrash("after_stage")
+    if audit_fn(table.read(version=wid)):
+        return table.publish_wap(wid)
+    v = table.wap_version(wid)
+    table.drop_wap(wid)
+    raise EpochAuditError(
+        f"epoch {epoch} failed audit; staged snapshot v{v} dropped, "
+        f"table unchanged at v{table.current_version()}"
+    )
+
+
 @dataclass(frozen=True)
 class ReplayConfig:
     keys: tuple[str, ...] = ("repo", "path")
@@ -289,32 +328,10 @@ class ReplayEngine:
         self, table: LakeTable, pending, epoch: int, n_dirty: int,
         failpoints: Sequence[str] = (),
     ) -> int:
-        """Phase-2 commit of an epoch, optionally write-audit-publish
-        gated (cfg.audit_fn). Returns the published table version."""
-        cfg = self.config
-        summary = {"last_epoch": epoch, "n_dirty": n_dirty}
-        if cfg.audit_fn is None:
-            return pending.commit(summary=summary)
-        wid = f"epoch-{epoch}"
-        if wid in table._wap_staged():
-            # a prior attempt crashed between stage and publish: the
-            # watermark never moved, so this retry owns the id — drop
-            # the stale candidate and re-stage
-            table.drop_wap(wid)
-        table.wap_id = wid
-        try:
-            pending.commit(summary=summary)
-        finally:
-            table.wap_id = None
-        if "after_stage" in failpoints:
-            raise ReplayCrash("after_stage")
-        if cfg.audit_fn(table.read(version=wid)):
-            return table.publish_wap(wid)
-        v = table.wap_version(wid)
-        table.drop_wap(wid)
-        raise EpochAuditError(
-            f"epoch {epoch} failed audit; staged snapshot v{v} dropped, "
-            f"table unchanged at v{table.current_version()}"
+        return audit_gated_commit(
+            table, pending, epoch,
+            {"last_epoch": epoch, "n_dirty": n_dirty},
+            self.config.audit_fn, failpoints,
         )
 
     def _apply_epoch_fused_spj(

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (re-exported for callers)
 from pyspark.sql import types as T
 
-from datax_spark.engine.replay import ReplayConfig
+from datax_spark.engine.replay import ReplayConfig, audit_gated_commit
 from datax_spark.lake.merge import merge_into
 from datax_spark.lake.table import LakeTable
 from datax_spark.operators.dedup import lww_dedup
@@ -122,7 +122,12 @@ class StreamReplay:
             order_cols=None if strategy == "mor" else list(cfg.order_cols),
             strategy=strategy,
         )
-        pending.commit(summary={"last_epoch": batch_id})
+        # same write-audit-publish gate as the batch driver: with
+        # cfg.audit_fn set the batch stages, audits, then publishes —
+        # a failed audit aborts the stream with the table unchanged
+        audit_gated_commit(
+            table, pending, batch_id, {"last_epoch": batch_id}, cfg.audit_fn
+        )
         self.applied_batches.append(batch_id)
 
     def run_available_now(self) -> None:

@@ -369,3 +369,54 @@ def test_kafka_value_projection_streaming(spark, tmp_path):
     assert [(r["repo"], r["path"], r["lang"]) for r in static] == [
         ("r1", "a.py", "python")
     ]
+
+
+def test_stream_audited_batches(spark, tmp_path):
+    """The streaming sink honors the write-audit-publish gate: passing
+    audits publish every batch (state still matches the oracle); a
+    failing audit aborts the stream with the table unchanged, and a
+    restart with a passing audit converges from the checkpoint."""
+    import pytest
+
+    from datax_spark.engine.replay import EpochAuditError
+
+    spec = ChangelogSpec(n_events=6_000, n_repos=20, paths_per_repo=60,
+                         events_per_epoch=2_000, seed=7)
+    write_events(spark, spec, str(tmp_path / "events"))
+    seen = []
+    ok_cfg = ReplayConfig(
+        num_buckets=8, stats_cols=("lsn",),
+        audit_fn=lambda df: seen.append(df.count()) or True,
+    )
+    sr = StreamReplay(
+        spark, str(tmp_path / "events"), str(tmp_path / "table"),
+        str(tmp_path / "ckpt"), config=ok_cfg,
+    )
+    sr.run_available_now()
+    assert seen and all(n > 0 for n in seen)
+    assert not sr.table()._wap_staged()
+    _assert_matches(sr.table().read(), str(tmp_path / "events"))
+
+    # failing audit: stream aborts, no state published
+    bad = StreamReplay(
+        spark, str(tmp_path / "events"), str(tmp_path / "table2"),
+        str(tmp_path / "ckpt2"),
+        config=ReplayConfig(num_buckets=8, audit_fn=lambda df: False),
+    )
+    with pytest.raises(Exception) as ei:
+        bad.run_available_now()
+    # foreachBatch wraps the python error in a StreamingQueryException
+    assert "EpochAuditError" in str(ei.value) or isinstance(
+        ei.value, EpochAuditError
+    )
+    t2 = bad.table()
+    assert t2.last_epoch == -1 and t2.total_rows() == 0
+
+    # restart with a passing audit resumes from the checkpoint
+    good = StreamReplay(
+        spark, str(tmp_path / "events"), str(tmp_path / "table2"),
+        str(tmp_path / "ckpt2"),
+        config=ReplayConfig(num_buckets=8, audit_fn=lambda df: True),
+    )
+    good.run_available_now()
+    _assert_matches(good.table().read(), str(tmp_path / "events"))
