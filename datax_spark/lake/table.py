@@ -170,6 +170,84 @@ def composite_key_array(tbl, keys: list[str]):
     return kc
 
 
+def bucket_state_arrow(
+    base_files: list[str],
+    delta_files: list[str],
+    keys: list[str],
+    resolve: list[str],
+    pa_schema,
+    prefilter: list[tuple] | None = None,
+):
+    """Arrow-side LWW state of ONE bucket: base files ⊕ ordered delta
+    files, winner per key by max (resolve_order..., apply sequence),
+    tombstoned keys dropped. Returns a ``pa.Table`` with exactly
+    ``pa_schema``'s columns (alive winners only). Pure Arrow — runs
+    inside executor tasks with no Spark session, so both the MoR
+    merged read (:meth:`LakeTable._read_merged_buckets`) and the
+    streaming change-feed source share one resolution kernel.
+
+    Base files share one consistent snapshot (a key appears in at most
+    one of them), so they all take sequence 0 and (key, seq) stays
+    unique; delta files win by list position. ``prefilter`` (key-column
+    conjuncts only — the caller guarantees LWW safety) pushes into the
+    parquet reads for row-group pruning."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+    import pyarrow.parquet as pq
+
+    parts = []
+    for seq, f in [(0, p) for p in base_files] + [
+        (i + 1, p) for i, p in enumerate(delta_files)
+    ]:
+        t = pq.read_table(f, filters=prefilter)
+        if not t.num_rows:
+            continue
+        op = (
+            t.column("__op").cast(pa.string())
+            if "__op" in t.column_names
+            else pa.nulls(t.num_rows, type=pa.string())
+        )
+        ct = conform_arrow(t, pa_schema)
+        ct = ct.append_column("__op", op).append_column(
+            "__seq", pa.array([seq] * t.num_rows, type=pa.int64())
+        )
+        parts.append(ct)
+    if not parts:
+        return pa_schema.empty_table()
+    tbl = pa.concat_tables(parts)
+    tbl = tbl.append_column("__k", composite_key_array(tbl, keys))
+    # winner per key: max (resolve_order..., seq) when the table opted
+    # into event-order resolution (see Manifest.resolve_order), else
+    # max apply sequence
+    idx = pc.sort_indices(
+        tbl,
+        sort_keys=[
+            ("__k", "ascending"),
+            *[(c, "descending") for c in resolve],
+            ("__seq", "descending"),
+        ],
+    )
+    tbl = tbl.take(idx).combine_chunks()
+    karr = tbl.column("__k").chunk(0) if tbl.column("__k").num_chunks else None
+    if karr is None or not len(karr):
+        return pa_schema.empty_table()
+    # winner per key = first row of each sorted key run
+    first = pa.concat_arrays(
+        [
+            pa.array([True]),
+            pc.not_equal(karr.slice(1), karr.slice(0, len(karr) - 1)),
+        ]
+    )
+    win = tbl.filter(first)
+    alive = win.filter(
+        pc.or_kleene(
+            pc.is_null(win.column("__op")),
+            pc.not_equal(win.column("__op"), "D"),
+        )
+    )
+    return alive.select(pa_schema.names).combine_chunks()
+
+
 def harvest_file_stats(paths: list[str], stats_cols: list[str]) -> dict[str, dict[str, list]]:
     """Per-file [min, max, null_count] for ``stats_cols``, read from
     parquet FOOTERS only (row-group statistics folded per file) — the
@@ -635,71 +713,14 @@ class LakeTable:
         }
 
         def merge_read(batches):
-            import pyarrow as pa
-            import pyarrow.compute as pc
-            import pyarrow.parquet as pq
-
             for batch in batches:
                 for b in batch.column(0).to_pylist():
                     base, deltas = file_plan[b]
-                    parts = []
-                    # base files share one consistent snapshot: a key
-                    # appears in at most one of them, so they all take
-                    # sequence 0 and (key, seq) stays unique.
-                    for seq, f in [(0, p) for p in base] + [
-                        (i + 1, p) for i, p in enumerate(deltas)
-                    ]:
-                        t = pq.read_table(f, filters=prefilter)
-                        if not t.num_rows:
-                            continue
-                        op = (
-                            t.column("__op").cast(pa.string())
-                            if "__op" in t.column_names
-                            else pa.nulls(t.num_rows, type=pa.string())
-                        )
-                        ct = conform_arrow(t, pa_schema)
-                        ct = ct.append_column("__op", op).append_column(
-                            "__seq", pa.array([seq] * t.num_rows, type=pa.int64())
-                        )
-                        parts.append(ct)
-                    if not parts:
-                        continue
-                    tbl = pa.concat_tables(parts)
-                    tbl = tbl.append_column("__k", composite_key_array(tbl, keys))
-                    # winner per key: max (resolve_order..., seq) when
-                    # the table opted into event-order resolution (see
-                    # Manifest.resolve_order), else max apply sequence
-                    idx = pc.sort_indices(
-                        tbl,
-                        sort_keys=[
-                            ("__k", "ascending"),
-                            *[(c, "descending") for c in resolve],
-                            ("__seq", "descending"),
-                        ],
-                    )
-                    tbl = tbl.take(idx).combine_chunks()
-                    karr = tbl.column("__k").chunk(0) if tbl.column("__k").num_chunks else None
-                    if karr is None or not len(karr):
-                        continue
-                    # winner per key = first row of each sorted key run
-                    first = pa.concat_arrays(
-                        [
-                            pa.array([True]),
-                            pc.not_equal(
-                                karr.slice(1), karr.slice(0, len(karr) - 1)
-                            ),
-                        ]
-                    )
-                    win = tbl.filter(first)
-                    alive = win.filter(
-                        pc.or_kleene(
-                            pc.is_null(win.column("__op")),
-                            pc.not_equal(win.column("__op"), "D"),
-                        )
+                    alive = bucket_state_arrow(
+                        base, deltas, keys, resolve, pa_schema, prefilter
                     )
                     if alive.num_rows:
-                        out = alive.select(pa_schema.names).combine_chunks()
-                        yield from out.to_batches()
+                        yield from alive.to_batches()
 
         bl = self.spark.createDataFrame(
             [(b,) for b in bucket_ids], "bucket int"
