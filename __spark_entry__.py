@@ -15,6 +15,9 @@ oracle-checked (round 2 eliminated all rows-only entries):
                                      recount of the raw log),
                                      cdc_change_feed (snapshot-diff CDF vs
                                      log-derived diff),
+                                     cdc_change_feed_stream (the feed as a
+                                     Structured Streaming source vs per-epoch
+                                     log-derived diffs),
                                      cdc_time_travel (read-at-version vs
                                      log replay truncated at that epoch)
 * dx_* transformer parity (§2.4) ... dx_substr_pad_replace, dx_filter_null_rules,
@@ -309,6 +312,44 @@ def _q_cdc_change_feed(spark: SparkSession, sf_dir: str) -> DataFrame:
         "repo", "path", "commit", "lsn", "lang", "lang_variant",
         F.sha2("content", 256).alias("content_sha256"),
         "_change_type",
+    )
+
+
+def _q_cdc_change_feed_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The change feed consumed as a STRUCTURED STREAMING source
+    (streaming/change_source.py, format('lake_changes') via the public
+    Python DataSource API — the streaming sibling of cdc_change_feed
+    and the closest shape to otsstreamreader's tunnel tail): offsets
+    are snapshot versions, partitions are manifest-pruned (commit,
+    bucket) pairs, and each task diffs the bucket's old/new LWW state
+    executor-side in Arrow with zero Spark exchange. Streamed from
+    startingVersion=1, so the feed replays the initial snapshot as
+    inserts and then every commit's per-key insert/update/delete rows
+    tagged with _commit_version. Oracle: per-epoch snapshot diffs
+    derived from the raw event log (winner state after each epoch,
+    full-outer joined to the previous epoch's state; version =
+    epoch + 1, since create is v0 and epoch k commits v(k+1))."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.streaming.change_source import stream_changes
+
+    out = os.path.join(root, "cdf_stream_out")
+    if not _REPLAY_CACHE.get("cdf_stream"):
+        cdf = stream_changes(
+            spark, os.path.join(root, "table"), starting_version=1
+        )
+        q = (
+            cdf.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", os.path.join(root, "cdf_stream_ckpt"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(600)
+        _REPLAY_CACHE["cdf_stream"] = "done"
+    return spark.read.parquet(out).select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
+        "_change_type", "_commit_version",
     )
 
 
@@ -971,6 +1012,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_snapshot_lineage": _q_cdc_snapshot_lineage,
         "cdc_recent_changes_scan": _q_cdc_recent_changes_scan,
         "cdc_change_feed": _q_cdc_change_feed,
+        "cdc_change_feed_stream": _q_cdc_change_feed_stream,
         "cdc_lineage_metrics": _q_cdc_lineage_metrics,
         "dx_substr_pad_replace": _q_dx_substr_pad_replace,
         "dx_filter_null_rules": _q_dx_filter_null_rules,
@@ -1354,6 +1396,50 @@ def oracle_sql() -> dict[str, str]:
             FROM s1 a FULL OUTER JOIN s2 b
               ON a.repo = b.repo AND a.path = b.path
             WHERE a.repo IS NULL OR b.repo IS NULL OR a.commit <> b.commit
+        """,
+        # streaming change-feed source: the oracle rebuilds EVERY
+        # commit's per-key diff from the raw log — winner state after
+        # each epoch, full-outer joined to the state one epoch before
+        # (b.as_of = a.as_of + 1); unmatched b at epoch 0 is the
+        # initial-snapshot replay, unmatched a (below the last epoch)
+        # is a delete. Winners are unique per (commit, lsn), so update
+        # detection on those two columns equals the engine's full-
+        # payload fingerprint. _commit_version = epoch + 1 (create=v0).
+        "cdc_change_feed_stream": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true, hive_partitioning = true,
+                  hive_types = {{'epoch': BIGINT}})
+            ),
+            eps AS (SELECT DISTINCT epoch FROM ev),
+            state AS (
+              SELECT * FROM (
+                SELECT ep.epoch AS as_of, e.*,
+                       row_number() OVER (PARTITION BY ep.epoch, e.repo, e.path
+                           ORDER BY e.commit DESC, e.lsn DESC) AS rn
+                FROM eps ep JOIN ev e ON e.epoch <= ep.epoch)
+              WHERE rn = 1 AND op <> 'D'
+            ),
+            mx AS (SELECT max(epoch) AS m FROM ev)
+            SELECT coalesce(b.repo, a.repo) AS repo,
+                   coalesce(b.path, a.path) AS path,
+                   CASE WHEN b.repo IS NULL THEN a.commit ELSE b.commit END AS commit,
+                   CASE WHEN b.repo IS NULL THEN a.lsn ELSE b.lsn END AS lsn,
+                   CASE WHEN b.repo IS NULL THEN a.lang ELSE b.lang END AS lang,
+                   CASE WHEN b.repo IS NULL THEN a.lang_variant
+                        ELSE b.lang_variant END AS lang_variant,
+                   sha256(CASE WHEN b.repo IS NULL THEN a.content
+                               ELSE b.content END) AS content_sha256,
+                   CASE WHEN a.repo IS NULL THEN 'insert'
+                        WHEN b.repo IS NULL THEN 'delete'
+                        ELSE 'update' END AS _change_type,
+                   (coalesce(b.as_of, a.as_of + 1) + 1)::BIGINT AS _commit_version
+            FROM (SELECT s.* FROM state s, mx WHERE s.as_of < mx.m) a
+            FULL OUTER JOIN state b
+              ON a.repo = b.repo AND a.path = b.path AND b.as_of = a.as_of + 1
+            WHERE a.repo IS NULL OR b.repo IS NULL
+               OR a.commit <> b.commit OR a.lsn <> b.lsn
         """,
         "cdc_lineage_metrics": f"""
             WITH ev AS (

@@ -154,3 +154,82 @@ def sync(
     else:
         updates = _cross_table_diff(replica, source, sm.version)
     return _apply(replica, updates, sm.version, mode)
+
+
+def apply_change_batch(replica: LakeTable, batch_df: DataFrame) -> int | None:
+    """Apply one micro-batch of ``lake_changes`` rows (full images +
+    ``_change_type`` + ``_commit_version``) to a replica, exactly
+    once: rows at or below the replica's watermark are dropped (a
+    crash-replayed batch becomes a no-op), the batch collapses to each
+    key's LAST state across the commits it covers (``max_by`` on
+    ``_commit_version`` — a key inserted then deleted in one batch
+    applies as the delete), and the merge commit advances the
+    watermark to the batch's highest commit in the same atomic
+    snapshot. Returns the new replica version, or None if the whole
+    batch was a replay."""
+    wm = int(replica.manifest().summary[REPLICA_WATERMARK])
+    fresh = batch_df.filter(F.col("_commit_version") > wm)
+    hi = fresh.agg(F.max("_commit_version")).first()[0]
+    if hi is None:
+        return None
+    keys = replica.manifest().key_cols
+    others = [c for c in fresh.columns if c not in keys]
+    latest = (
+        fresh.groupBy(*keys)
+        .agg(F.max_by(F.struct(*others), F.col("_commit_version")).alias("__w"))
+        .select(*keys, "__w.*")
+    )
+    updates = latest.withColumn(
+        "__op",
+        F.when(F.col("_change_type") == "delete", F.lit("D")).otherwise(F.lit("U")),
+    ).drop("_change_type", "_commit_version")
+    pending = merge_into(replica, updates, op_col="__op")
+    return pending.commit(summary={REPLICA_WATERMARK: int(hi)})
+
+
+def stream_sync(
+    source: LakeTable,
+    replica_root: str,
+    checkpoint_dir: str,
+    available_now: bool = True,
+    processing_interval: str | None = None,
+):
+    """Streaming lake-to-lake replication: seed the replica if absent
+    (batch :func:`sync`), then follow the source's committed snapshots
+    through the ``lake_changes`` streaming source, applying each
+    micro-batch as one atomic merge commit via
+    :func:`apply_change_batch`. Returns the started StreamingQuery
+    (``available_now=True`` drains pending commits and stops — the
+    scheduled-replication shape; a ``processing_interval`` follows the
+    source continuously).
+
+    Exactly-once composes from two sides: Spark's checkpoint replays
+    at-least-once, and the replica's ``replica_of_version`` watermark
+    makes re-application a no-op — the same idempotence contract as
+    the replay engine's epoch watermark. A fresh checkpoint starts at
+    the watermark (``sinceVersion``), so checkpoint loss alone never
+    skips or double-applies a commit."""
+    from datax_spark.streaming.change_source import stream_changes
+
+    spark = source.spark
+    if not LakeTable.exists(replica_root):
+        sync(source, replica_root)
+    replica = LakeTable.load(spark, replica_root)
+    wm = replica.manifest().summary.get(REPLICA_WATERMARK)
+    if wm is None:
+        raise ValueError(
+            f"table at {replica_root} is not a replica (no {REPLICA_WATERMARK} watermark)"
+        )
+    cdf = stream_changes(spark, source.root, since_version=int(wm))
+
+    def apply_batch(batch_df: DataFrame, batch_id: int) -> None:
+        apply_change_batch(LakeTable.load(spark, replica_root), batch_df)
+
+    w = cdf.writeStream.foreachBatch(apply_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        w = w.trigger(availableNow=True)
+    elif processing_interval is not None:
+        w = w.trigger(processingTime=processing_interval)
+    return w.start()

@@ -248,6 +248,98 @@ def bucket_state_arrow(
     return alive.select(pa_schema.names).combine_chunks()
 
 
+def _payload_fingerprint(tbl, payload: list[str]):
+    """Injective row fingerprint over the payload columns of an Arrow
+    table, for change detection: each part encodes validity + length +
+    value ("1:3:abc"; null is "0:0:"), so NULL vs the literal NUL
+    string vs empty string all stay distinct and arbitrary value bytes
+    cannot collide across column boundaries. Same Arrow-kernel-only
+    discipline as :func:`composite_key_array` (pandas elementwise
+    concat strips NUL bytes)."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    if not payload:
+        return pa.array([""] * tbl.num_rows, type=pa.string())
+    fp = None
+    for c in payload:
+        s = pc.cast(tbl.column(c), pa.string())
+        valid = pc.if_else(pc.is_null(s), pa.scalar("0"), pa.scalar("1"))
+        s = pc.fill_null(s, "")
+        part = pc.binary_join_element_wise(
+            valid, pc.cast(pc.binary_length(s), pa.string()), s, ":"
+        )
+        fp = part if fp is None else pc.binary_join_element_wise(fp, part, ";")
+    return fp
+
+
+def bucket_changes_arrow(old, new, keys: list[str], pa_schema, commit_version: int):
+    """Arrow-side change rows between two LWW states of ONE bucket
+    (both produced by :func:`bucket_state_arrow`, so each key appears
+    at most once per side): one output row per key whose state
+    differs, with ``_change_type`` in {insert, update, delete} and
+    ``_commit_version`` stamped. Inserts/updates carry the new image;
+    deletes carry the old image — the same contract as the batch
+    :meth:`LakeTable.changes`, but computed with zero Spark exchange:
+    both snapshots co-locate a key in the same bucket, so the diff is
+    a local sort + run-compare, never a join.
+
+    Shape: concat(old tagged side=0, new tagged side=1), sort by
+    (composite key, side); a key-run of length 1 is an insert or
+    delete by side, a run of length 2 is an update iff the payload
+    fingerprints differ."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    payload = [n for n in pa_schema.names if n not in keys]
+    out_schema = pa.schema(
+        list(pa_schema)
+        + [pa.field("_change_type", pa.string()), pa.field("_commit_version", pa.int64())]
+    )
+    if old.num_rows == 0 and new.num_rows == 0:
+        return out_schema.empty_table()
+
+    def tag(t, side):
+        t = t.append_column("__fp", _payload_fingerprint(t, payload))
+        return t.append_column(
+            "__side", pa.array([side] * t.num_rows, type=pa.int8())
+        )
+
+    t = pa.concat_tables([tag(old, 0), tag(new, 1)])
+    t = t.append_column("__k", composite_key_array(t, keys))
+    idx = pc.sort_indices(
+        t, sort_keys=[("__k", "ascending"), ("__side", "ascending")]
+    )
+    t = t.take(idx).combine_chunks()
+    n = t.num_rows
+    k = t.column("__k").chunk(0)
+    fp = t.column("__fp").chunk(0)
+    false1 = pa.array([False])
+    if n == 1:
+        same_prev = same_next = fp_eq_prev = false1
+    else:
+        eq = pc.equal(k.slice(1), k.slice(0, n - 1))
+        same_prev = pa.concat_arrays([false1, eq])
+        same_next = pa.concat_arrays([eq, false1])
+        fp_eq_prev = pa.concat_arrays(
+            [false1, pc.equal(fp.slice(1), fp.slice(0, n - 1))]
+        )
+    is_new = pc.equal(t.column("__side"), pa.scalar(1, pa.int8()))
+    is_old = pc.invert(is_new)
+    delete = pc.and_(is_old, pc.invert(same_next))
+    insert = pc.and_(is_new, pc.invert(same_prev))
+    update = pc.and_(pc.and_(is_new, same_prev), pc.invert(fp_eq_prev))
+    keep = pc.or_(delete, pc.or_(insert, update))
+    label = pc.if_else(
+        delete, pa.scalar("delete"), pc.if_else(insert, pa.scalar("insert"), pa.scalar("update"))
+    )
+    res = t.append_column("_change_type", label).filter(keep)
+    cols = [res.column(nm) for nm in pa_schema.names]
+    cols.append(res.column("_change_type"))
+    cols.append(pa.array([commit_version] * res.num_rows, type=pa.int64()))
+    return pa.Table.from_arrays(cols, schema=out_schema)
+
+
 def harvest_file_stats(paths: list[str], stats_cols: list[str]) -> dict[str, dict[str, list]]:
     """Per-file [min, max, null_count] for ``stats_cols``, read from
     parquet FOOTERS only (row-group statistics folded per file) — the
