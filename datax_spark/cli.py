@@ -13,7 +13,11 @@ Three job kinds:
 * ``{"replicate": {...}}`` — lake-to-lake incremental replication:
   ``{"replicate": {"source_root": ..., "replica_root": ...,
   "to_version": null}}`` (idempotent; re-run = no-op at the same
-  source version)
+  source version). With ``"streaming": true`` (+ ``checkpoint_root``)
+  the replica follows the source through the ``lake_changes``
+  Structured Streaming source instead (one availableNow drain per
+  invocation — the scheduled-replication shape; exactly-once from
+  checkpoint + replica watermark).
 
 Usage (local or via spark-submit):
 
@@ -115,6 +119,19 @@ def main(argv: list[str] | None = None) -> int:
                 "mode": "replicate",
                 "source_version": src.current_version(),
                 "replica_exists": LakeTable.exists(r["replica_root"]),
+                "streaming": bool(r.get("streaming")),
+            }))
+            return 0
+        if r.get("streaming"):
+            from datax_spark.lake.replicate import REPLICA_WATERMARK, stream_sync
+
+            q = stream_sync(src, r["replica_root"], r["checkpoint_root"])
+            q.awaitTermination()
+            rep = LakeTable.load(spark, r["replica_root"])
+            print(json.dumps({
+                "mode": "replicate_stream",
+                "synced_to": int(rep.manifest().summary[REPLICA_WATERMARK]),
+                "replica_version": rep.current_version(),
             }))
             return 0
         res = sync(src, r["replica_root"], to_version=r.get("to_version"))

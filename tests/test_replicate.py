@@ -129,7 +129,12 @@ def test_cli_replicate_job(spark, tmp_path, capsys):
 
     assert main(["--job", str(spec), "--dry-run"]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    assert out == {"mode": "replicate", "source_version": 1, "replica_exists": False}
+    assert out == {
+        "mode": "replicate",
+        "source_version": 1,
+        "replica_exists": False,
+        "streaming": False,
+    }
 
     assert main(["--job", str(spec)]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
@@ -143,3 +148,39 @@ def test_cli_replicate_job(spark, tmp_path, capsys):
     assert main(["--job", str(spec)]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["sync_mode"] == "noop"
+
+
+def test_cli_replicate_streaming_job(spark, tmp_path, capsys):
+    """`{"replicate": {..., "streaming": true}}`: each invocation
+    drains the lake_changes stream into the replica (seed on first
+    run), exactly-once across re-runs."""
+    import json
+
+    from datax_spark.cli import main
+
+    src_root, rep_root = str(tmp_path / "src"), str(tmp_path / "rep")
+    src = LakeTable.create(spark, src_root, SCHEMA, ["repo", "path"], num_buckets=4)
+    merge_into(src, _upserts(spark, [("r1", "a", 1, "x")])).commit()
+    spec = tmp_path / "job.json"
+    spec.write_text(json.dumps({"replicate": {
+        "source_root": src_root,
+        "replica_root": rep_root,
+        "streaming": True,
+        "checkpoint_root": str(tmp_path / "ck"),
+    }}))
+
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "replicate_stream" and out["synced_to"] == 1
+    assert _state(LakeTable.load(spark, rep_root)) == _state(src)
+
+    merge_into(src, _upserts(spark, [("r2", "b", 2, "y")])).commit()
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["synced_to"] == 2
+    rep = LakeTable.load(spark, rep_root)
+    assert _state(rep) == _state(src)
+    v = rep.current_version()
+    # drained: a re-run moves nothing
+    assert main(["--job", str(spec)]) == 0
+    assert LakeTable.load(spark, rep_root).current_version() == v
