@@ -184,6 +184,28 @@ def test_checkpoint_loss_does_not_skip_or_double_apply(spark, tmp_path):
     assert int(rep.manifest().summary[REPLICA_WATERMARK]) == src.current_version()
 
 
+def test_schema_evolution_visible_after_stream_restart(spark, tmp_path):
+    """The stream's schema is fixed at start (Spark's source
+    contract); a column added by additive evolution appears when the
+    stream is RESTARTED on the same checkpoint — Delta semantics.
+    Rows from pre-evolution commits come back null-filled for it."""
+    t = _mk_source(spark, str(tmp_path / "src"))
+    ck = str(tmp_path / "ck")
+    _drain(stream_changes(spark, t.root, starting_version=1), ck)
+
+    evolved = spark.createDataFrame(
+        [("r1", "a", "U", 20, "x4", "py-v2"), ("r9", "z", "U", 21, "q", None)],
+        DDL + ", lang_variant string",
+    )
+    merge_into(t, evolved).commit()
+    got = _drain(stream_changes(spark, t.root, starting_version=1), ck)
+    assert "lang_variant" in got[0].asDict()
+    by_key = {(r.repo, r.path): r for r in got}
+    assert by_key[("r1", "a")].lang_variant == "py-v2"
+    assert by_key[("r1", "a")]._change_type == "update"
+    assert by_key[("r9", "z")]._change_type == "insert"
+
+
 def test_compaction_commit_emits_no_changes(spark, tmp_path):
     t = _mk_source(spark, str(tmp_path / "src"))
     ck = str(tmp_path / "ck")
