@@ -9,7 +9,11 @@ Three job kinds:
 * ``{"replay": {...}}`` — the CDC engine:
   ``{"replay": {"events_root": ..., "table_root": ..., "metrics_root":
   ..., "num_buckets": 64, "salt_buckets": null, "through_epoch": null,
-  "streaming": false, "checkpoint_root": ...}}``
+  "streaming": false, "checkpoint_root": ...,
+  "speed": {"record": null, "byte": null}}}`` — ``speed`` is the
+  DataX ``job.setting.speed`` flow-control shape (records/sec and
+  bytes/sec caps on the sustained replay rate; also accepted as
+  ``max_events_per_sec`` / ``max_bytes_per_sec``)
 * ``{"replicate": {...}}`` — lake-to-lake incremental replication:
   ``{"replicate": {"source_root": ..., "replica_root": ...,
   "to_version": null}}`` (idempotent; re-run = no-op at the same
@@ -53,11 +57,14 @@ def main(argv: list[str] | None = None) -> int:
         from datax_spark.engine.replay import ReplayConfig, ReplayEngine
 
         r = spec["replay"]
+        speed = r.get("speed", {})  # DataX job.setting.speed shape
         cfg = ReplayConfig(
             keys=tuple(r.get("keys", ("repo", "path"))),
             order_cols=tuple(r.get("order_cols", ("commit", "lsn"))),
             num_buckets=int(r.get("num_buckets", 64)),
             salt_buckets=r.get("salt_buckets"),
+            max_events_per_sec=r.get("max_events_per_sec", speed.get("record")),
+            max_bytes_per_sec=r.get("max_bytes_per_sec", speed.get("byte")),
         )
         if r.get("streaming"):
             from datax_spark.streaming import StreamReplay

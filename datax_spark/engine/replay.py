@@ -191,6 +191,19 @@ class ReplayConfig:
     # watermark unmoved, and the epoch's retry drops the stale staged
     # snapshot and re-runs.
     audit_fn: Callable[[DataFrame], bool] | None = None
+    # Flow control (job.setting.speed.record/byte analog — the
+    # reference paces each channel with a per-second statistics window
+    # and sleeps off the excess, Channel.java:176-239): after each
+    # committed epoch, the run loop sleeps until the run's CUMULATIVE
+    # applied events/bytes no longer exceed the caps. Epoch
+    # granularity is this engine's batch analog of the reference's
+    # 1-second window; within an epoch Spark runs at full speed
+    # (pacing a distributed job mid-flight would just idle executors —
+    # the meaningful contract is the sustained rate a downstream
+    # system sees between commits). Both caps may be set; the
+    # stricter one governs. None = unthrottled.
+    max_events_per_sec: float | None = None
+    max_bytes_per_sec: float | None = None
 
     def __post_init__(self) -> None:
         if self.dirty_pct_limit is not None and not (
@@ -200,6 +213,22 @@ class ReplayConfig:
                 f"dirty_pct_limit must be within [0.0, 1.0], got "
                 f"{self.dirty_pct_limit} (ErrorRecordChecker.java:34-38)"
             )
+        for cap in (self.max_events_per_sec, self.max_bytes_per_sec):
+            if cap is not None and cap <= 0:
+                raise ValueError(f"speed caps must be positive, got {cap}")
+
+    def throttle_wait(
+        self, cum_events: int, cum_bytes: int, elapsed_sec: float
+    ) -> float:
+        """Seconds to sleep so cumulative throughput respects the
+        caps: the earliest time the applied volume was ALLOWED to
+        finish, minus the time it actually took (clamped at 0)."""
+        target = 0.0
+        if self.max_events_per_sec:
+            target = max(target, cum_events / self.max_events_per_sec)
+        if self.max_bytes_per_sec:
+            target = max(target, cum_bytes / self.max_bytes_per_sec)
+        return max(0.0, target - elapsed_sec)
 
 
 @dataclass
@@ -215,6 +244,8 @@ class EpochResult:
     version: int | None = None
     phase_ms: dict = field(default_factory=dict)
     n_dirty: int = 0
+    bytes_in: int = 0
+    throttle_ms: float = 0.0  # flow-control sleep after this epoch
 
 
 @dataclass
@@ -265,11 +296,23 @@ class ReplayEngine:
         through_epoch: int | None = None,
         failpoints: Sequence[str] = (),
     ) -> list[EpochResult]:
+        cfg = self.config
+        throttled = cfg.max_events_per_sec or cfg.max_bytes_per_sec
+        t0 = time.monotonic()
+        cum_ev = cum_b = 0
         results = []
         for e in self.discover_epochs():
             if through_epoch is not None and e > through_epoch:
                 break
-            results.append(self.apply_epoch(e, failpoints=failpoints))
+            r = self.apply_epoch(e, failpoints=failpoints)
+            results.append(r)
+            if throttled and not r.skipped:
+                cum_ev += r.n_events
+                cum_b += r.bytes_in
+                wait = cfg.throttle_wait(cum_ev, cum_b, time.monotonic() - t0)
+                if wait > 0:
+                    r.throttle_ms = round(wait * 1000.0, 1)
+                    time.sleep(wait)
         return results
 
     def _resolve_dirty(self, epoch, obs, ev, ev_obs, dirty_pred, ph) -> int:
@@ -433,6 +476,7 @@ class ReplayEngine:
             version=version,
             phase_ms={k: round(v, 1) for k, v in ph.items()},
             n_dirty=n_dirty,
+            bytes_in=sum(r["bytes_in"] for r in rows),
         )
 
     def apply_epoch(self, epoch: int, failpoints: Sequence[str] = ()) -> EpochResult:
@@ -624,4 +668,5 @@ class ReplayEngine:
             version=version,
             phase_ms={k: round(v, 1) for k, v in ph.items()},
             n_dirty=n_dirty,
+            bytes_in=sum(r["bytes_in"] for r in rows),
         )
