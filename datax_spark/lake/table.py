@@ -98,6 +98,13 @@ class Manifest:
     # simply disable skipping for that file — never correctness.
     stats_cols: list[str] = field(default_factory=list)
     file_stats: dict[str, dict[str, list]] = field(default_factory=dict)
+    # What produced THIS snapshot (per-snapshot, never inherited —
+    # unlike ``summary``, which merges over the parent's): "" for data
+    # commits, "compact" for layout-only rewrites (visible state
+    # provably unchanged), "rebucket" for bucket-count changes. The
+    # Iceberg snapshot-operation field; change-feed consumers use it
+    # to skip diffing commits that cannot contain a changed key.
+    operation: str = ""
 
     @property
     def schema(self) -> T.StructType:
@@ -123,6 +130,7 @@ class Manifest:
                 "resolve_order": self.resolve_order,
                 "stats_cols": self.stats_cols,
                 "file_stats": self.file_stats,
+                "operation": self.operation,
             },
             indent=1,
         )
@@ -979,6 +987,7 @@ class LakeTable:
         schema: T.StructType | None = None,
         summary: dict | None = None,
         base_version: int | None = None,
+        operation: str = "",
     ) -> int:
         """Commit a new snapshot: replaced buckets take the new file
         lists; untouched buckets carry over from the parent. Atomic.
@@ -1034,6 +1043,7 @@ class LakeTable:
             resolve_order=parent.resolve_order,
             stats_cols=parent.stats_cols,
             file_stats=stats,
+            operation=operation,
         )
         return self._write_manifest(m, expected_parent=parent.version)
 
@@ -1203,6 +1213,9 @@ class LakeTable:
             new_row_counts=new_counts,
             summary={"compacted": len(todo)},
             base_version=m.version,
+            # layout-only: visible state provably unchanged — lets
+            # change-feed consumers skip diffing this commit entirely
+            operation="compact",
         )
 
     def _zorder_column(self, m: Manifest, df: DataFrame, cols: list[str], todo: list[int]):
@@ -1310,6 +1323,7 @@ class LakeTable:
             summary={**m.summary, "rebucketed_from": m.num_buckets},
             resolve_order=m.resolve_order,
             stats_cols=m.stats_cols,
+            operation="rebucket",
             file_stats=stats,
         )
         return self._write_manifest(nm, expected_parent=m.version)
@@ -1496,6 +1510,7 @@ class LakeTable:
             files=dict(t.files),
             row_counts=dict(t.row_counts),
             summary={**t.summary, "rollback_of": t.version},
+            operation="rollback",
             delta_files=dict(t.delta_files),
             delta_row_counts=dict(t.delta_row_counts),
             resolve_order=t.resolve_order,

@@ -45,9 +45,11 @@ Bounds, by design:
   stream restart, as in Delta; until then both sides conform to the
   start schema, so a change only visible in a new column is not
   emitted.
-* A ``compact()`` commit rewrites file lists without changing content:
-  its buckets are diffed (the manifests cannot prove them unchanged)
-  and produce zero change rows.
+* A ``compact()`` commit rewrites file lists without changing content;
+  its manifest carries ``operation="compact"``, so the source skips
+  diffing it entirely (a heartbeat partition advances the offset) —
+  without the marker a full compaction would cost a zero-row diff of
+  the whole table. Delta CDF skips non-data commits the same way.
 * Expired history (``expire_snapshots``) raises a clear error when the
   walk needs a retired manifest — pin a tag to the consumer's position
   to prevent it, or reseed via ``replicate.sync``'s repair path.
@@ -188,6 +190,14 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                     f"({p.num_buckets}→{c.num_buckets} buckets); restart the "
                     f"stream with startingVersion>={c.version}"
                 )
+            if c.operation == "compact":
+                # layout-only rewrite: every touched bucket's file list
+                # differs but the visible state provably does not — at
+                # scale a full compaction would otherwise cost a
+                # zero-row diff of the whole table (Delta CDF skips
+                # non-data commits the same way)
+                parts.append(BucketChangeStep(c.version, None, [], [], [], []))
+                continue
 
             def absolutize(man: Manifest | None, b: str) -> tuple[list[str], list[str]]:
                 if man is None:

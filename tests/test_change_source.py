@@ -207,10 +207,27 @@ def test_schema_evolution_visible_after_stream_restart(spark, tmp_path):
 
 
 def test_compaction_commit_emits_no_changes(spark, tmp_path):
+    """A compact() commit is layout-only: the stream advances past it
+    WITHOUT diffing (operation marker → heartbeat partition), so a
+    full-table compaction costs the feed nothing."""
+    from datax_spark.streaming.change_source import LakeChangesStreamReader
+
     t = _mk_source(spark, str(tmp_path / "src"))
     ck = str(tmp_path / "ck")
     cdf = stream_changes(spark, t.root)
     assert _drain(cdf, ck) == []
+    v0 = t.current_version()
     t.compact()  # rewrites files, content identical
-    assert os.path.exists(os.path.join(t.root, "_manifests"))
+    assert t.manifest().operation == "compact"
+
+    r = LakeChangesStreamReader({"path": t.root})
+    parts = r.partitions({"version": v0}, {"version": t.current_version()})
+    assert [p.bucket for p in parts] == [None]  # heartbeat, no bucket reads
     assert _drain(cdf, ck) == []
+
+    # and a data commit AFTER the compaction still flows
+    merge_into(
+        t, spark.createDataFrame([("rc", "p", "U", 30, "cc")], DDL)
+    ).commit()
+    got = _drain(cdf, ck)
+    assert _key_rows(got) == {("rc", "p", 30, "cc", "insert")}
