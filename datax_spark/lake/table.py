@@ -348,6 +348,23 @@ def bucket_changes_arrow(old, new, keys: list[str], pa_schema, commit_version: i
     return pa.Table.from_arrays(cols, schema=out_schema)
 
 
+def manifest_changed_buckets(parent: "Manifest | None", child: "Manifest") -> list[int]:
+    """Bucket ids whose base or delta file lists differ between a
+    parent and child snapshot — data files are immutable, so an
+    identical list proves the bucket holds no changed key. Parent None
+    (the first snapshot) makes every bucket of the child changed."""
+    all_b = set(child.files) | set(child.delta_files)
+    if parent is None:
+        return sorted(int(b) for b in all_b)
+    all_b |= set(parent.files) | set(parent.delta_files)
+    return sorted(
+        int(b)
+        for b in all_b
+        if parent.files.get(b) != child.files.get(b)
+        or parent.delta_files.get(b) != child.delta_files.get(b)
+    )
+
+
 def harvest_file_stats(paths: list[str], stats_cols: list[str]) -> dict[str, dict[str, list]]:
     """Per-file [min, max, null_count] for ``stats_cols``, read from
     parquet FOOTERS only (row-group statistics folded per file) — the
@@ -903,16 +920,7 @@ class LakeTable:
         mf = self.manifest(from_version)
         m = self.manifest(to_version)
         keys = m.key_cols
-        buckets = None
-        if mf.num_buckets == m.num_buckets:
-            buckets = sorted(
-                int(b)
-                for b in (
-                    set(mf.files) | set(mf.delta_files) | set(m.files) | set(m.delta_files)
-                )
-                if mf.files.get(b) != m.files.get(b)
-                or mf.delta_files.get(b) != m.delta_files.get(b)
-            )
+        buckets = self._changed_buckets_between(mf, m)
         old = union_by_name(self.read(version=from_version, buckets=buckets), m.schema)
         new = union_by_name(self.read(version=to_version, buckets=buckets), m.schema)
         payload = [f.name for f in m.schema.fields if f.name not in keys]
@@ -948,6 +956,43 @@ class LakeTable:
                 "_change_type",
             )
         )
+
+    def _changed_buckets_between(
+        self, mf: "Manifest", m: "Manifest"
+    ) -> list[int] | None:
+        """Buckets that can contain a changed key between two
+        snapshots, proven from manifests alone; None = cannot prove
+        (rebucket in the window), meaning read everything.
+
+        Walks the PARENT CHAIN from ``m`` back to ``mf`` so that
+        layout-only commits (``operation="compact"``) in the window
+        contribute nothing — without this, a nightly compaction
+        rewrites every file list and the next incremental sync of a
+        10^10-row table would re-read the world to find zero changes.
+        Falls back to the direct file-list compare (conservative,
+        still correct) when the walk needs an expired manifest or
+        ``mf`` is not an ancestor of ``m``."""
+        if mf.num_buckets != m.num_buckets:
+            return None
+        changed: set[int] = set()
+        c = m
+        while c.version != mf.version:
+            if c.parent is None:
+                c = None  # mf is not an ancestor: fall back
+                break
+            try:
+                p = self.manifest(c.parent)
+            except FileNotFoundError:
+                c = None  # window history expired: fall back
+                break
+            if p.num_buckets != c.num_buckets:
+                return None
+            if c.operation != "compact":
+                changed.update(manifest_changed_buckets(p, c))
+            c = p
+        if c is not None:
+            return sorted(changed)
+        return manifest_changed_buckets(mf, m)
 
     def files_df(self, version: int | None = None) -> DataFrame:
         """Files metadata table (the Iceberg ``files`` metadata-table

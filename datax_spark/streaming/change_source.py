@@ -66,6 +66,7 @@ from datax_spark.lake.table import (
     Manifest,
     bucket_changes_arrow,
     bucket_state_arrow,
+    manifest_changed_buckets,
 )
 
 CHANGE_COLS = [("_change_type", T.StringType()), ("_commit_version", T.LongType())]
@@ -109,19 +110,6 @@ class BucketChangeStep(InputPartition):
         self.deltas_a = deltas_a
         self.base_b = base_b
         self.deltas_b = deltas_b
-
-
-def _changed_buckets(parent: Manifest | None, child: Manifest) -> list[int]:
-    all_b = set(child.files) | set(child.delta_files)
-    if parent is None:
-        return sorted(int(b) for b in all_b)
-    all_b |= set(parent.files) | set(parent.delta_files)
-    return sorted(
-        int(b)
-        for b in all_b
-        if parent.files.get(b) != child.files.get(b)
-        or parent.delta_files.get(b) != child.delta_files.get(b)
-    )
 
 
 class LakeChangesStreamReader(DataSourceStreamReader):
@@ -208,7 +196,7 @@ class LakeChangesStreamReader(DataSourceStreamReader):
                 )
 
             step_parts = []
-            for b in _changed_buckets(p, c):
+            for b in manifest_changed_buckets(p, c):
                 base_a, deltas_a = absolutize(p, str(b))
                 base_b, deltas_b = absolutize(c, str(b))
                 step_parts.append(

@@ -867,3 +867,48 @@ def test_change_feed_bucket_pruned_scan(spark, tmp_path):
     # a no-change diff is empty and reads no files
     same = t.changes(2, 2)
     assert same.count() == 0 and same.inputFiles() == []
+
+
+def test_change_feed_pruned_across_compaction(spark, tmp_path):
+    """A layout-only compact() inside the diff window must not force a
+    full-table diff: the pruning walks the parent chain and skips
+    operation='compact' commits, so the feed still reads only the
+    buckets DATA commits touched (without the marker, compaction
+    rewrites every file list and the next incremental sync of a huge
+    table would re-read the world to find zero changes)."""
+    root = str(tmp_path / "t")
+    t = LakeTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=8)
+    rows = [(f"r{i}", f"p{i}", i, f"c{i}") for i in range(64)]
+    merge_into(t, _upserts(spark, rows)).commit()                        # v1
+    merge_into(t, _upserts(spark, rows)).commit()                        # v2: same rows again
+    t.compact(target_file_rows=4)                                        # v3: layout only
+    assert t.manifest().operation == "compact"
+    merge_into(t, _upserts(spark, [("r3", "p3", 100, "NEW")])).commit()  # v4: one bucket
+
+    cdf = t.changes(2, 4)
+    got = [(r.repo, r.path, r.lsn, r.content, r._change_type) for r in cdf.collect()]
+    assert got == [("r3", "p3", 100, "NEW", "update")]
+    # only the data commit's bucket was read — one file on the v2 side,
+    # the touched bucket's files on the v4 side — not the ~16+ files
+    # the compaction rewrote
+    scanned = {f.removeprefix("file://") for f in cdf.inputFiles()}
+    m4 = t.manifest(4)
+    post_compact_all = {
+        os.path.join(root, p) for fs in m4.files.values() for p in fs
+    }
+    assert len(post_compact_all) > 10
+    assert len(scanned) <= 4  # one touched bucket per side, not ~17+
+    # a window that contains ONLY the compaction diffs nothing at all
+    only_compact = t.changes(2, 3)
+    assert only_compact.count() == 0 and only_compact.inputFiles() == []
+
+    # replication across a maintenance window stays O(changes)
+    from datax_spark.lake.replicate import sync
+
+    rep_root = str(tmp_path / "rep")
+    sync(t, rep_root, to_version=2)
+    r = sync(t, rep_root)
+    assert r.mode == "incremental"
+    assert {(x.repo, x.path, x.lsn) for x in LakeTable.load(spark, rep_root).read().collect()} == {
+        (x.repo, x.path, x.lsn) for x in t.read().collect()
+    }
