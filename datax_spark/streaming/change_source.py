@@ -98,6 +98,30 @@ def _opt(options, key: str):
     return options.get(key.lower(), options.get(key))
 
 
+def _resolve_version(root: str, v) -> int:
+    """A version option is a number or a TAG name (the pin-a-tag-to-
+    the-consumer's-position story: tagged snapshots survive
+    expire_snapshots, so a feed started from a tag can never hit
+    expired history)."""
+    try:
+        return int(v)
+    except (TypeError, ValueError):
+        pass
+    import json as _json
+
+    refs_path = os.path.join(root, "_manifests", "_refs.json")
+    refs = {}
+    if os.path.exists(refs_path):
+        with open(refs_path) as fh:
+            refs = _json.load(fh)
+    if str(v) not in refs:
+        raise ValueError(
+            f"{v!r} is neither a version number nor a tag of {root} "
+            f"(tags: {sorted(refs) or 'none'})"
+        )
+    return int(refs[str(v)])
+
+
 class BucketChangeStep(InputPartition):
     """One (commit, bucket) unit of change-feed work. ``bucket`` is
     None for a heartbeat partition (commit touched no buckets — e.g. a
@@ -137,13 +161,13 @@ class LakeChangesStreamReader(DataSourceStreamReader):
         if self._since is not None:
             # exclusive low-water mark: commits AFTER this version
             # stream (the replicate.stream_sync resume contract)
-            sv = int(self._since)
+            sv = _resolve_version(self._root, self._since)
             if sv != -1:
                 _manifest_at(self._root, sv)  # must still exist
             return {"version": sv}
         if self._starting is None:
             return {"version": _current_version(self._root)}
-        sv = int(self._starting)
+        sv = _resolve_version(self._root, self._starting)
         m = _manifest_at(self._root, sv)  # must exist and be loadable
         return {"version": m.parent if m.parent is not None else -1}
 
@@ -252,16 +276,22 @@ class LakeChangesDataSource(DataSource):
 def stream_changes(
     spark,
     root: str,
-    starting_version: int | None = None,
-    since_version: int | None = None,
+    starting_version: int | str | None = None,
+    since_version: int | str | None = None,
 ):
     """Convenience: register the source and open the change feed of
     the table at ``root`` as a streaming DataFrame.
     ``starting_version`` streams that commit and everything after it
     (inclusive — the Delta ``startingVersion`` shape);
     ``since_version`` streams strictly after it (exclusive — the
-    watermark-resume shape). At most one may be given; with neither,
-    only commits made after stream start flow."""
+    watermark-resume shape). Both accept a version number or a TAG
+    name; the durable consumer pattern is a tag pinned at the
+    consumer's position + ``since_version=tag`` — tags survive
+    ``expire_snapshots``, and the exclusive resume needs only the
+    pinned manifest and the head (an inclusive ``starting_version``
+    anchor also needs the anchor's PARENT, which expiry may retire).
+    At most one may be given; with neither, only commits made after
+    stream start flow."""
     spark.dataSource.register(LakeChangesDataSource)
     r = spark.readStream.format("lake_changes").option("path", root)
     if starting_version is not None:

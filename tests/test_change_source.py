@@ -106,6 +106,37 @@ def test_default_start_only_tails(spark, tmp_path):
     assert _key_rows(got) == {("r9", "q", 9, "n", "insert")}
 
 
+def test_start_from_tag(spark, tmp_path):
+    """startingVersion/sinceVersion accept a TAG name. The durable
+    consumer pattern is a tag pinned at the consumer's POSITION +
+    sinceVersion=tag: the resume then needs only the pinned manifest
+    and the head, so it survives expire_snapshots retiring everything
+    in between."""
+    t = _mk_source(spark, str(tmp_path / "src"))
+
+    # inclusive anchor (full history still present)
+    got = _drain(
+        stream_changes(spark, t.root, starting_version=1),
+        str(tmp_path / "ck0"),
+    )
+    assert {r._commit_version for r in got} == {1, 2, 3}
+
+    t.tag("consumer-pos", 2)
+    t.expire_snapshots(keep_last=1)  # v1 retired; v2 pinned by the tag
+    got = _drain(
+        stream_changes(spark, t.root, since_version="consumer-pos"),
+        str(tmp_path / "ck"),
+    )
+    assert {r._commit_version for r in got} == {3}
+    assert _key_rows(got) == _key_rows(t.changes(2, 3).collect())
+
+    with pytest.raises(Exception, match="neither a version number nor a tag"):
+        _drain(
+            stream_changes(spark, t.root, since_version="no-such-tag"),
+            str(tmp_path / "ck2"),
+        )
+
+
 def test_rebucket_boundary_refused(spark, tmp_path):
     from pyspark.errors.exceptions.captured import StreamingQueryException
 

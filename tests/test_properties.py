@@ -234,3 +234,70 @@ def test_replay_equals_sequential_fold_property(spark, tmp_path_factory,
            for r in eng.table().read().collect()}
     assert got == state
     shutil.rmtree(root, ignore_errors=True)
+
+
+# ---------- change-feed diff kernel (pure Arrow, no Spark) ----------
+
+_key_text = st.text(
+    alphabet=st.characters(min_codepoint=0, max_codepoint=126), max_size=6
+)
+_val_text = st.one_of(
+    st.none(),
+    st.text(alphabet=st.characters(min_codepoint=0, max_codepoint=126), max_size=8),
+)
+_state = st.dictionaries(
+    keys=st.tuples(_key_text, _key_text),
+    values=st.tuples(_val_text, st.one_of(st.none(), st.integers(-5, 5))),
+    max_size=12,
+)
+
+
+@given(old=_state, new=_state)
+@settings(max_examples=200, deadline=None)
+def test_bucket_changes_arrow_matches_reference(old, new):
+    """bucket_changes_arrow == the obvious per-key dict diff, for
+    arbitrary key/payload bytes (incl. NUL, which pandas string concat
+    silently strips — the kernel must not), nulls, and empty sides.
+    Covers composite_key_array injectivity and the null-vs-literal
+    fingerprint encoding in one property."""
+    import pyarrow as pa
+
+    from datax_spark.lake.table import bucket_changes_arrow
+
+    schema = pa.schema(
+        [
+            pa.field("k1", pa.string()),
+            pa.field("k2", pa.string()),
+            pa.field("v", pa.string()),
+            pa.field("n", pa.int64()),
+        ]
+    )
+
+    def tbl(state):
+        ks = sorted(state)
+        return pa.table(
+            {
+                "k1": [k[0] for k in ks],
+                "k2": [k[1] for k in ks],
+                "v": [state[k][0] for k in ks],
+                "n": [state[k][1] for k in ks],
+            },
+            schema=schema,
+        )
+
+    expected = {}
+    for k in old.keys() - new.keys():
+        expected[k] = ("delete", *old[k])
+    for k in new.keys() - old.keys():
+        expected[k] = ("insert", *new[k])
+    for k in old.keys() & new.keys():
+        if old[k] != new[k]:
+            expected[k] = ("update", *new[k])
+
+    res = bucket_changes_arrow(tbl(old), tbl(new), ["k1", "k2"], schema, 9)
+    got = {
+        (r["k1"], r["k2"]): (r["_change_type"], r["v"], r["n"])
+        for r in res.to_pylist()
+    }
+    assert got == expected
+    assert set(res.column("_commit_version").to_pylist()) <= {9}
