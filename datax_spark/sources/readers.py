@@ -420,6 +420,118 @@ def kafka_value_projection(raw: DataFrame, columns: list[str]) -> DataFrame:
     ).select(*[F.col(f"j.{c}").alias(c) for c in columns])
 
 
+def _json_loop(obj, key: str, found=None):
+    """Depth-first search for ``key`` anywhere in a parsed JSON tree,
+    case-insensitively; the LAST match in traversal order wins —
+    parity with the reference's recursive extractor
+    (``JsonLoop.java:17-36``, which overwrites a static on every
+    match while recursing in entry order)."""
+    if isinstance(obj, dict):
+        for k, v in obj.items():
+            if k.lower() == key.lower():
+                found = v
+            else:
+                inner = _json_loop(v, key, None)
+                if inner is not None:
+                    found = inner
+    elif isinstance(obj, list):
+        for v in obj:
+            inner = _json_loop(v, key, None)
+            if inner is not None:
+                found = inner
+    return found
+
+
+def restful_records(text: str, data_path: str | None) -> list[dict]:
+    """Turn a REST response body into a list of record dicts
+    (``RestFulApiReader.java:199-252`` semantics):
+
+    * a top-level JSON array is the record list itself (dataPath
+      ignored);
+    * a JSON object with ``data_path`` set: the value at the path's
+      LAST dot-segment, located by recursive search (``JsonLoop``), is
+      the payload — a list of objects, or a single object → one
+      record. The reference only applies the path when it contains a
+      dot (a single-segment path silently falls through to treating
+      the whole envelope as the record — a quirk, not a contract);
+      here a provided path is always applied.
+    * a JSON object with no ``data_path``: one record from the object
+      itself.
+    """
+    import json as _json
+
+    doc = _json.loads(text)
+    if isinstance(doc, list):
+        return [r for r in doc if isinstance(r, dict)]
+    if not isinstance(doc, dict):
+        raise ValueError(f"REST response is not a JSON object/array: {type(doc)}")
+    if data_path:
+        last = data_path.split(".")[-1]
+        payload = _json_loop(doc, last)
+        if payload is None:
+            raise ValueError(f"dataPath {data_path!r} not found in response")
+        if isinstance(payload, list):
+            return [r for r in payload if isinstance(r, dict)]
+        if isinstance(payload, dict):
+            return [payload]
+        raise ValueError(f"dataPath {data_path!r} is a scalar, not records")
+    return [doc]
+
+
+def restful_fetch(
+    url: str,
+    method: str = "get",
+    header_infos: dict | None = None,
+    query_param: dict | None = None,
+    body_param=None,
+    timeout: float = 20.0,
+) -> str:
+    """Driver-side HTTP fetch for ``restfulapireader``
+    (``HttpServiceUtil.java:40-140`` POST / ``:143-185`` GET): GET
+    appends ``queryParam`` to the URL, POST sends ``bodyParam`` as a
+    JSON body; ``headerInfos`` ride as request headers on both. Only
+    2xx responses return; anything else raises. Like the reference
+    (``RestFulApiReader.Job.split`` returns a single config), this is
+    one channel — REST payloads are dimension-sized; land bulk data
+    on files/JDBC instead."""
+    import json as _json
+    import urllib.parse
+    import urllib.request
+
+    method = (method or "get").lower()
+    if method not in ("get", "post"):
+        raise ValueError(f"restful method must be get/post, got {method!r}")
+    if query_param and method == "get":
+        sep = "&" if "?" in url else "?"
+        url = url + sep + urllib.parse.urlencode(
+            {k: str(v) for k, v in query_param.items()}
+        )
+    data = None
+    headers = {"Content-Type": "application/json"}
+    headers.update({k: str(v) for k, v in (header_infos or {}).items()})
+    if method == "post":
+        body = body_param if isinstance(body_param, str) else _json.dumps(body_param or {})
+        data = body.encode("utf-8")
+    req = urllib.request.Request(url, data=data, headers=headers,
+                                 method=method.upper())
+    with urllib.request.urlopen(req, timeout=timeout) as resp:
+        if not (200 <= resp.status < 300):
+            raise IOError(f"REST fetch failed: HTTP {resp.status} for {url}")
+        return resp.read().decode("utf-8")
+
+
+def restful_frame(spark: SparkSession, records: list[dict], columns: list[str]) -> DataFrame:
+    """Project REST records onto the configured column list in order
+    (``RestFulApiReader.java:274-305``: absent keys → NULL; value
+    types map native JSON bool/int/float/str)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        [{c: r.get(c) for c in columns} for r in records], columns=columns
+    )
+    return spark.createDataFrame(pdf)
+
+
 def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
     """Dispatch a reader-plugin config to a Spark scan."""
     p = dict(parameter)
@@ -454,6 +566,18 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
         )
     elif name == "orcreader":
         df = spark.read.orc(*(path if isinstance(path, list) else [path]))
+    elif name == "restfulapireader" and p.get("url"):
+        text = restful_fetch(
+            p["url"],
+            method=p.get("method", "get"),
+            header_infos=p.get("headerInfos"),
+            query_param=p.get("queryParam"),
+            body_param=p.get("bodyParam"),
+        )
+        df = restful_frame(
+            spark, restful_records(text, p.get("dataPath")), list(columns or [])
+        )
+        columns = None  # already projected in configured order
     elif name in ("jsonreader", "restfulapireader"):
         df = spark.read.json(*(path if isinstance(path, list) else [path]))
     elif name == "jdbcreader":
