@@ -72,6 +72,89 @@ def jdbc_execute(
         conn.close()
 
 
+def write_restful(df: DataFrame, p: dict) -> dict:
+    """restfulapiwriter: push rows to an HTTP endpoint.
+
+    Two modes, dispatched on the config:
+
+    * **parameterized single call** (reference parity,
+      ``RestFulApiWriter.java:126-181`` + ``replaceParam`` at
+      ``:196-232``): when ``method`` is GET or any ``queryParam``
+      value is a ``$column`` reference, the FIRST record's values
+      substitute into the matching queryParam keys and ONE request
+      fires — the reference's actual behavior (it reads a single
+      record per job and triggers an API with its values).
+    * **bulk POST** (the shape a distributed engine needs): rows are
+      serialized to JSON JVM-side (``toJSON`` — no per-row Python
+      parsing), batched ``batchSize`` records per request, and POSTed
+      from each partition in parallel executor-side — no driver
+      collect, so the sink scales with partitions like the reference's
+      multi-channel JDBC writers rather than its single-channel REST
+      task. Delivery is at-least-once under task retry (same contract
+      as the reference's non-transactional writers): the receiving API
+      must be idempotent on a record key.
+    """
+    url = p["url"]
+    method = str(p.get("method", "post")).lower()
+    columns = list(p.get("column") or df.columns)
+    header_infos = {k: str(v) for k, v in (p.get("headerInfos") or {}).items()}
+    query_param = dict(p.get("queryParam") or {})
+    body_param = p.get("bodyParam")
+
+    from datax_spark.sources.readers import restful_fetch
+
+    has_refs = any(
+        isinstance(v, str) and v.startswith("$") for v in query_param.values()
+    )
+    if method == "get" or has_refs:
+        first = df.select(*columns).first()
+        if first is not None:
+            for k, v in query_param.items():
+                if isinstance(v, str) and v.startswith("$") and v[1:] in columns:
+                    query_param[k] = first[v[1:]]
+        if method == "post" and query_param:
+            # GET carries queryParam on the URL; for POST the reference
+            # resolves the refs but sends only the JSON body, so fold
+            # the resolved params into it.
+            body = dict(body_param or {})
+            body.update(query_param)
+            body_param = body
+        restful_fetch(
+            url, method=method, header_infos=header_infos,
+            query_param=query_param, body_param=body_param,
+        )
+        return {"requests": 1, "rows": 0 if first is None else 1}
+
+    batch = int(p.get("batchSize", 512))
+    timeout = float(p.get("timeoutSec", 300))
+
+    def send_partition(lines) -> None:
+        import urllib.request
+
+        headers = {"Content-Type": "application/json", **header_infos}
+        buf: list[str] = []
+
+        def flush() -> None:
+            if not buf:
+                return
+            data = ("[" + ",".join(buf) + "]").encode("utf-8")
+            req = urllib.request.Request(url, data=data, headers=headers,
+                                         method="POST")
+            with urllib.request.urlopen(req, timeout=timeout) as resp:
+                if not (200 <= resp.status < 300):
+                    raise IOError(f"REST write failed: HTTP {resp.status}")
+            buf.clear()
+
+        for line in lines:
+            buf.append(line)
+            if len(buf) >= batch:
+                flush()
+        flush()
+
+    df.select(*columns).toJSON().foreachPartition(send_partition)
+    return {"batch_size": batch, "url": url}
+
+
 def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
     """Dispatch a writer-plugin config; returns write stats."""
     p = dict(parameter)
@@ -191,6 +274,8 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
         if p.get("postSql"):
             post = p["postSql"] if isinstance(p["postSql"], list) else [p["postSql"]]
             jdbc_execute(spark, url, post, table, p)
+    elif name == "restfulapiwriter":
+        return write_restful(df, p)
     elif name == "streamwriter":
         # console smoke sink (StreamWriter.java analog)
         df.show(int(p.get("recordNumBeforePrint", 20)), truncate=False)

@@ -165,3 +165,109 @@ def test_json_loop_last_match_wins_case_insensitive():
 def test_datapath_missing_raises():
     with pytest.raises(ValueError, match="not found"):
         restful_records(json.dumps({"a": 1}), "data.rows")
+
+
+# ---------------- restfulapiwriter ----------------
+
+RECEIVED: list = []
+
+
+class _SinkHandler(BaseHTTPRequestHandler):
+    def do_POST(self):  # noqa: N802
+        n = int(self.headers.get("Content-Length", 0))
+        RECEIVED.append(
+            {
+                "path": self.path,
+                "token": self.headers.get("token"),
+                "body": json.loads(self.rfile.read(n)),
+            }
+        )
+        body = b'{"code":200}'
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def do_GET(self):  # noqa: N802
+        u = urlparse(self.path)
+        RECEIVED.append(
+            {"path": u.path, "query": {k: v[0] for k, v in parse_qs(u.query).items()}}
+        )
+        body = b'{"code":200}'
+        self.send_response(200)
+        self.send_header("Content-Length", str(len(body)))
+        self.end_headers()
+        self.wfile.write(body)
+
+    def log_message(self, *a):
+        pass
+
+
+@pytest.fixture(scope="module")
+def sink_server():
+    srv = ThreadingHTTPServer(("127.0.0.1", 0), _SinkHandler)
+    t = threading.Thread(target=srv.serve_forever, daemon=True)
+    t.start()
+    yield f"http://127.0.0.1:{srv.server_address[1]}"
+    srv.shutdown()
+
+
+def test_writer_bulk_post_batched(spark, sink_server):
+    from datax_spark.sinks.writers import write_sink
+
+    RECEIVED.clear()
+    df = spark.range(100).selectExpr("id", "concat('n', id) as name").repartition(4)
+    write_sink(
+        df,
+        "restfulapiwriter",
+        {
+            "url": f"{sink_server}/bulk",
+            "method": "post",
+            "column": ["id", "name"],
+            "headerInfos": {"token": "t0"},
+            "batchSize": 10,
+        },
+    )
+    rows = [r for req in RECEIVED for r in req["body"]]
+    assert sorted(r["id"] for r in rows) == list(range(100))
+    assert all(r["name"] == f"n{r['id']}" for r in rows)
+    assert all(len(req["body"]) <= 10 for req in RECEIVED)
+    assert all(req["token"] == "t0" for req in RECEIVED)
+
+
+def test_writer_get_with_column_substitution(spark, sink_server):
+    from datax_spark.sinks.writers import write_sink
+
+    RECEIVED.clear()
+    df = spark.createDataFrame([(7, "x")], ["id", "name"])
+    out = write_sink(
+        df,
+        "restfulapiwriter",
+        {
+            "url": f"{sink_server}/notify",
+            "method": "get",
+            "column": ["id", "name"],
+            "queryParam": {"id": "$id", "static": "s"},
+        },
+    )
+    assert out["requests"] == 1
+    assert RECEIVED[0]["query"] == {"id": "7", "static": "s"}
+
+
+def test_writer_post_refs_fold_into_body(spark, sink_server):
+    from datax_spark.sinks.writers import write_sink
+
+    RECEIVED.clear()
+    df = spark.createDataFrame([(3, "y")], ["id", "name"])
+    write_sink(
+        df,
+        "restfulapiwriter",
+        {
+            "url": f"{sink_server}/one",
+            "method": "post",
+            "column": ["id", "name"],
+            "queryParam": {"the_id": "$id"},
+            "bodyParam": {"fixed": 1},
+        },
+    )
+    assert RECEIVED[0]["body"] == {"fixed": 1, "the_id": 3}
