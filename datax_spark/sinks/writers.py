@@ -276,6 +276,10 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
             jdbc_execute(spark, url, post, table, p)
     elif name == "restfulapiwriter":
         return write_restful(df, p)
+    elif name == "elasticsearchwriter":
+        from datax_spark.sinks.es_writer import write_elasticsearch
+
+        return write_elasticsearch(df, p)
     elif name == "streamwriter":
         # console smoke sink (StreamWriter.java analog)
         df.show(int(p.get("recordNumBeforePrint", 20)), truncate=False)
