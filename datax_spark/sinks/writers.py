@@ -274,6 +274,21 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
         if p.get("postSql"):
             post = p["postSql"] if isinstance(p["postSql"], list) else [p["postSql"]]
             jdbc_execute(spark, url, post, table, p)
+    elif name == "ftpwriter":
+        # FtpWriter.java:116-168: Spark writes the CSV part files to a
+        # local spool, then the transport applies writeMode remotely
+        # (truncate deletes prefixed files / nonConflict refuses /
+        # append) and uploads each part under the fileName prefix.
+        import glob as _glob
+        import tempfile as _tempfile
+
+        from datax_spark.sources.ftp import ftp_publish_write
+
+        spool = _tempfile.mkdtemp(prefix="ftp_spool_")
+        write_sink(df, "csvwriter", {**p, "path": spool, "writeMode": "overwrite"})
+        parts = sorted(_glob.glob(os.path.join(spool, "part-*")))
+        remotes = ftp_publish_write(parts, p)
+        return {"files": len(remotes), "path": p["path"]}
     elif name == "restfulapiwriter":
         return write_restful(df, p)
     elif name == "elasticsearchwriter":

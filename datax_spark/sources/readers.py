@@ -562,10 +562,20 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
             .option("header", str(p.get("skipHeader", False)).lower())
             .option("encoding", p.get("encoding", "utf-8"))
             .option("nullValue", p.get("nullFormat", "\\N"))
-            .csv(*(path if isinstance(path, list) else [path]))
+            # NOTE: pass the list as ONE argument — DataFrameReader.csv's
+            # second positional is `schema`, so *splat with 2+ paths
+            # would parse path[1] as a DDL schema string.
+            .csv(path if isinstance(path, list) else [path])
         )
     elif name == "orcreader":
         df = spark.read.orc(*(path if isinstance(path, list) else [path]))
+    elif name == "ftpreader":
+        # FtpReader.java: resolve path specs against the remote server,
+        # stage the matched files locally, then run the same
+        # unstructured-text scan as txtfilereader over the stage.
+        from datax_spark.sources.ftp import ftp_stage_read
+
+        return read_source(spark, "txtfilereader", {**p, "path": ftp_stage_read(p)})
     elif name == "restfulapireader" and p.get("url"):
         text = restful_fetch(
             p["url"],
@@ -579,7 +589,8 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
         )
         columns = None  # already projected in configured order
     elif name in ("jsonreader", "restfulapireader"):
-        df = spark.read.json(*(path if isinstance(path, list) else [path]))
+        # list passed whole: json's second positional is `schema` too
+        df = spark.read.json(path if isinstance(path, list) else [path])
     elif name == "jdbcreader":
         df = _read_jdbc(spark, p)
     elif name in ("hivereader", "sqlreader"):
