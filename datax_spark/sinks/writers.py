@@ -274,6 +274,10 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
         if p.get("postSql"):
             post = p["postSql"] if isinstance(p["postSql"], list) else [p["postSql"]]
             jdbc_execute(spark, url, post, table, p)
+    elif name in ("tsdbwriter", "opentsdbwriter"):
+        from datax_spark.sources.tsdb import tsdb_write
+
+        return tsdb_write(df, p)
     elif name == "ftpwriter":
         # FtpWriter.java:116-168: Spark writes the CSV part files to a
         # local spool, then the transport applies writeMode remotely

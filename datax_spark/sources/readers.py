@@ -569,6 +569,10 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
         )
     elif name == "orcreader":
         df = spark.read.orc(*(path if isinstance(path, list) else [path]))
+    elif name in ("tsdbreader", "opentsdbreader"):
+        from datax_spark.sources.tsdb import tsdb_read
+
+        return tsdb_read(spark, p)
     elif name == "ftpreader":
         # FtpReader.java: resolve path specs against the remote server,
         # stage the matched files locally, then run the same
