@@ -542,6 +542,35 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
     if name in ("parquetreader", "lakereader"):
         df = spark.read.parquet(*(path if isinstance(path, list) else [path]))
     elif name in ("txtfilereader", "hdfsreader", "csvreader"):
+        ftype = str(p.get("fileType", "")).lower()
+        if ftype == "orc":
+            return read_source(spark, "orcreader", p)
+        if ftype == "parquet":
+            return read_source(spark, "parquetreader", p)
+        if ftype == "rc":
+            raise NotImplementedError(
+                "fileType=rc: RCFile has no Spark 4 reader; convert to ORC"
+            )
+        if ftype == "seq":
+            # DFSUtil.java:214-242: SequenceFile values are text lines
+            # parsed by the same delimiter engine. sequenceFile() keeps
+            # one split per block, so parallelism matches the HDFS scan.
+            paths = ",".join(path if isinstance(path, list) else [path])
+            lines = (
+                spark.sparkContext.sequenceFile(paths)
+                .values()
+                .map(lambda v: v.decode("utf-8") if isinstance(v, bytes) else str(v))
+            )
+            df = (
+                spark.read.option("sep", p.get("fieldDelimiter", ","))
+                .option("nullValue", p.get("nullFormat", "\\N"))
+                .csv(lines)
+            )
+            if where:
+                df = df.filter(where)
+            if columns:
+                df = df.select(*columns)
+            return df
         # compress (UnstructuredStorageReaderUtil.java:232-306): gzip/
         # bzip2/deflate/lz4 decompress transparently off the file
         # extension in Spark's text line reader; zip/lzo archives have

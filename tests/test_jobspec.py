@@ -487,3 +487,32 @@ def test_jdbcreader_temporal_pk_routes_to_native_partitioning(spark, tmp_path):
         "numPartitions": 4, "splitFactor": 1, "splitPkType": "date",
     })
     assert forced.count() == 20
+
+
+def test_hdfsreader_sequencefile(spark, tmp_path):
+    """fileType=seq: SequenceFile values are delimiter-parsed text
+    lines (DFSUtil.java:214-242)."""
+    from datax_spark.sources.readers import read_source
+
+    seq = str(tmp_path / "seqdata")
+    spark.sparkContext.parallelize(
+        [(1, "1,alpha"), (2, "2,beta"), (3, "3,gamma")], 2
+    ).saveAsSequenceFile(seq)
+    df = read_source(
+        spark, "hdfsreader",
+        {"path": f"{seq}/part-*", "fileType": "seq", "column": ["_c0", "_c1"]},
+    )
+    assert sorted((int(r["_c0"]), r["_c1"]) for r in df.collect()) == [
+        (1, "alpha"), (2, "beta"), (3, "gamma"),
+    ]
+    with pytest.raises(NotImplementedError, match="rc"):
+        read_source(spark, "hdfsreader", {"path": seq, "fileType": "rc"})
+
+
+def test_hdfsreader_filetype_orc_roundtrip(spark, tmp_path):
+    from datax_spark.sources.readers import read_source
+
+    orc = str(tmp_path / "orcdata")
+    spark.createDataFrame([(1, "x")], ["a", "b"]).write.orc(orc)
+    df = read_source(spark, "hdfsreader", {"path": orc, "fileType": "orc"})
+    assert [(r["a"], r["b"]) for r in df.collect()] == [(1, "x")]
