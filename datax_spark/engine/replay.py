@@ -191,6 +191,26 @@ class ReplayConfig:
     # watermark unmoved, and the epoch's retry drops the stale staged
     # snapshot and re-runs.
     audit_fn: Callable[[DataFrame], bool] | None = None
+    # Adaptive bucket-count evolution: when set, the engine rebuckets
+    # the table (LakeTable.rebucket — one full rewrite committed as a
+    # layout-only snapshot) after any epoch whose committed state
+    # exceeds ``target_bucket_rows`` rows per bucket, doubling the
+    # bucket count until back under target (capped at ``max_buckets``).
+    # This automates the num_buckets dial that bounds BOTH the CoW
+    # blast radius and per-task MoR merge memory: a stream that starts
+    # at 64 buckets and grows to 10^9 keys steps to O(10^3-10^4)
+    # buckets without operator action or downtime — readers keep the
+    # old snapshot until the atomic pointer swap, the epoch watermark
+    # carries through the rebucket commit, and the change feed streams
+    # a rebucket as a zero-row heartbeat (it is provably layout-only).
+    # Growth is geometric (powers of two), so the rewrite cost
+    # amortizes: total rebucket work over a table's life is O(final
+    # table size), like vector doubling. A crash between the epoch
+    # commit and the rebucket is harmless — the threshold re-triggers
+    # on the next applied epoch. None = manual (call rebucket()
+    # yourself, the pre-existing behavior).
+    target_bucket_rows: int | None = None
+    max_buckets: int = 1 << 16
     # Flow control (job.setting.speed.record/byte analog — the
     # reference paces each channel with a per-second statistics window
     # and sleeps off the excess, Channel.java:176-239): after each
@@ -216,6 +236,12 @@ class ReplayConfig:
         for cap in (self.max_events_per_sec, self.max_bytes_per_sec):
             if cap is not None and cap <= 0:
                 raise ValueError(f"speed caps must be positive, got {cap}")
+        if self.target_bucket_rows is not None and self.target_bucket_rows < 1:
+            raise ValueError(
+                f"target_bucket_rows must be >= 1, got {self.target_bucket_rows}"
+            )
+        if self.max_buckets < 1:
+            raise ValueError(f"max_buckets must be >= 1, got {self.max_buckets}")
 
     def throttle_wait(
         self, cum_events: int, cum_bytes: int, elapsed_sec: float
@@ -229,6 +255,38 @@ class ReplayConfig:
         if self.max_bytes_per_sec:
             target = max(target, cum_bytes / self.max_bytes_per_sec)
         return max(0.0, target - elapsed_sec)
+
+
+def maybe_rebucket(table: "LakeTable", cfg: "ReplayConfig") -> int | None:
+    """Post-commit adaptive bucket-count check (``ReplayConfig.
+    target_bucket_rows``): when the committed state exceeds the
+    per-bucket row target, rebucket to the smallest power-of-two
+    multiple of the current count that gets back under target (capped
+    at ``cfg.max_buckets``). Returns the new bucket count, or None if
+    no rebucket was needed. Shared by the batch epoch driver and the
+    streaming foreachBatch sink.
+
+    Table size comes from the just-committed manifest's row counts —
+    manifest metadata, no data read. For a MoR table the pending delta
+    rows are counted too: an UPPER bound on live rows (deltas may
+    shadow base rows or be tombstones), so growth can trigger slightly
+    early — the safe direction — and the rebucket itself folds the
+    deltas into exact-count base files."""
+    if not cfg.target_bucket_rows:
+        return None
+    m = table.manifest()
+    rows = sum(m.row_counts.values()) + sum(m.delta_row_counts.values())
+    cur = int(m.num_buckets)
+    if rows <= 0 or cur >= cfg.max_buckets or rows <= cfg.target_bucket_rows * cur:
+        return None
+    nb = cur
+    while nb < cfg.max_buckets and rows > cfg.target_bucket_rows * nb:
+        nb <<= 1
+    nb = min(nb, cfg.max_buckets)
+    if nb <= cur:
+        return None
+    table.rebucket(nb)
+    return nb
 
 
 @dataclass
@@ -246,6 +304,7 @@ class EpochResult:
     n_dirty: int = 0
     bytes_in: int = 0
     throttle_ms: float = 0.0  # flow-control sleep after this epoch
+    rebucketed_to: int | None = None  # adaptive bucket evolution fired
 
 
 @dataclass
@@ -464,6 +523,10 @@ class ReplayEngine:
             tp = time.monotonic()
             version = table.compact()
             ph["compact"] = (time.monotonic() - tp) * 1000
+        tp = time.monotonic()
+        rebucketed = maybe_rebucket(table, cfg)
+        if rebucketed:
+            ph["rebucket"] = (time.monotonic() - tp) * 1000
         return EpochResult(
             epoch=epoch,
             skipped=False,
@@ -477,6 +540,7 @@ class ReplayEngine:
             phase_ms={k: round(v, 1) for k, v in ph.items()},
             n_dirty=n_dirty,
             bytes_in=sum(r["bytes_in"] for r in rows),
+            rebucketed_to=rebucketed,
         )
 
     def apply_epoch(self, epoch: int, failpoints: Sequence[str] = ()) -> EpochResult:
@@ -485,14 +549,19 @@ class ReplayEngine:
         ev = self.spark.read.parquet(os.path.join(self.events_root, f"epoch={epoch}"))
         table = self._ensure_table(ev)
 
-        last = table.last_epoch
+        m0 = table.manifest()
+        last = m0.last_epoch
         if epoch <= last:
             return EpochResult(epoch=epoch, skipped=True)  # exactly-once gate
         if epoch != last + 1:
             raise ValueError(f"out-of-order epoch {epoch}; committed watermark is {last}")
 
+        # lineage bucket ids follow the TABLE's live bucket count, not
+        # cfg.num_buckets (which only seeds table creation): adaptive
+        # rebucketing can have grown the layout since, and the merge
+        # resolves its bucket count from the manifest the same way
         bucket = F.pmod(
-            F.xxhash64(*[F.col(k) for k in cfg.keys]), F.lit(cfg.num_buckets)
+            F.xxhash64(*[F.col(k) for k in cfg.keys]), F.lit(m0.num_buckets)
         ).cast("int")
         ph: dict[str, float] = {}
 
@@ -653,6 +722,10 @@ class ReplayEngine:
             ph["commit"] = (time.monotonic() - tp) * 1000
             if "after_commit" in failpoints:
                 raise ReplayCrash("after_commit")
+            tp = time.monotonic()
+            rebucketed = maybe_rebucket(table, cfg)
+            if rebucketed:
+                ph["rebucket"] = (time.monotonic() - tp) * 1000
         finally:
             stats_df.unpersist()
 
@@ -669,4 +742,5 @@ class ReplayEngine:
             phase_ms={k: round(v, 1) for k, v in ph.items()},
             n_dirty=n_dirty,
             bytes_in=sum(r["bytes_in"] for r in rows),
+            rebucketed_to=rebucketed,
         )

@@ -965,13 +965,13 @@ class LakeTable:
         (rebucket in the window), meaning read everything.
 
         Walks the PARENT CHAIN from ``m`` back to ``mf`` so that
-        layout-only commits (``operation="compact"``) in the window
-        contribute nothing — without this, a nightly compaction
-        rewrites every file list and the next incremental sync of a
-        10^10-row table would re-read the world to find zero changes.
-        Falls back to the direct file-list compare (conservative,
-        still correct) when the walk needs an expired manifest or
-        ``mf`` is not an ancestor of ``m``."""
+        layout-only commits (``operation`` "compact" or "rebucket") in
+        the window contribute nothing — without this, a nightly
+        compaction rewrites every file list and the next incremental
+        sync of a 10^10-row table would re-read the world to find zero
+        changes. Falls back to the direct file-list compare
+        (conservative, still correct) when the walk needs an expired
+        manifest or ``mf`` is not an ancestor of ``m``."""
         if mf.num_buckets != m.num_buckets:
             return None
         changed: set[int] = set()
@@ -985,9 +985,12 @@ class LakeTable:
             except FileNotFoundError:
                 c = None  # window history expired: fall back
                 break
-            if p.num_buckets != c.num_buckets:
-                return None
-            if c.operation != "compact":
+            if c.operation not in ("compact", "rebucket"):
+                if p.num_buckets != m.num_buckets or c.num_buckets != m.num_buckets:
+                    # a data commit (incl. a rollback across a
+                    # rebucket) under a different bucket layout than
+                    # the endpoints: its bucket ids are incomparable
+                    return None
                 changed.update(manifest_changed_buckets(p, c))
             c = p
         if c is not None:

@@ -37,9 +37,11 @@ Built on the PySpark Python DataSource API (public, Spark 4):
 
 Bounds, by design:
 
-* The feed cannot cross a ``rebucket`` boundary (bucket ids are not
-  comparable across it) — ``partitions`` raises; restart the stream
-  with ``startingVersion`` at or after the rebucket commit.
+* ``rebucket`` commits (bucket-count evolution, including the replay
+  engine's adaptive ``target_bucket_rows`` growth) stream as zero-row
+  heartbeats: they are provably layout-only, so consumers ride through
+  them without restart. Only an UNMARKED bucket-layout change between
+  two data commits raises (bucket ids are not comparable across it).
 * The output schema is fixed at stream start (Spark's contract for any
   source). Columns added by a later schema evolution appear after a
   stream restart, as in Delta; until then both sides conform to the
@@ -196,20 +198,26 @@ class LakeChangesStreamReader(DataSourceStreamReader):
 
         parts: list[InputPartition] = []
         for p, c in lineage:
-            if p is not None and p.num_buckets != c.num_buckets:
-                raise ValueError(
-                    f"change feed cannot cross the rebucket at v{c.version} "
-                    f"({p.num_buckets}→{c.num_buckets} buckets); restart the "
-                    f"stream with startingVersion>={c.version}"
-                )
-            if c.operation == "compact":
+            if c.operation in ("compact", "rebucket"):
                 # layout-only rewrite: every touched bucket's file list
-                # differs but the visible state provably does not — at
-                # scale a full compaction would otherwise cost a
-                # zero-row diff of the whole table (Delta CDF skips
-                # non-data commits the same way)
+                # differs (compaction) or the whole bucket layout does
+                # (bucket-count evolution), but the visible state
+                # provably does not — both commits are produced from
+                # the table's own read. At scale they would otherwise
+                # cost a zero-row diff of the whole table (Delta CDF
+                # skips non-data commits the same way); the rebucket
+                # heartbeat is what lets a consumer ride through the
+                # engine's adaptive bucket growth without restart.
                 parts.append(BucketChangeStep(c.version, None, [], [], [], []))
                 continue
+            if p is not None and p.num_buckets != c.num_buckets:
+                raise ValueError(
+                    f"change feed cannot diff the data commit v{c.version}: "
+                    f"its bucket layout changed ({p.num_buckets}→"
+                    f"{c.num_buckets}) without a rebucket marker — bucket "
+                    f"ids are not comparable across it; restart the stream "
+                    f"with startingVersion>={c.version}"
+                )
 
             def absolutize(man: Manifest | None, b: str) -> tuple[list[str], list[str]]:
                 if man is None:

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F  # noqa: F401  (re-exported for callers)
 from pyspark.sql import types as T
 
-from datax_spark.engine.replay import ReplayConfig, audit_gated_commit
+from datax_spark.engine.replay import ReplayConfig, audit_gated_commit, maybe_rebucket
 from datax_spark.lake.merge import merge_into
 from datax_spark.lake.table import LakeTable
 from datax_spark.operators.dedup import lww_dedup
@@ -128,6 +128,11 @@ class StreamReplay:
         audit_gated_commit(
             table, pending, batch_id, {"last_epoch": batch_id}, cfg.audit_fn
         )
+        # adaptive bucket-count evolution (cfg.target_bucket_rows): the
+        # stream grows the table's bucket layout as the key space grows
+        # — committed as a layout-only snapshot the change feed streams
+        # as a heartbeat, so downstream consumers never restart
+        maybe_rebucket(table, cfg)
         self.applied_batches.append(batch_id)
 
     def run_available_now(self) -> None:

@@ -1,7 +1,8 @@
 """lake_changes streaming source + streaming replication: the stream
 must emit exactly the batch change feed per commit (CoW and MoR
-commits alike), resume from its checkpoint, refuse to cross a
-rebucket, and drive an exactly-once replica through stream_sync."""
+commits alike), resume from its checkpoint, ride through rebucket
+commits as heartbeats (refusing only an UNMARKED layout change), and
+drive an exactly-once replica through stream_sync."""
 
 import os
 
@@ -137,19 +138,63 @@ def test_start_from_tag(spark, tmp_path):
         )
 
 
-def test_rebucket_boundary_refused(spark, tmp_path):
+def test_rebucket_streams_as_heartbeat(spark, tmp_path):
+    """A rebucket commit is provably layout-only (it rewrites from the
+    table's own read), so the feed rides THROUGH it — zero change rows
+    for the rebucket itself, and data commits on either side stream
+    correctly under their own layouts. This is what lets a consumer
+    follow a table through the engine's adaptive bucket growth without
+    restart."""
+    t = _mk_source(spark, str(tmp_path / "src"))
+    cdf = stream_changes(spark, t.root, starting_version=1)
+    rb_v = t.rebucket(16)
+    ups = lambda rows: spark.createDataFrame(rows, DDL)  # noqa: E731
+    merge_into(t, ups([("r5", "e", "U", 8, "v"), ("r1", "a", "U", 9, "x3")])).commit()
+    got = _drain(cdf, str(tmp_path / "ck"))
+    by_commit = {}
+    for r in got:
+        by_commit.setdefault(r._commit_version, []).append(r)
+    # pre-rebucket commits stream, the rebucket contributes nothing,
+    # the post-rebucket data commit streams under the new layout
+    assert sorted(by_commit) == [1, 2, 3, rb_v + 1]
+    assert rb_v not in by_commit
+    assert _key_rows(by_commit[rb_v + 1]) == {
+        ("r5", "e", 8, "v", "insert"),
+        ("r1", "a", 9, "x3", "update"),
+    }
+    for v, rows in by_commit.items():
+        batch = t.changes(v - 1, v).collect()
+        assert _key_rows(rows) == _key_rows(batch), f"commit v{v} diverges"
+
+
+def test_unmarked_bucket_layout_change_refused(spark, tmp_path):
+    """Only a MARKED rebucket is layout-only by proof; a data commit
+    whose bucket count silently differs from its parent's (hand-rolled
+    metadata, never produced by this engine) must refuse to diff."""
     from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from datax_spark.lake.table import Manifest
 
     t = _mk_source(spark, str(tmp_path / "src"))
     cdf = stream_changes(spark, t.root, starting_version=1)
-    t.rebucket(16)
+    m = t.manifest()
+    forged = Manifest.from_json(m.to_json())
+    forged.version = m.version + 1
+    forged.parent = m.version
+    forged.num_buckets = m.num_buckets * 2
+    forged.operation = ""
+    mdir = os.path.join(t.root, "_manifests")
+    with open(os.path.join(mdir, f"v{forged.version:08d}.json"), "w") as fh:
+        fh.write(forged.to_json())
+    with open(os.path.join(mdir, "_current"), "w") as fh:
+        fh.write(str(forged.version))
     q = (
         cdf.writeStream.format("noop")
         .trigger(availableNow=True)
         .option("checkpointLocation", str(tmp_path / "ck"))
         .start()
     )
-    with pytest.raises(StreamingQueryException, match="rebucket"):
+    with pytest.raises(StreamingQueryException, match="without a rebucket marker"):
         q.awaitTermination(180)
 
 
