@@ -13,7 +13,9 @@ Three job kinds:
   "speed": {"record": null, "byte": null}}}`` — ``speed`` is the
   DataX ``job.setting.speed`` flow-control shape (records/sec and
   bytes/sec caps on the sustained replay rate; also accepted as
-  ``max_events_per_sec`` / ``max_bytes_per_sec``)
+  ``max_events_per_sec`` / ``max_bytes_per_sec``); optional
+  ``"target_bucket_rows"`` / ``"max_buckets"`` turn on adaptive
+  bucket-count evolution (the engine rebuckets the table as it grows)
 * ``{"replicate": {...}}`` — lake-to-lake incremental replication:
   ``{"replicate": {"source_root": ..., "replica_root": ...,
   "to_version": null}}`` (idempotent; re-run = no-op at the same
@@ -65,6 +67,9 @@ def main(argv: list[str] | None = None) -> int:
             salt_buckets=r.get("salt_buckets"),
             max_events_per_sec=r.get("max_events_per_sec", speed.get("record")),
             max_bytes_per_sec=r.get("max_bytes_per_sec", speed.get("byte")),
+            # adaptive bucket-count evolution (null = manual rebucket)
+            target_bucket_rows=r.get("target_bucket_rows"),
+            max_buckets=int(r.get("max_buckets", 1 << 16)),
         )
         if r.get("streaming"):
             from datax_spark.streaming import StreamReplay

@@ -211,6 +211,14 @@ class ReplayConfig:
     # yourself, the pre-existing behavior).
     target_bucket_rows: int | None = None
     max_buckets: int = 1 << 16
+    # Sharded manifest storage for the created table (LakeTable
+    # shard_buckets; see lake/table.py): per-bucket metadata lives in
+    # content-addressed shard files of this many consecutive buckets,
+    # so a commit writes O(touched shards) of metadata instead of
+    # re-serializing the whole table's file lists — pair with large
+    # num_buckets / adaptive growth at 10^9+ key scale. None = the
+    # single-file manifest (default; right for small layouts).
+    shard_manifest_buckets: int | None = None
     # Flow control (job.setting.speed.record/byte analog — the
     # reference paces each channel with a per-second statistics window
     # and sleeps off the excess, Channel.java:176-239): after each
@@ -341,6 +349,7 @@ class ReplayEngine:
             key_cols=list(self.config.keys),
             num_buckets=self.config.num_buckets,
             stats_cols=list(self.config.stats_cols),
+            shard_buckets=self.config.shard_manifest_buckets,
         )
 
     def resume_epoch(self) -> int:

@@ -32,10 +32,12 @@ partition/bucket pruning):
   conflict (optimistic concurrency, Iceberg-style).
 
 At 100 TB the same design holds: manifests stay small (file lists per
-bucket; at very large file counts you would shard the manifest as
-Iceberg does), bucket pruning keeps merge I/O proportional to the
-touched key space, and the atomic pointer swap is a single rename on
-any HDFS-compatible store.
+bucket; at very large file counts ``shard_buckets`` shards the
+manifest into content-addressed per-bucket-range files — the Iceberg
+manifest-list shape — so a commit writes O(touched buckets) of
+metadata, not the whole file list), bucket pruning keeps merge I/O
+proportional to the touched key space, and the atomic pointer swap is
+a single rename on any HDFS-compatible store.
 """
 
 from __future__ import annotations
@@ -105,6 +107,22 @@ class Manifest:
     # Iceberg snapshot-operation field; change-feed consumers use it
     # to skip diffing commits that cannot contain a changed key.
     operation: str = ""
+    # Sharded manifest storage (the Iceberg manifest-list analog): when
+    # set, the per-bucket metadata (files / row_counts / delta_* /
+    # file_stats) is NOT stored in the snapshot file — it lives in
+    # content-addressed shard files (``_manifests/shard-<sha>.json``),
+    # each covering ``shard_buckets`` consecutive bucket ids, and the
+    # snapshot holds only shard REFERENCES. A commit touching k buckets
+    # rewrites only the shards containing them; every untouched shard
+    # is referenced by name from the parent (content addressing makes
+    # the reuse free and crash-safe — shards are immutable once
+    # written). At 10^4 buckets × 10^5+ files this is the difference
+    # between rewriting tens of MB of metadata per commit and writing
+    # O(touched buckets): the single-file form's write cost grows with
+    # TABLE size, the sharded form's with COMMIT size — the same
+    # O(batch) property the data path already has. None = single-file
+    # manifests (the default; small tables don't need the indirection).
+    shard_buckets: int | None = None
 
     @property
     def schema(self) -> T.StructType:
@@ -114,23 +132,31 @@ class Manifest:
     def last_epoch(self) -> int:
         return int(self.summary.get("last_epoch", -1))
 
+    def _scalar_dict(self) -> dict:
+        return {
+            "version": self.version,
+            "parent": self.parent,
+            "schema_json": self.schema_json,
+            "num_buckets": self.num_buckets,
+            "key_cols": self.key_cols,
+            "summary": self.summary,
+            "resolve_order": self.resolve_order,
+            "stats_cols": self.stats_cols,
+            "operation": self.operation,
+            "shard_buckets": self.shard_buckets,
+        }
+
     def to_json(self) -> str:
+        """Single-file (unsharded) serialization — also the legacy
+        on-disk form every pre-shard manifest uses."""
         return json.dumps(
             {
-                "version": self.version,
-                "parent": self.parent,
-                "schema_json": self.schema_json,
-                "num_buckets": self.num_buckets,
-                "key_cols": self.key_cols,
+                **self._scalar_dict(),
                 "files": self.files,
                 "row_counts": self.row_counts,
-                "summary": self.summary,
                 "delta_files": self.delta_files,
                 "delta_row_counts": self.delta_row_counts,
-                "resolve_order": self.resolve_order,
-                "stats_cols": self.stats_cols,
                 "file_stats": self.file_stats,
-                "operation": self.operation,
             },
             indent=1,
         )
@@ -138,6 +164,76 @@ class Manifest:
     @classmethod
     def from_json(cls, s: str) -> "Manifest":
         return cls(**json.loads(s))
+
+    # ---------- sharded form ----------
+    def shard_index(self, bucket: int) -> int:
+        return bucket // int(self.shard_buckets)
+
+    def num_shards(self) -> int:
+        return -(-self.num_buckets // int(self.shard_buckets))
+
+    def shard_payload(self, si: int) -> dict:
+        """The shard file body for shard index ``si``: the five
+        per-bucket dicts restricted to its bucket range, keys sorted so
+        the JSON is byte-deterministic (shard names are content
+        hashes). ``file_stats`` entries ride with the bucket whose
+        ``files`` list contains them."""
+        lo, hi = si * self.shard_buckets, (si + 1) * self.shard_buckets
+        buckets: dict[str, dict] = {}
+        stats: dict[str, dict] = {}
+        for b in set(self.files) | set(self.delta_files):
+            if not (lo <= int(b) < hi):
+                continue
+            e: dict = {}
+            if self.files.get(b):
+                e["files"] = self.files[b]
+                e["rows"] = int(self.row_counts.get(b, 0))
+                for p in self.files[b]:
+                    if p in self.file_stats:
+                        stats[p] = self.file_stats[p]
+            if self.delta_files.get(b):
+                e["delta_files"] = self.delta_files[b]
+                e["delta_rows"] = int(self.delta_row_counts.get(b, 0))
+            if e:
+                buckets[b] = e
+        return {"buckets": buckets, "file_stats": stats}
+
+    def merge_shard_payload(self, payload: dict) -> None:
+        for b, e in payload.get("buckets", {}).items():
+            if e.get("files"):
+                self.files[b] = e["files"]
+                self.row_counts[b] = int(e.get("rows", 0))
+            if e.get("delta_files"):
+                self.delta_files[b] = e["delta_files"]
+                self.delta_row_counts[b] = int(e.get("delta_rows", 0))
+        self.file_stats.update(payload.get("file_stats", {}))
+
+
+def load_manifest(manifest_dir: str, version: int) -> Manifest:
+    """Load a snapshot manifest from disk, resolving shard references
+    when the snapshot is sharded — the one loader every consumer
+    (LakeTable, the lake_changes streaming source) goes through. The
+    returned Manifest is fully materialized either way, so nothing
+    downstream cares which on-disk form it came from."""
+    with open(os.path.join(manifest_dir, f"v{version:08d}.json")) as fh:
+        d = json.load(fh)
+    shards = d.pop("shards", None)
+    if shards is None:
+        return Manifest(**d)
+    m = Manifest(
+        **d,
+        files={},
+        row_counts={},
+        delta_files={},
+        delta_row_counts={},
+        file_stats={},
+    )
+    # each distinct shard file once; bucket ids are globally unique
+    # across payloads, so merge order is irrelevant
+    for name in dict.fromkeys(shards.values()):
+        with open(os.path.join(manifest_dir, name)) as fh:
+            m.merge_shard_payload(json.load(fh))
+    return m
 
 
 def conform_arrow(t, schema):
@@ -570,6 +666,7 @@ class LakeTable:
         num_buckets: int = 64,
         resolve_order: list[str] | None = None,
         stats_cols: list[str] | None = None,
+        shard_buckets: int | None = None,
     ) -> "LakeTable":
         """``resolve_order`` (e.g. ``["commit", "lsn"]``) opts the
         table into event-order MoR resolution: merged reads pick each
@@ -583,7 +680,14 @@ class LakeTable:
         harvests those columns' bounds from the new files' parquet
         footers, and ``read(filters=...)`` skips files the bounds
         prove empty. Pick the columns queries range over (event time,
-        LSN, a monotone id) — not every payload column."""
+        LSN, a monotone id) — not every payload column.
+
+        ``shard_buckets`` opts the table into SHARDED manifest storage
+        (see :class:`Manifest`): per-bucket metadata lives in
+        content-addressed shard files of that many consecutive
+        buckets each, and a commit rewrites only the shards it
+        touches. The dial for very large layouts (10^3+ buckets);
+        small tables should leave it None."""
         os.makedirs(os.path.join(root, "_manifests"), exist_ok=True)
         os.makedirs(os.path.join(root, "data"), exist_ok=True)
         t = cls(spark, root)
@@ -596,6 +700,8 @@ class LakeTable:
         for c in stats_cols or ():
             if c not in names:
                 raise ValueError(f"stats_cols column {c!r} not in schema")
+        if shard_buckets is not None and shard_buckets < 1:
+            raise ValueError(f"shard_buckets must be >= 1, got {shard_buckets}")
         m = Manifest(
             version=0,
             parent=None,
@@ -607,6 +713,7 @@ class LakeTable:
             summary={"last_epoch": -1},
             resolve_order=list(resolve_order or ()),
             stats_cols=list(stats_cols or ()),
+            shard_buckets=shard_buckets,
         )
         t._write_manifest(m, expected_parent=None)
         return t
@@ -647,8 +754,7 @@ class LakeTable:
         v = self.current_version() if version is None else version
         if v is None:
             raise FileNotFoundError("table has no committed snapshot")
-        with open(os.path.join(self._manifest_dir(), f"v{v:08d}.json")) as fh:
-            return Manifest.from_json(fh.read())
+        return load_manifest(self._manifest_dir(), v)
 
     @property
     def last_epoch(self) -> int:
@@ -661,6 +767,12 @@ class LakeTable:
         computed as ``parent+1`` may be re-allocated under the lock.
         With ``self.wap_id`` set the snapshot is staged (manifest file
         written, pointer untouched) under that id."""
+        # transient hint from commit()/commit_deltas(): buckets whose
+        # metadata changed vs the parent — lets the sharded writer
+        # reuse the parent's shard references for everything else
+        # without serializing the whole table's metadata. None = no
+        # hint (create/rebucket/rollback): serialize every shard.
+        dirty = getattr(m, "_dirty_buckets", None)
         with _commit_lock(self.root):  # check + swap = one CAS
             cur = self.current_version()
             if cur != expected_parent:
@@ -671,8 +783,15 @@ class LakeTable:
             nxt = (max(vs) + 1) if vs else 0
             if nxt > m.version:
                 m = _dc_replace(m, version=nxt)
+            if m.shard_buckets:
+                body = json.dumps(
+                    {**m._scalar_dict(), "shards": self._write_shards(m, dirty)},
+                    indent=1,
+                )
+            else:
+                body = m.to_json()
             _atomic_write(
-                os.path.join(self._manifest_dir(), f"v{m.version:08d}.json"), m.to_json()
+                os.path.join(self._manifest_dir(), f"v{m.version:08d}.json"), body
             )
             if self.wap_id is None:
                 _atomic_write(os.path.join(self._manifest_dir(), "_current"), str(m.version))
@@ -686,6 +805,53 @@ class LakeTable:
                 staged[self.wap_id] = m.version
                 _atomic_write(self._wap_path(), json.dumps(staged, indent=1))
         return m.version
+
+    def _snapshot_raw(self, version: int) -> dict:
+        with open(os.path.join(self._manifest_dir(), f"v{version:08d}.json")) as fh:
+            return json.load(fh)
+
+    def _write_shards(self, m: Manifest, dirty: set[int] | None) -> dict[str, str]:
+        """Write the shard files a sharded snapshot references and
+        return its shard map (shard index -> filename). Shards are
+        content-addressed (``shard-<sha16>.json`` of the
+        sort_keys-canonical payload) and immutable: a shard whose
+        content already exists is not rewritten, and a shard none of
+        whose buckets are ``dirty`` reuses the PARENT's reference
+        without even being serialized — so commit metadata cost is
+        O(touched shards), not O(table). Crash-safe by construction:
+        shard files land before the snapshot file, which lands before
+        the pointer swap; a crash leaves unreferenced shard orphans
+        that ``vacuum`` reclaims."""
+        import hashlib
+
+        parent_shards: dict[str, str] | None = None
+        if dirty is not None and m.parent is not None:
+            try:
+                praw = self._snapshot_raw(m.parent)
+                if praw.get("shard_buckets") == m.shard_buckets:
+                    parent_shards = praw.get("shards")
+            except FileNotFoundError:
+                parent_shards = None
+        dirty_shards = (
+            {b // m.shard_buckets for b in dirty} if dirty is not None else None
+        )
+        shards: dict[str, str] = {}
+        for si in range(m.num_shards()):
+            if (
+                parent_shards is not None
+                and dirty_shards is not None
+                and si not in dirty_shards
+                and str(si) in parent_shards
+            ):
+                shards[str(si)] = parent_shards[str(si)]
+                continue
+            blob = json.dumps(m.shard_payload(si), sort_keys=True)
+            name = f"shard-{hashlib.sha256(blob.encode()).hexdigest()[:16]}.json"
+            path = os.path.join(self._manifest_dir(), name)
+            if not os.path.exists(path):
+                _atomic_write(path, blob)
+            shards[str(si)] = name
+        return shards
 
     # ---------- data ----------
     def bucket_expr(self, num_buckets: int | None = None, key_cols: list[str] | None = None):
@@ -1092,7 +1258,11 @@ class LakeTable:
             stats_cols=parent.stats_cols,
             file_stats=stats,
             operation=operation,
+            shard_buckets=parent.shard_buckets,
         )
+        m._dirty_buckets = {int(b) for b in replaced_buckets} | {
+            int(b) for b in new_files
+        }
         return self._write_manifest(m, expected_parent=parent.version)
 
     def commit_deltas(
@@ -1139,7 +1309,9 @@ class LakeTable:
             resolve_order=parent.resolve_order,
             stats_cols=parent.stats_cols,
             file_stats=dict(parent.file_stats),
+            shard_buckets=parent.shard_buckets,
         )
+        m._dirty_buckets = {int(b) for b in new_delta_files}
         return self._write_manifest(m, expected_parent=parent.version)
 
     def total_rows(self) -> int:
@@ -1373,6 +1545,7 @@ class LakeTable:
             stats_cols=m.stats_cols,
             operation="rebucket",
             file_stats=stats,
+            shard_buckets=m.shard_buckets,
         )
         return self._write_manifest(nm, expected_parent=m.version)
 
@@ -1564,6 +1737,7 @@ class LakeTable:
             resolve_order=t.resolve_order,
             stats_cols=t.stats_cols,
             file_stats=dict(t.file_stats),
+            shard_buckets=t.shard_buckets,
         )
         return self._write_manifest(m, expected_parent=cur.version)
 
@@ -1599,9 +1773,12 @@ class LakeTable:
         orphans from crashed commits and files released by
         ``expire_snapshots``. Files referenced by any retained snapshot
         are kept, so time travel across the retained range survives a
-        vacuum (Iceberg's remove_orphan_files contract). Returns the
-        removed paths."""
+        vacuum (Iceberg's remove_orphan_files contract). Manifest SHARD
+        files referenced by no live snapshot (crashed commits, expired
+        history, superseded WAP stages) are reclaimed the same way.
+        Returns the removed paths."""
         live: set[str] = set()
+        live_shards: set[str] = set()
         for v in self.versions():
             m = self.manifest(v)
             live |= {os.path.join(self.root, p) for fs in m.files.values() for p in fs}
@@ -1610,6 +1787,7 @@ class LakeTable:
                 for fs in m.delta_files.values()
                 for p in fs
             }
+            live_shards |= set(self._snapshot_raw(v).get("shards", {}).values())
         removed = []
         data_dir = os.path.join(self.root, "data")
         for dirpath, _dirnames, filenames in os.walk(data_dir):
@@ -1618,4 +1796,13 @@ class LakeTable:
                 if p not in live and fn.endswith(".parquet"):
                     os.remove(p)
                     removed.append(p)
+        for fn in os.listdir(self._manifest_dir()):
+            if (
+                fn.startswith("shard-")
+                and fn.endswith(".json")
+                and fn not in live_shards
+            ):
+                p = os.path.join(self._manifest_dir(), fn)
+                os.remove(p)
+                removed.append(p)
         return removed

@@ -68,6 +68,7 @@ from datax_spark.lake.table import (
     Manifest,
     bucket_changes_arrow,
     bucket_state_arrow,
+    load_manifest,
     manifest_changed_buckets,
 )
 
@@ -83,10 +84,8 @@ def _current_version(root: str) -> int:
 
 
 def _manifest_at(root: str, version: int) -> Manifest:
-    path = os.path.join(root, "_manifests", f"v{version:08d}.json")
     try:
-        with open(path) as fh:
-            return Manifest.from_json(fh.read())
+        return load_manifest(os.path.join(root, "_manifests"), version)
     except FileNotFoundError:
         raise FileNotFoundError(
             f"snapshot v{version} of {root} is gone (expired?); the change "

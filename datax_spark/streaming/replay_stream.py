@@ -91,6 +91,7 @@ class StreamReplay:
                 else None
             ),
             stats_cols=list(self.config.stats_cols),
+            shard_buckets=self.config.shard_manifest_buckets,
         )
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:

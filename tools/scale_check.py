@@ -10,7 +10,15 @@ bucketed CoW merge, schema evolution and exactly-once commits can be
 value-checked at sizes the pandas oracle cannot reach.
 
 Usage: python tools/scale_check.py [n_events] [epochs] [cpus] [merge_strategy]
+                                   [start_buckets] [target_bucket_rows]
 Prints one JSON line with throughput + verification result.
+
+The optional 5th/6th args exercise ADAPTIVE bucket-count evolution at
+scale: start the table deliberately small (e.g. 8 buckets) with a
+per-bucket row target, let the engine grow the layout mid-replay
+(ReplayConfig.target_bucket_rows), and verify the same full-table
+sha256 frame equality through the rebucket commits. Default (args
+omitted): fixed 128 buckets, no adaptive growth — prior behavior.
 """
 
 from __future__ import annotations
@@ -30,6 +38,8 @@ def main() -> None:
     n_epochs = int(sys.argv[2]) if len(sys.argv) > 2 else 4
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     merge_strategy = sys.argv[4] if len(sys.argv) > 4 else "shuffle"
+    start_buckets = int(sys.argv[5]) if len(sys.argv) > 5 else 128
+    target_bucket_rows = int(sys.argv[6]) if len(sys.argv) > 6 else None
 
     import duckdb
 
@@ -64,11 +74,21 @@ def main() -> None:
             events_root=os.path.join(root, "events"),
             table_root=os.path.join(root, "table"),
             metrics_root=os.path.join(root, "metrics"),
-            config=ReplayConfig(num_buckets=128, merge_strategy=merge_strategy),
+            config=ReplayConfig(
+                num_buckets=start_buckets,
+                merge_strategy=merge_strategy,
+                target_bucket_rows=target_bucket_rows,
+            ),
         )
         t0 = time.monotonic()
-        eng.run()
+        results = eng.run()
         replay_sec = time.monotonic() - t0
+        rebuckets = [
+            {"epoch": r.epoch, "to": r.rebucketed_to,
+             "sec": round(r.phase_ms.get("rebucket", 0) / 1000.0, 2)}
+            for r in results
+            if r.rebucketed_to
+        ]
 
         # ---- independent verification (DuckDB over the raw log) ----
         t1 = time.monotonic()
@@ -120,6 +140,10 @@ def main() -> None:
                     "final_rows": int(len(got)),
                     "verified": "sha256_frame_equal_vs_duckdb_lww",
                     "verify_sec": round(verify_sec, 2),
+                    "start_buckets": start_buckets,
+                    "final_buckets": int(eng.table().manifest().num_buckets),
+                    "target_bucket_rows": target_bucket_rows,
+                    "rebuckets": rebuckets,
                 }
             )
         )
