@@ -114,6 +114,12 @@ def main(argv: list[str] | None = None) -> int:
             # 4N cores compare engine throughput, not startup noise.
             "events_applied": sum(x.n_events for x in applied),
             "replay_sec": round(sum(x.apply_ms for x in applied) / 1000.0, 3),
+            # adaptive bucket evolution events, if target_bucket_rows set
+            "rebuckets": [
+                {"epoch": x.epoch, "to": x.rebucketed_to}
+                for x in applied
+                if x.rebucketed_to
+            ],
         }))
         return 0
 
