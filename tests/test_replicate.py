@@ -184,3 +184,135 @@ def test_cli_replicate_streaming_job(spark, tmp_path, capsys):
     # drained: a re-run moves nothing
     assert main(["--job", str(spec)]) == 0
     assert LakeTable.load(spark, rep_root).current_version() == v
+
+
+def _jdbc_read(spark, url, table):
+    return (
+        spark.read.format("jdbc").option("url", url).option("dbtable", table).load()
+    )
+
+
+def _jdbc_p(tmp_path, name):
+    return {
+        "url": f"jdbc:derby:{tmp_path}/{name};create=true",
+        "table": "code_state",
+        "driver": "org.apache.derby.jdbc.EmbeddedDriver",
+        # Derby maps StringType to CLOB (not equality-comparable); the
+        # swap predicates need comparable key columns
+        "createTableColumnTypes": (
+            '"repo" VARCHAR(128), "path" VARCHAR(256), "content" VARCHAR(4000)'
+        ),
+    }
+
+
+def _jdbc_state(spark, url, keys=("repo", "path")):
+    return {
+        tuple(r[k] for k in keys): tuple(
+            v for k, v in sorted(r.asDict().items()) if k not in keys
+        )
+        for r in _jdbc_read(spark, url, "code_state").collect()
+    }
+
+
+def _lake_state(t, keys=("repo", "path")):
+    return {
+        tuple(r[k] for k in keys): tuple(
+            v for k, v in sorted(r.asDict().items()) if k not in keys
+        )
+        for r in t.read().collect()
+    }
+
+
+def test_jdbc_sync_seed_incremental_delete_noop(spark, tmp_path):
+    """Lake -> RDBMS replication (the reference's mysqlwriter-fed CDC
+    job): seed creates target + watermark, incremental applies only the
+    change feed in ONE transaction that advances the watermark, deletes
+    land, and a completed window re-runs as a no-op."""
+    from datax_spark.lake.jdbc_sync import jdbc_sync
+
+    p = _jdbc_p(tmp_path, "js1")
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), SCHEMA, ["repo", "path"], num_buckets=4
+    )
+    merge_into(src, _upserts(spark, [("r1", "a", 1, "x"), ("r2", "b", 2, "y")])).commit()
+
+    r = jdbc_sync(src, p)
+    assert r.mode == "seed" and r.synced_to == src.current_version() and r.upserts == 2
+    assert _jdbc_state(spark, p["url"]) == _lake_state(src)
+
+    upd = spark.createDataFrame(
+        [("r1", "a", "U", 3, "x2"), ("r2", "b", "D", 4, None)],
+        "repo string, path string, op string, lsn long, content string",
+    )
+    merge_into(src, upd).commit()
+    merge_into(src, _upserts(spark, [("r3", "c", 5, "z")])).commit()
+
+    r = jdbc_sync(src, p)
+    assert r.mode == "incremental" and (r.upserts, r.deletes) == (2, 1)
+    assert _jdbc_state(spark, p["url"]) == _lake_state(src)
+    assert ("r2", "b") not in _jdbc_state(spark, p["url"])
+
+    # exactly-once: the watermark says this window is consumed
+    r = jdbc_sync(src, p)
+    assert r.mode == "noop"
+    # stage tables were dropped inside the transaction
+    with pytest.raises(Exception):
+        _jdbc_read(spark, p["url"], "code_state_dx_ups").collect()
+
+
+def test_jdbc_sync_schema_evolution_and_txn_rollback(spark, tmp_path):
+    """Additive source evolution ALTERs the target inside the apply
+    transaction; a failing ALTER rolls the WHOLE window back (target
+    rows and watermark untouched), and the corrected retry lands it."""
+    from datax_spark.lake.jdbc_sync import jdbc_sync
+
+    p = _jdbc_p(tmp_path, "js2")
+    src = LakeTable.create(
+        spark, str(tmp_path / "src2"), SCHEMA, ["repo", "path"], num_buckets=4
+    )
+    merge_into(src, _upserts(spark, [("r1", "a", 1, "x")])).commit()
+    jdbc_sync(src, p)
+
+    evolved = spark.createDataFrame(
+        [("r2", "b", "U", 2, "y", "py3")],
+        "repo string, path string, op string, lsn long, content string, lang string",
+    )
+    merge_into(src, evolved).commit()
+
+    # a bad evolved type fails the ALTER -> the transaction rolls back
+    before = _jdbc_state(spark, p["url"])
+    with pytest.raises(Exception):
+        jdbc_sync(src, {**p, "evolveColumnTypes": {"lang": "NOT A TYPE"}})
+    assert _jdbc_state(spark, p["url"]) == before  # nothing applied
+
+    r = jdbc_sync(src, {**p, "evolveColumnTypes": {"lang": "VARCHAR(64)"}})
+    assert r.mode == "incremental"
+    got = _jdbc_state(spark, p["url"])
+    assert got == _lake_state(src)
+    assert got[("r1", "a")] == ("x", None, 1)  # (content, lang, lsn): lang backfilled NULL
+
+
+def test_jdbc_sync_repair_after_history_expired(spark, tmp_path):
+    """Expired incremental window on the source -> full-snapshot swap,
+    still one transaction, still convergent including lost deletes."""
+    from datax_spark.lake.jdbc_sync import jdbc_sync
+
+    p = _jdbc_p(tmp_path, "js3")
+    src = LakeTable.create(
+        spark, str(tmp_path / "src3"), SCHEMA, ["repo", "path"], num_buckets=4
+    )
+    merge_into(src, _upserts(spark, [("r1", "a", 1, "x"), ("r2", "b", 2, "y")])).commit()
+    jdbc_sync(src, p)
+
+    upd = spark.createDataFrame(
+        [("r2", "b", "D", 3, None), ("r3", "c", "U", 4, "z")],
+        "repo string, path string, op string, lsn long, content string",
+    )
+    merge_into(src, upd).commit()
+    src.expire_snapshots(keep_last=1)
+    src.vacuum()
+
+    r = jdbc_sync(src, p)
+    assert r.mode == "repair"
+    assert _jdbc_state(spark, p["url"]) == _lake_state(src)
+    assert jdbc_sync(src, p).mode == "noop"
