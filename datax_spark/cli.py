@@ -23,7 +23,11 @@ Three job kinds:
   the replica follows the source through the ``lake_changes``
   Structured Streaming source instead (one availableNow drain per
   invocation — the scheduled-replication shape; exactly-once from
-  checkpoint + replica watermark).
+  checkpoint + replica watermark). With ``"jdbc": {"url": ...,
+  "table": ...}`` instead of ``replica_root`` the target is an RDBMS
+  table (``lake/jdbc_sync.py`` — the reference's mysqlwriter-fed
+  incremental pipeline; exactly-once via the target's own ACID
+  transaction).
 
 Usage (local or via spark-submit):
 
@@ -132,6 +136,25 @@ def main(argv: list[str] | None = None) -> int:
 
         r = spec["replicate"]
         src = LakeTable.load(spark, r["source_root"])
+        if "jdbc" in r:
+            from datax_spark.lake.jdbc_sync import jdbc_sync
+
+            if args.dry_run:
+                print(json.dumps({
+                    "mode": "replicate_jdbc",
+                    "source_version": src.current_version(),
+                    "target": r["jdbc"]["table"],
+                }))
+                return 0
+            res = jdbc_sync(src, r["jdbc"], to_version=r.get("to_version"))
+            print(json.dumps({
+                "mode": "replicate_jdbc",
+                "sync_mode": res.mode,
+                "synced_to": res.synced_to,
+                "upserts": res.upserts,
+                "deletes": res.deletes,
+            }))
+            return 0
         if args.dry_run:
             print(json.dumps({
                 "mode": "replicate",

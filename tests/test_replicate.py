@@ -316,3 +316,38 @@ def test_jdbc_sync_repair_after_history_expired(spark, tmp_path):
     assert r.mode == "repair"
     assert _jdbc_state(spark, p["url"]) == _lake_state(src)
     assert jdbc_sync(src, p).mode == "noop"
+
+
+def test_cli_replicate_jdbc_job(spark, tmp_path, capsys):
+    """`{"replicate": {"source_root": ..., "jdbc": {...}}}`: the CLI
+    drives the lake->RDBMS sync — seed, then incremental, then noop."""
+    import json
+
+    from datax_spark.cli import main
+
+    p = _jdbc_p(tmp_path, "jscli")
+    src_root = str(tmp_path / "src")
+    src = LakeTable.create(spark, src_root, SCHEMA, ["repo", "path"], num_buckets=4)
+    merge_into(src, _upserts(spark, [("r1", "a", 1, "x")])).commit()
+    spec = tmp_path / "job.json"
+    spec.write_text(json.dumps({"replicate": {"source_root": src_root, "jdbc": p}}))
+
+    assert main(["--job", str(spec), "--dry-run"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"mode": "replicate_jdbc", "source_version": 1,
+                   "target": "code_state"}
+
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sync_mode"] == "seed" and out["upserts"] == 1
+    assert _jdbc_state(spark, p["url"]) == _lake_state(src)
+
+    merge_into(src, _upserts(spark, [("r2", "b", 2, "y")])).commit()
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sync_mode"] == "incremental" and out["synced_to"] == 2
+    assert _jdbc_state(spark, p["url"]) == _lake_state(src)
+
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["sync_mode"] == "noop"
