@@ -38,6 +38,7 @@ import os
 import re
 import time
 from collections.abc import Callable, Sequence
+from contextlib import contextmanager
 from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, Observation, SparkSession
@@ -47,6 +48,37 @@ from datax_spark.engine.metrics import write_epoch_metrics
 from datax_spark.lake.merge import merge_into
 from datax_spark.lake.table import LakeTable
 from datax_spark.operators.dedup import STAT_COLS, lww_dedup, lww_dedup_stats
+
+
+@contextmanager
+def aligned_shuffle_confs(spark: SparkSession, num_buckets: int):
+    """Pin the session confs that make the dedup aggregation's shuffle
+    BE the bucket routing (see ReplayConfig.aligned_exchange): exactly
+    ``num_buckets`` shuffle partitions, and AQE partition coalescing
+    off so the runtime cannot merge them (coalescing would break the
+    ``partition_id == bucket`` identity; everything else about AQE is
+    left on). Confs are restored on exit — lazily-built plans must
+    execute INSIDE this context."""
+    conf = spark.conf
+    pins = {
+        "spark.sql.shuffle.partitions": str(int(num_buckets)),
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+    }
+    saved: dict[str, str | None] = {}
+    for k, v in pins.items():
+        try:
+            saved[k] = conf.get(k)
+        except Exception:
+            saved[k] = None
+        conf.set(k, v)
+    try:
+        yield
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                conf.unset(k)
+            else:
+                conf.set(k, v)
 
 
 class ReplayCrash(RuntimeError):
@@ -232,6 +264,25 @@ class ReplayConfig:
     # stricter one governs. None = unthrottled.
     max_events_per_sec: float | None = None
     max_bytes_per_sec: float | None = None
+    # Bucket hash for tables this engine CREATES (existing tables keep
+    # their manifest's hash_fn). Default murmur3 — Spark's own shuffle
+    # hash — so the fused epoch can run EXCHANGE-ALIGNED (see below);
+    # "xxhash64" reproduces the historical layout.
+    hash_fn: str = "murmur3"
+    # Exchange-aligned fused epochs: with a murmur3-bucketed table, the
+    # dedup aggregation's shuffle is pinned to num_buckets partitions
+    # (AQE coalescing off for the epoch job), which makes the agg's own
+    # exchange land every key in the partition that IS its bucket —
+    # the per-bucket merge then runs as mapInPandas with NO second
+    # exchange. The whole epoch = ONE shuffle, and the map-side
+    # partial reduction is preserved: at 10^10 events this deletes an
+    # entire exchange of the deduped batch per epoch. None (default) =
+    # auto: on exactly when the table's hash_fn is murmur3 and the
+    # strategy is spj/mor unsalted (the fused path). False = always
+    # the two-exchange plan; True = force (raises per-partition,
+    # executor-side, if the table is not murmur3-bucketed or a
+    # transform broke the partitioning).
+    aligned_exchange: bool | None = None
 
     def __post_init__(self) -> None:
         if self.dirty_pct_limit is not None and not (
@@ -250,6 +301,12 @@ class ReplayConfig:
             )
         if self.max_buckets < 1:
             raise ValueError(f"max_buckets must be >= 1, got {self.max_buckets}")
+        from datax_spark.lake.table import BUCKET_HASH_FNS
+
+        if self.hash_fn not in BUCKET_HASH_FNS:
+            raise ValueError(
+                f"hash_fn must be one of {BUCKET_HASH_FNS}, got {self.hash_fn!r}"
+            )
 
     def throttle_wait(
         self, cum_events: int, cum_bytes: int, elapsed_sec: float
@@ -350,6 +407,7 @@ class ReplayEngine:
             num_buckets=self.config.num_buckets,
             stats_cols=list(self.config.stats_cols),
             shard_buckets=self.config.shard_manifest_buckets,
+            hash_fn=self.config.hash_fn,
         )
 
     def resume_epoch(self) -> int:
@@ -470,6 +528,10 @@ class ReplayEngine:
         transforms — the mandated Arrow withColumn form — are
         unaffected."""
         cfg = self.config
+        m = table.manifest()
+        aligned = cfg.aligned_exchange
+        if aligned is None:
+            aligned = m.hash_fn == "murmur3"  # auto: on when the layout allows
         deduped = lww_dedup_stats(
             ev_clean,
             keys=list(cfg.keys),
@@ -482,14 +544,31 @@ class ReplayEngine:
         for fn in cfg.transforms:
             deduped = fn(deduped)
         tp = time.monotonic()
-        pending = merge_into(
-            table,
-            deduped,
-            op_col=cfg.op_col,
-            delete_op=cfg.delete_op,
-            strategy=cfg.merge_strategy,  # "spj" or "mor" — same fused shape
-            stat_cols=STAT_COLS,
-        )
+        if aligned:
+            # ONE-shuffle epoch: the dedup agg's exchange, pinned to
+            # num_buckets partitions, IS the bucket routing — the merge
+            # below adds no exchange at all (mapInPandas over the agg
+            # output, asserted executor-side). The conf pins must be
+            # live when merge_into's action runs, hence the context.
+            with aligned_shuffle_confs(self.spark, m.num_buckets):
+                pending = merge_into(
+                    table,
+                    deduped,
+                    op_col=cfg.op_col,
+                    delete_op=cfg.delete_op,
+                    strategy=cfg.merge_strategy,
+                    stat_cols=STAT_COLS,
+                    aligned=True,
+                )
+        else:
+            pending = merge_into(
+                table,
+                deduped,
+                op_col=cfg.op_col,
+                delete_op=cfg.delete_op,
+                strategy=cfg.merge_strategy,  # "spj" or "mor" — same fused shape
+                stat_cols=STAT_COLS,
+            )
         ph["fused_dedup_merge"] = (time.monotonic() - tp) * 1000
         n_dirty = self._resolve_dirty(epoch, obs, ev, ev_obs, dirty_pred, ph)
         if "after_dedup" in failpoints:
@@ -569,9 +648,9 @@ class ReplayEngine:
         # cfg.num_buckets (which only seeds table creation): adaptive
         # rebucketing can have grown the layout since, and the merge
         # resolves its bucket count from the manifest the same way
-        bucket = F.pmod(
-            F.xxhash64(*[F.col(k) for k in cfg.keys]), F.lit(m0.num_buckets)
-        ).cast("int")
+        from datax_spark.lake.table import bucket_expr_for
+
+        bucket = bucket_expr_for(m0, key_cols=list(cfg.keys))
         ph: dict[str, float] = {}
 
         # --- dirty-data split: NULL in any key/order column means the

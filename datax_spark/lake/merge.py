@@ -60,6 +60,7 @@ from pyspark.sql import types as T
 from datax_spark.lake.table import (
     CommitConflictError,
     LakeTable,
+    bucket_expr_for,
     composite_key_array,
     conform_arrow,
 )
@@ -205,6 +206,7 @@ def merge_into(
     update_keys: DataFrame | None = None,
     strategy: str = "shuffle",
     stat_cols: tuple[str, ...] | None = None,
+    aligned: bool = False,
 ) -> PendingMerge:
     """Write phase of MERGE. ``updates`` must be deduplicated (one row
     per key — run ``operators.lww_dedup`` first) and contain the key
@@ -249,13 +251,22 @@ def merge_into(
     if stat_cols and strategy not in ("spj", "mor"):
         raise ValueError("stat_cols (fused lineage) requires strategy='spj' or 'mor'")
     m = table.manifest()
+    if aligned:
+        if strategy not in ("spj", "mor"):
+            raise ValueError("aligned merges require strategy='spj' or 'mor'")
+        if m.hash_fn != "murmur3":
+            raise ValueError(
+                f"aligned merges need a murmur3-bucketed table (the "
+                f"shuffle partitioner's own hash); this table buckets on "
+                f"{m.hash_fn!r}. Recreate with hash_fn='murmur3' or pass "
+                f"aligned=False."
+            )
     keys = m.key_cols
-    nb = m.num_buckets
 
     incoming = updates.drop(op_col, *(stat_cols or ())).schema
     evolved = evolve_schema(m.schema, incoming)
 
-    bucket = F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nb)).cast("int")
+    bucket = bucket_expr_for(m)
     upd = updates.withColumn("__b", bucket)
 
     if strategy == "spj":
@@ -273,7 +284,7 @@ def merge_into(
         # matched subset)
         return _spj_merge_write(
             table, upd, op_col, delete_op, evolved,
-            stat_cols=stat_cols, order_cols=order_cols,
+            stat_cols=stat_cols, order_cols=order_cols, aligned=aligned,
         )
     if strategy == "mor":
         if order_cols:
@@ -287,7 +298,8 @@ def merge_into(
                 "with strategy='mor'; use 'spj' or 'shuffle'"
             )
         return _mor_delta_write(
-            table, upd, op_col, delete_op, evolved, stat_cols=stat_cols
+            table, upd, op_col, delete_op, evolved, stat_cols=stat_cols,
+            aligned=aligned,
         )
     if strategy != "shuffle":
         raise ValueError(f"unknown merge strategy: {strategy}")
@@ -383,6 +395,54 @@ SPJ_STATS_SCHEMA = (
 )
 
 
+def _aligned_bucket_apply(upd: DataFrame, bucket_fn, table: LakeTable) -> DataFrame:
+    """Run a per-bucket pandas kernel over an ALREADY bucket-aligned
+    frame — zero exchange.
+
+    Precondition (the exchange-aligned contract, see
+    ``Manifest.hash_fn``): ``upd``'s most recent shuffle was keyed on
+    the table's ``key_cols`` with EXACTLY ``num_buckets`` partitions
+    and AQE partition coalescing disabled, and the table buckets on
+    murmur3 — then ``partition_id == pmod(murmur3(keys), nb) == __b``
+    and partition p holds exactly bucket p's rows. Under that contract
+    this is ``mapInPandas`` straight over the aggregation output:
+    where ``spj_merge_frame``'s default shape pays
+    ``repartition(nb, __b)`` — a SECOND full exchange of the deduped
+    epoch batch — the aligned shape pays none at all.
+
+    The contract is ASSERTED executor-side per partition (one vector
+    compare of ``__b`` against TaskContext.partitionId), so a broken
+    precondition — a transform that repartitioned, a stray conf — is a
+    loud crash before any file is written, never silent misplacement.
+    """
+    import pandas as pd
+
+    nb = int(table.manifest().num_buckets)
+
+    def apply_partition(batches):
+        from pyspark import TaskContext
+
+        chunks = [b for b in batches if len(b)]
+        if not chunks:
+            return
+        pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
+        pid = int(TaskContext.get().partitionId())
+        bs = pdf["__b"].unique()
+        if len(bs) != 1 or int(bs[0]) != pid:
+            raise RuntimeError(
+                f"aligned merge precondition broken: partition {pid} of "
+                f"{nb} holds bucket(s) {sorted(int(x) for x in bs)[:8]} — "
+                f"the update frame's last exchange was not "
+                f"hashpartitioning(key_cols, num_buckets). A transform "
+                f"that repartitions/joins, or shuffle confs not pinned "
+                f"(spark.sql.shuffle.partitions={nb}, AQE coalescing "
+                f"off), breaks alignment; rerun with aligned=False."
+            )
+        yield bucket_fn(pdf)
+
+    return upd.mapInPandas(apply_partition, schema=SPJ_STATS_SCHEMA)
+
+
 def spj_merge_frame(
     table: LakeTable,
     upd: DataFrame,
@@ -392,9 +452,19 @@ def spj_merge_frame(
     txn: str,
     stat_cols: tuple[str, ...] | None = None,
     order_cols: list[str] | None = None,
+    aligned: bool = False,
 ) -> DataFrame:
     """Storage-partitioned merge write phase (no Exchange on the
     current side).
+
+    ``aligned=True`` (murmur3-bucketed tables only, see
+    ``_aligned_bucket_apply``) removes the update side's exchange too:
+    the epoch batch arrives already partitioned bucket-wise by the
+    upstream dedup aggregation's own shuffle, so the WHOLE epoch runs
+    on ONE exchange — scan -> partial agg (map-side combined) -> one
+    shuffle that is simultaneously the dedup reduction AND the bucket
+    routing -> per-bucket merge tasks. At 10^10 events that deletes an
+    entire exchange of the deduped batch per epoch.
 
     Physical shape — the ``zipPartitions`` the bucket layout earns:
     the updates frame (already carrying ``__b``) is grouped by bucket
@@ -582,6 +652,8 @@ def spj_merge_frame(
     # Measured at local[32]/64 buckets: identical plan at bench scale
     # (AQE already kept 64), ~10% on 2k-event epochs (32 parallel
     # bucket rewrites vs 1 serial task; driver fixed costs dominate).
+    if aligned:
+        return _aligned_bucket_apply(upd, merge_bucket, table)
     return (
         upd.repartition(int(table.manifest().num_buckets), F.col("__b"))
         .groupBy("__b")
@@ -597,12 +669,13 @@ def _spj_merge_write(
     evolved: T.StructType,
     stat_cols: tuple[str, ...] | None = None,
     order_cols: list[str] | None = None,
+    aligned: bool = False,
 ) -> PendingMerge:
     m = table.manifest()
     txn = table.new_txn_dir()
     res = spj_merge_frame(
         table, upd, op_col, delete_op, evolved, txn,
-        stat_cols=stat_cols, order_cols=order_cols,
+        stat_cols=stat_cols, order_cols=order_cols, aligned=aligned,
     ).collect()  # bounded: one row per affected bucket
 
     affected = sorted(int(r["bucket"]) for r in res)
@@ -646,6 +719,7 @@ def mor_delta_frame(
     evolved: T.StructType,
     txn: str,
     stat_cols: tuple[str, ...] | None = None,
+    aligned: bool = False,
 ) -> DataFrame:
     """Merge-on-read write phase: the epoch batch becomes one DELTA
     file per touched bucket — upserts carry the new image, deletes
@@ -725,6 +799,8 @@ def mor_delta_frame(
     # Same partition pinning as spj_merge_frame: per-bucket delta-file
     # writes carry a constant I/O term AQE's byte-based coalescing
     # would serialize.
+    if aligned:
+        return _aligned_bucket_apply(upd, write_bucket, table)
     return (
         upd.repartition(int(table.manifest().num_buckets), F.col("__b"))
         .groupBy("__b")
@@ -739,11 +815,13 @@ def _mor_delta_write(
     delete_op: str,
     evolved: T.StructType,
     stat_cols: tuple[str, ...] | None = None,
+    aligned: bool = False,
 ) -> PendingMerge:
     m = table.manifest()
     txn = table.new_txn_dir()
     res = mor_delta_frame(
-        table, upd, op_col, delete_op, evolved, txn, stat_cols=stat_cols
+        table, upd, op_col, delete_op, evolved, txn, stat_cols=stat_cols,
+        aligned=aligned,
     ).collect()  # bounded: one row per affected bucket
 
     affected = sorted(int(r["bucket"]) for r in res)

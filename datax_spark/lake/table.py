@@ -123,6 +123,19 @@ class Manifest:
     # O(batch) property the data path already has. None = single-file
     # manifests (the default; small tables don't need the indirection).
     shard_buckets: int | None = None
+    # Bucket hash function: "xxhash64" (the historical default) or
+    # "murmur3" — Spark's Murmur3Hash, the SAME function (seed 42)
+    # Spark's shuffle HashPartitioning uses. A murmur3-bucketed table
+    # earns EXCHANGE-ALIGNED writes: any upstream aggregation keyed on
+    # ``key_cols`` whose shuffle runs with exactly ``num_buckets``
+    # partitions lands every key in the partition that IS its bucket
+    # (``partition_id = pmod(murmur3(keys), n) = bucket``), so the
+    # bucket-local merge needs NO second exchange (see
+    # merge.spj_merge_frame(aligned=True)). This is the table-format
+    # side of Spark's storage-partitioned joins (SPARK-37375): pick the
+    # layout hash to match the engine's partitioner and whole shuffles
+    # disappear. Absent in pre-hash_fn manifests -> xxhash64.
+    hash_fn: str = "xxhash64"
 
     @property
     def schema(self) -> T.StructType:
@@ -144,6 +157,7 @@ class Manifest:
             "stats_cols": self.stats_cols,
             "operation": self.operation,
             "shard_buckets": self.shard_buckets,
+            "hash_fn": self.hash_fn,
         }
 
     def to_json(self) -> str:
@@ -234,6 +248,31 @@ def load_manifest(manifest_dir: str, version: int) -> Manifest:
         with open(os.path.join(manifest_dir, name)) as fh:
             m.merge_shard_payload(json.load(fh))
     return m
+
+
+BUCKET_HASH_FNS = ("xxhash64", "murmur3")
+
+
+def bucket_expr_for(
+    m: "Manifest",
+    num_buckets: int | None = None,
+    key_cols: list[str] | None = None,
+):
+    """The ONE bucket-assignment expression every writer and reader
+    uses: ``pmod(<hash_fn>(key_cols...), num_buckets)``. Centralized so
+    a table's ``hash_fn`` (see :class:`Manifest`) is honored at every
+    site — a single site computing the wrong hash would silently route
+    keys to the wrong bucket files. ``murmur3`` is ``F.hash`` — the
+    exact expression inside Spark's shuffle HashPartitioning — which is
+    what makes exchange-aligned merges possible; ``xxhash64`` is the
+    historical default (better 64-bit dispersion, but opaque to the
+    partitioner)."""
+    nb = num_buckets or m.num_buckets
+    keys = key_cols or m.key_cols
+    cols = [F.col(k) for k in keys]
+    if m.hash_fn == "murmur3":
+        return F.pmod(F.hash(*cols), F.lit(nb)).cast("int")
+    return F.pmod(F.xxhash64(*cols), F.lit(nb)).cast("int")
 
 
 def conform_arrow(t, schema):
@@ -667,6 +706,7 @@ class LakeTable:
         resolve_order: list[str] | None = None,
         stats_cols: list[str] | None = None,
         shard_buckets: int | None = None,
+        hash_fn: str = "xxhash64",
     ) -> "LakeTable":
         """``resolve_order`` (e.g. ``["commit", "lsn"]``) opts the
         table into event-order MoR resolution: merged reads pick each
@@ -702,6 +742,10 @@ class LakeTable:
                 raise ValueError(f"stats_cols column {c!r} not in schema")
         if shard_buckets is not None and shard_buckets < 1:
             raise ValueError(f"shard_buckets must be >= 1, got {shard_buckets}")
+        if hash_fn not in BUCKET_HASH_FNS:
+            raise ValueError(
+                f"hash_fn must be one of {BUCKET_HASH_FNS}, got {hash_fn!r}"
+            )
         m = Manifest(
             version=0,
             parent=None,
@@ -714,6 +758,7 @@ class LakeTable:
             resolve_order=list(resolve_order or ()),
             stats_cols=list(stats_cols or ()),
             shard_buckets=shard_buckets,
+            hash_fn=hash_fn,
         )
         t._write_manifest(m, expected_parent=None)
         return t
@@ -855,10 +900,7 @@ class LakeTable:
 
     # ---------- data ----------
     def bucket_expr(self, num_buckets: int | None = None, key_cols: list[str] | None = None):
-        m = self.manifest()
-        nb = num_buckets or m.num_buckets
-        keys = key_cols or m.key_cols
-        return F.pmod(F.xxhash64(*[F.col(k) for k in keys]), F.lit(nb)).cast("int")
+        return bucket_expr_for(self.manifest(), num_buckets, key_cols)
 
     def read(
         self,
@@ -1042,9 +1084,7 @@ class LakeTable:
         if not key_values:
             return self.spark.createDataFrame([], m.schema)
         kdf = self.spark.createDataFrame(key_values, kschema)
-        bexpr = F.pmod(
-            F.xxhash64(*[F.col(k) for k in m.key_cols]), F.lit(m.num_buckets)
-        ).cast("int")
+        bexpr = bucket_expr_for(m)
         bs = sorted(
             r[0] for r in kdf.select(bexpr.alias("__b")).distinct().collect()
         )  # bounded by |key_values| — a point-lookup list, not data
@@ -1259,6 +1299,7 @@ class LakeTable:
             file_stats=stats,
             operation=operation,
             shard_buckets=parent.shard_buckets,
+            hash_fn=parent.hash_fn,
         )
         m._dirty_buckets = {int(b) for b in replaced_buckets} | {
             int(b) for b in new_files
@@ -1310,6 +1351,7 @@ class LakeTable:
             stats_cols=parent.stats_cols,
             file_stats=dict(parent.file_stats),
             shard_buckets=parent.shard_buckets,
+            hash_fn=parent.hash_fn,
         )
         m._dirty_buckets = {int(b) for b in new_delta_files}
         return self._write_manifest(m, expected_parent=parent.version)
@@ -1389,10 +1431,7 @@ class LakeTable:
         if not todo:
             return m.version
         txn = self.new_txn_dir()
-        df = self.read(buckets=todo).withColumn(
-            "__b",
-            _F.pmod(_F.xxhash64(*[_F.col(k) for k in m.key_cols]), _F.lit(m.num_buckets)).cast("int"),
-        )
+        df = self.read(buckets=todo).withColumn("__b", bucket_expr_for(m))
         if zorder_cols:
             # materialize the z-value as a real column (readers ignore
             # it via the explicit manifest schema)
@@ -1501,9 +1540,7 @@ class LakeTable:
         if new_num_buckets == m.num_buckets:
             return m.version
         txn = self.new_txn_dir()
-        bucket = _F.pmod(
-            _F.xxhash64(*[_F.col(k) for k in m.key_cols]), _F.lit(new_num_buckets)
-        ).cast("int")
+        bucket = bucket_expr_for(m, num_buckets=new_num_buckets)
         (
             self.read()
             .withColumn("__b", bucket)
@@ -1546,6 +1583,7 @@ class LakeTable:
             operation="rebucket",
             file_stats=stats,
             shard_buckets=m.shard_buckets,
+            hash_fn=m.hash_fn,
         )
         return self._write_manifest(nm, expected_parent=m.version)
 
@@ -1738,6 +1776,7 @@ class LakeTable:
             stats_cols=t.stats_cols,
             file_stats=dict(t.file_stats),
             shard_buckets=t.shard_buckets,
+            hash_fn=t.hash_fn,
         )
         return self._write_manifest(m, expected_parent=cur.version)
 
