@@ -186,6 +186,63 @@ def main() -> None:
             spj_plan, ["__NEVER__"],
         ))
 
+    # 7b. EXCHANGE-ALIGNED fused epoch: dedup agg + merge in a plan
+    # with exactly ONE Exchange total — the agg's shuffle, pinned to
+    # num_buckets partitions on a murmur3-bucketed table, IS the
+    # bucket routing; the merge is MapInPandas with no exchange of its
+    # own (partition_id == pmod(murmur3(keys), nb) == bucket).
+    from datax_spark.engine.replay import aligned_shuffle_confs
+    from datax_spark.operators.dedup import lww_dedup_stats
+
+    aroot = tempfile.mkdtemp(prefix="dump_plans_aligned_")
+    at = LakeTable.create(
+        spark, aroot,
+        schema=spark.createDataFrame([], "k string, v long, c long").schema,
+        key_cols=["k"], num_buckets=4, hash_fn="murmur3",
+    )
+    raw = spark.createDataFrame(
+        [("a", 1, 1, "U"), ("a", 2, 2, "U"), ("b", 3, 1, "U")],
+        "k string, v long, c long, op string",
+    )
+    with aligned_shuffle_confs(spark, 4):
+        add = lww_dedup_stats(
+            raw, keys=["k"], order_cols=["c"], lsn_col="c", content_col=None
+        )
+        add = add.withColumn("__b", at.bucket_expr())
+        from datax_spark.operators.dedup import STAT_COLS as _SC
+
+        al = spj_merge_frame(
+            at, add, "op", "D",
+            evolve_schema(at.manifest().schema, add.drop("op", "__b", *_SC).schema),
+            at.new_txn_dir(), stat_cols=_SC, aligned=True,
+        )
+        al_plan = plan_of(al)
+    n_al_exchanges = len(re.findall(r"\(\d+\) Exchange", al_plan))
+    sections.append((
+        "Exchange-aligned fused epoch (hash_fn=murmur3, aligned=True)",
+        "The WHOLE epoch — LWW dedup with fused lineage stats AND the "
+        f"per-bucket merge — in ONE exchange (counted: {n_al_exchanges}, "
+        "asserted == 1): the dedup aggregation's own shuffle, pinned to "
+        "num_buckets partitions with AQE coalescing off, lands every key "
+        "in the partition that IS its murmur3 bucket, so the merge runs "
+        "as MapInPandas straight over the agg output. The map-side "
+        "partial (partial_max_by) is preserved below the exchange. Vs "
+        "the two-exchange fused plan this deletes a full exchange of "
+        "the deduped epoch batch; interleaved best-of A/B at 8M events "
+        "/ 128 buckets / local[32] with pure-CPU controls: aligned "
+        "376-716k ev/s vs two-exchange 300-528k ev/s across two noise "
+        "windows (tools/scale_check.py ... murmur3|xxhash64), "
+        "sha256-frame-equal either way.",
+        al_plan,
+        ["MapInPandas", "partial_max_by", "!FlatMapGroupsInPandas"],
+    ))
+    if n_al_exchanges != 1:
+        sections.append((
+            "ALIGNED exchange-count REGRESSION",
+            f"expected exactly 1 Exchange, found {n_al_exchanges}",
+            al_plan, ["__NEVER__"],
+        ))
+
     # 8. Exact dedup: the shuffle key must be the 32-byte sha2, never
     # the raw document text
     from datax_spark.functions.dedup_text import exact_dedup

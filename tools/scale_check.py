@@ -10,7 +10,11 @@ bucketed CoW merge, schema evolution and exactly-once commits can be
 value-checked at sizes the pandas oracle cannot reach.
 
 Usage: python tools/scale_check.py [n_events] [epochs] [cpus] [merge_strategy]
-                                   [start_buckets] [target_bucket_rows]
+                                   [start_buckets] [target_bucket_rows] [hash_fn]
+
+``hash_fn`` (default murmur3 = the exchange-aligned one-shuffle epoch;
+xxhash64 = the historical two-exchange plan) A/Bs the aligned merge at
+scale under the same sha256 frame-equality gate.
 Prints one JSON line with throughput + verification result.
 
 The optional 5th/6th args exercise ADAPTIVE bucket-count evolution at
@@ -39,7 +43,8 @@ def main() -> None:
     cpus = int(sys.argv[3]) if len(sys.argv) > 3 else 32
     merge_strategy = sys.argv[4] if len(sys.argv) > 4 else "shuffle"
     start_buckets = int(sys.argv[5]) if len(sys.argv) > 5 else 128
-    target_bucket_rows = int(sys.argv[6]) if len(sys.argv) > 6 else None
+    target_bucket_rows = (int(sys.argv[6]) or None) if len(sys.argv) > 6 else None
+    hash_fn = sys.argv[7] if len(sys.argv) > 7 else "murmur3"
 
     import duckdb
 
@@ -78,6 +83,7 @@ def main() -> None:
                 num_buckets=start_buckets,
                 merge_strategy=merge_strategy,
                 target_bucket_rows=target_bucket_rows,
+                hash_fn=hash_fn,
             ),
         )
         t0 = time.monotonic()
@@ -135,6 +141,7 @@ def main() -> None:
                     "n_epochs": n_epochs,
                     "cpus": cpus,
                     "merge_strategy": merge_strategy,
+                    "hash_fn": hash_fn,
                     "replay_sec": round(replay_sec, 2),
                     "events_per_sec": round(n_events / replay_sec, 1),
                     "final_rows": int(len(got)),
