@@ -15,7 +15,11 @@ Three job kinds:
   bytes/sec caps on the sustained replay rate; also accepted as
   ``max_events_per_sec`` / ``max_bytes_per_sec``); optional
   ``"target_bucket_rows"`` / ``"max_buckets"`` turn on adaptive
-  bucket-count evolution (the engine rebuckets the table as it grows)
+  bucket-count evolution (the engine rebuckets the table as it grows);
+  optional ``"merge_strategy"`` (spj default | mor | shuffle),
+  ``"hash_fn"`` (murmur3 default = exchange-aligned one-shuffle
+  epochs; xxhash64 = historical layout) and ``"aligned_exchange"``
+  (null = auto by table hash) pick the epoch's physical plan
 * ``{"replicate": {...}}`` — lake-to-lake incremental replication:
   ``{"replicate": {"source_root": ..., "replica_root": ...,
   "to_version": null}}`` (idempotent; re-run = no-op at the same
@@ -74,6 +78,12 @@ def main(argv: list[str] | None = None) -> int:
             # adaptive bucket-count evolution (null = manual rebucket)
             target_bucket_rows=r.get("target_bucket_rows"),
             max_buckets=int(r.get("max_buckets", 1 << 16)),
+            merge_strategy=r.get("merge_strategy", "spj"),
+            # bucket hash for a table this run CREATES: murmur3 (default)
+            # = exchange-aligned one-shuffle epochs; xxhash64 = the
+            # historical layout. Existing tables keep their manifest's.
+            hash_fn=r.get("hash_fn", "murmur3"),
+            aligned_exchange=r.get("aligned_exchange"),
         )
         if r.get("streaming"):
             from datax_spark.streaming import StreamReplay
