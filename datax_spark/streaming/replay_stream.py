@@ -92,6 +92,7 @@ class StreamReplay:
             ),
             stats_cols=list(self.config.stats_cols),
             shard_buckets=self.config.shard_manifest_buckets,
+            hash_fn=self.config.hash_fn,
         )
 
     def _apply_batch(self, batch_df: DataFrame, batch_id: int) -> None:
@@ -110,9 +111,22 @@ class StreamReplay:
         for fn in cfg.transforms:
             deduped = fn(deduped)
         strategy = {"spj_staged": "spj"}.get(cfg.merge_strategy, cfg.merge_strategy)
-        pending = merge_into(
-            table,
-            deduped,
+        # Exchange-aligned micro-batches (see ReplayConfig.
+        # aligned_exchange): on a murmur3-bucketed table the dedup
+        # aggregation's shuffle — pinned to num_buckets partitions for
+        # this batch — IS the bucket routing, so the merge adds no
+        # exchange. Works for the salted dedup too: its FINAL stage-2
+        # reduction also exchanges on the bare keys. foreachBatch
+        # batches run sequentially, so the per-batch conf pin/restore
+        # cannot race within one stream (two concurrent streams on one
+        # session should set aligned_exchange=False explicitly).
+        aligned = cfg.aligned_exchange
+        if aligned is None:
+            aligned = (
+                table.manifest().hash_fn == "murmur3"
+                and strategy in ("spj", "mor")
+            )
+        kwargs = dict(
             op_col=cfg.op_col,
             delete_op=cfg.delete_op,
             # CoW plans take the write-time cross-batch guard (the
@@ -123,6 +137,21 @@ class StreamReplay:
             order_cols=None if strategy == "mor" else list(cfg.order_cols),
             strategy=strategy,
         )
+        if aligned:
+            from datax_spark.engine.replay import aligned_shuffle_confs
+
+            # pin the confs on the MICRO-BATCH's session: Structured
+            # Streaming clones the session per query, and batch_df's
+            # plans compile against the clone's SQLConf — conf set on
+            # the outer session would silently not apply (measured:
+            # the agg exchange coalesced to 1 partition and the
+            # executor-side assert fired).
+            with aligned_shuffle_confs(
+                batch_df.sparkSession, table.manifest().num_buckets
+            ):
+                pending = merge_into(table, deduped, aligned=True, **kwargs)
+        else:
+            pending = merge_into(table, deduped, **kwargs)
         # same write-audit-publish gate as the batch driver: with
         # cfg.audit_fn set the batch stages, audits, then publishes —
         # a failed audit aborts the stream with the table unchanged
