@@ -10,9 +10,10 @@ as a micro-batch loop):
     2. read epoch slice  — parquet scan of ``events_root/epoch=N``
     3. LWW dedup + lineage stats — max-(commit,lsn) per (repo,path)
        with per-key offset/count/byte counters riding the SAME
-       map-side-combined aggregation (operators.lww_dedup_stats);
-       the salted two-stage variant for single-hot-key streams pays a
-       separate lineage scan instead
+       map-side-combined aggregation (operators.lww_dedup_stats); the
+       salted two-stage variant for single-hot-key streams composes
+       the same exact stats across its stages (sum/min/max of
+       partials), so it rides the fused one-job epoch too
     4. vectorized transforms — Arrow pandas-UDF content transforms on
        the winning images only (never per-row Python; north_star
        requirement), computed lazily exactly once inside the merge
@@ -47,7 +48,7 @@ from pyspark.sql import functions as F
 from datax_spark.engine.metrics import write_epoch_metrics
 from datax_spark.lake.merge import merge_into
 from datax_spark.lake.table import LakeTable
-from datax_spark.operators.dedup import STAT_COLS, lww_dedup, lww_dedup_stats
+from datax_spark.operators.dedup import STAT_COLS, lww_dedup_stats
 
 
 @contextmanager
@@ -540,6 +541,7 @@ class ReplayEngine:
             delete_op=cfg.delete_op,
             lsn_col=cfg.lsn_col,
             content_col="content" if "content" in ev.columns else None,
+            salt_buckets=cfg.salt_buckets,
         )
         for fn in cfg.transforms:
             deduped = fn(deduped)
@@ -669,53 +671,31 @@ class ReplayEngine:
         )
         ev_clean = ev_obs.filter(~dirty_pred)
 
-        if cfg.merge_strategy in ("spj", "mor") and not cfg.salt_buckets:
+        if cfg.merge_strategy in ("spj", "mor"):
+            # the fused one-job epoch covers the salted dedup too: its
+            # stats compose exactly across the two stages (sum/min/max
+            # of per-(key,salt) partials), and stage 2's exchange is on
+            # the bare keys, so the aligned plan applies unchanged
             return self._apply_epoch_fused_spj(
                 epoch, table, ev, ev_obs, ev_clean, obs, dirty_pred, t0, ph,
                 failpoints,
             )
 
-        # --- dedup + per-key lineage stats in ONE shuffle ---
-        # The unsalted path rides the lineage counters on the dedup
-        # aggregation itself (lww_dedup_stats: primitive aggs, map-side
-        # combined — no separate scan of the raw events). The salted
-        # path cannot carry exact per-key stats through two stages, so
-        # it pays a dedicated lineage aggregation job instead.
-        if cfg.salt_buckets:
-            content_col = "content" if "content" in ev.columns else None
-            aggs = [
-                F.count(F.lit(1)).alias("n_events"),
-                F.sum((F.col(cfg.op_col) == cfg.delete_op).cast("long")).alias("n_deletes"),
-                F.min(cfg.lsn_col).alias("min_lsn"),
-                F.max(cfg.lsn_col).alias("max_lsn"),
-                (
-                    F.sum(F.coalesce(F.octet_length(content_col), F.lit(0)))
-                    if content_col
-                    else F.lit(0)
-                ).alias("bytes_in"),
-            ]
-            tp = time.monotonic()
-            lineage = {
-                r["bucket"]: r.asDict()
-                for r in ev_clean.groupBy(bucket.alias("bucket")).agg(*aggs).collect()
-            }
-            ph["lineage"] = (time.monotonic() - tp) * 1000
-            stats_df = lww_dedup(
-                ev_clean,
-                keys=list(cfg.keys),
-                order_cols=list(cfg.order_cols),
-                salt_buckets=cfg.salt_buckets,
-            ).persist()
-        else:
-            stats_df = lww_dedup_stats(
-                ev_clean,
-                keys=list(cfg.keys),
-                order_cols=list(cfg.order_cols),
-                op_col=cfg.op_col,
-                delete_op=cfg.delete_op,
-                lsn_col=cfg.lsn_col,
-                content_col="content" if "content" in ev.columns else None,
-            ).persist()
+        # --- dedup + per-key lineage stats in ONE logical reduction ---
+        # Both the plain and the salted dedup ride the lineage counters
+        # on the aggregation itself (lww_dedup_stats: primitive aggs,
+        # map-side combined; the salted form composes exact partials
+        # across its two stages) — no separate scan of the raw events.
+        stats_df = lww_dedup_stats(
+            ev_clean,
+            keys=list(cfg.keys),
+            order_cols=list(cfg.order_cols),
+            op_col=cfg.op_col,
+            delete_op=cfg.delete_op,
+            lsn_col=cfg.lsn_col,
+            content_col="content" if "content" in ev.columns else None,
+            salt_buckets=cfg.salt_buckets,
+        ).persist()
 
         # transforms apply lazily on top of the cached winners: the
         # merge is their only consumer, so they run exactly once and
@@ -725,28 +705,20 @@ class ReplayEngine:
             deduped = fn(deduped)
         try:
             tp = time.monotonic()
-            if cfg.salt_buckets:
-                key_counts = {
-                    r["bucket"]: r["n"]
-                    for r in stats_df.groupBy(bucket.alias("bucket"))
-                    .agg(F.count(F.lit(1)).alias("n"))
-                    .collect()
-                }
-            else:
-                bucket_stats = (
-                    stats_df.groupBy(bucket.alias("bucket"))
-                    .agg(
-                        F.count(F.lit(1)).alias("n"),
-                        F.sum(STAT_COLS[0]).alias("n_events"),
-                        F.sum(STAT_COLS[1]).alias("n_deletes"),
-                        F.min(STAT_COLS[2]).alias("min_lsn"),
-                        F.max(STAT_COLS[3]).alias("max_lsn"),
-                        F.sum(STAT_COLS[4]).alias("bytes_in"),
-                    )
-                    .collect()
+            bucket_stats = (
+                stats_df.groupBy(bucket.alias("bucket"))
+                .agg(
+                    F.count(F.lit(1)).alias("n"),
+                    F.sum(STAT_COLS[0]).alias("n_events"),
+                    F.sum(STAT_COLS[1]).alias("n_deletes"),
+                    F.min(STAT_COLS[2]).alias("min_lsn"),
+                    F.max(STAT_COLS[3]).alias("max_lsn"),
+                    F.sum(STAT_COLS[4]).alias("bytes_in"),
                 )
-                key_counts = {r["bucket"]: r["n"] for r in bucket_stats}
-                lineage = {r["bucket"]: r.asDict() for r in bucket_stats}
+                .collect()
+            )
+            key_counts = {r["bucket"]: r["n"] for r in bucket_stats}
+            lineage = {r["bucket"]: r.asDict() for r in bucket_stats}
             ph["dedup"] = (time.monotonic() - tp) * 1000
 
             n_dirty = self._resolve_dirty(epoch, obs, ev, ev_obs, dirty_pred, ph)

@@ -92,6 +92,7 @@ def lww_dedup_stats(
     delete_op: str = "D",
     lsn_col: str = "lsn",
     content_col: str | None = "content",
+    salt_buckets: int | None = None,
 ) -> DataFrame:
     """LWW dedup that ALSO emits per-key lineage stats (``STAT_COLS``)
     in the SAME aggregation — count/deletes/min-max lsn/bytes ride the
@@ -99,6 +100,15 @@ def lww_dedup_stats(
     engine needs no separate lineage scan over the raw events (the
     replay driver previously paid a full extra pass per epoch for
     them). Bucket-level lineage = a tiny second agg over this output.
+
+    ``salt_buckets`` gives the two-stage salted reduction WITH exact
+    stats: every stat is an associative aggregate (count→sum, sum→sum,
+    min→min, max→max), so stage 2 combines the per-(key, salt)
+    partials losslessly — the winner row recompares by the order
+    columns carried inside it. Sum of exact partials = the exact
+    per-key stat; there is no approximation anywhere. (A previous
+    engine revision believed salted stats impossible and paid a
+    dedicated full lineage scan per salted epoch.)
     """
     payload = [c for c in df.columns if c not in keys]
     row = F.struct(*[F.col(c) for c in payload])
@@ -108,13 +118,33 @@ def lww_dedup_stats(
         if content_col and content_col in df.columns
         else F.lit(0)
     )
-    agg = df.groupBy(*keys).agg(
-        F.max_by(row, order).alias("__row"),
+    raw_stats = [
         F.count(F.lit(1)).alias(STAT_COLS[0]),
         F.sum((F.col(op_col) == delete_op).cast("long")).alias(STAT_COLS[1]),
         F.min(lsn_col).alias(STAT_COLS[2]),
         F.max(lsn_col).alias(STAT_COLS[3]),
         F.sum(content).alias(STAT_COLS[4]),
+    ]
+    if not salt_buckets:
+        agg = df.groupBy(*keys).agg(F.max_by(row, order).alias("__row"), *raw_stats)
+        return agg.select(
+            *keys, *[F.col(f"__row.{c}").alias(c) for c in payload], *STAT_COLS
+        )
+    salted = df.withColumn(
+        "__salt",
+        F.pmod(F.xxhash64(*[F.col(c) for c in order_cols]), F.lit(salt_buckets)),
+    )
+    stage1 = salted.groupBy(*keys, "__salt").agg(
+        F.max_by(row, order).alias("__row"), *raw_stats
+    )
+    order2 = F.struct(*[F.col(f"__row.{c}") for c in order_cols])
+    agg = stage1.groupBy(*keys).agg(
+        F.max_by(F.col("__row"), order2).alias("__row"),
+        F.sum(STAT_COLS[0]).alias(STAT_COLS[0]),
+        F.sum(STAT_COLS[1]).alias(STAT_COLS[1]),
+        F.min(STAT_COLS[2]).alias(STAT_COLS[2]),
+        F.max(STAT_COLS[3]).alias(STAT_COLS[3]),
+        F.sum(STAT_COLS[4]).alias(STAT_COLS[4]),
     )
     return agg.select(
         *keys, *[F.col(f"__row.{c}").alias(c) for c in payload], *STAT_COLS

@@ -84,3 +84,32 @@ def test_quadratic_baseline_guardrails(spark):
     assert embedding_near_dup_pairs(
         emb, "embedding", "vec_id", threshold=0.5, max_rows=None
     ).count() == 45
+
+
+def test_salted_stats_equal_unsalted(spark):
+    """The salted two-stage lww_dedup_stats composes EXACT stats: same
+    winners and identical per-key counters as the one-stage form."""
+    import pandas as pd
+
+    from datax_spark.operators.dedup import lww_dedup_stats
+
+    rows = []
+    for i in range(5_000):
+        rows.append((
+            f"r{i % 7}", f"p{i % 113}", f"c{i % 41:02d}", i,
+            "D" if i % 17 == 0 else "U", f"body-{i % 29}" * (i % 5),
+        ))
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lsn long, op string, content string"
+    )
+    kw = dict(
+        keys=["repo", "path"], order_cols=["commit", "lsn"],
+        op_col="op", delete_op="D", lsn_col="lsn", content_col="content",
+    )
+    plain = lww_dedup_stats(df, **kw).toPandas().sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    salted = lww_dedup_stats(df, **kw, salt_buckets=8).toPandas().sort_values(
+        ["repo", "path"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(
+        plain, salted[plain.columns], check_dtype=False
+    )
