@@ -301,3 +301,41 @@ def test_bucket_changes_arrow_matches_reference(old, new):
     }
     assert got == expected
     assert set(res.column("_commit_version").to_pylist()) <= {9}
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.text(max_size=20),                      # repo: any unicode
+            st.text(max_size=30),                      # path
+            st.integers(min_value=-2**31, max_value=2**31 - 1),
+        ),
+        min_size=1,
+        max_size=200,
+    ),
+    nb=st.sampled_from([3, 8, 16]),
+)
+@settings(**SETTINGS)
+def test_murmur3_bucket_is_shuffle_partition(spark, rows, nb):
+    """The exchange-aligned invariant for ARBITRARY key values
+    (arbitrary unicode incl. surrogate-adjacent text, empty strings):
+    after groupBy(keys) with exactly nb shuffle partitions and AQE
+    coalescing off, every output row's partition id equals
+    pmod(murmur3(keys), nb) — the table's murmur3 bucket. One Spark
+    job per example."""
+    from datax_spark.engine.replay import aligned_shuffle_confs
+
+    df = spark.createDataFrame(rows, "repo string, path string, v long")
+    with aligned_shuffle_confs(spark, nb):
+        agg = df.groupBy("repo", "path").agg(F.max("v").alias("v"))
+        bad = (
+            agg.select(
+                (
+                    F.pmod(F.hash("repo", "path"), F.lit(nb)).cast("int")
+                    == F.spark_partition_id()
+                ).alias("ok")
+            )
+            .filter(~F.col("ok"))
+            .count()
+        )
+    assert bad == 0
