@@ -20,6 +20,13 @@ Three job kinds:
   ``"hash_fn"`` (murmur3 default = exchange-aligned one-shuffle
   epochs; xxhash64 = historical layout) and ``"aligned_exchange"``
   (null = auto by table hash) pick the epoch's physical plan
+* ``{"maintenance": {...}}`` — table maintenance (the Iceberg
+  procedures surface as a job spec): ``{"maintenance": {"table_root":
+  ..., "actions": [{"compact": {"zorder_cols": [...]}}, {"rebucket":
+  {"num_buckets": 256}}, {"tag": {"name": "nightly"}},
+  {"rollback": {"version": "nightly"}}, {"expire_snapshots":
+  {"keep_last": 3}}, {"vacuum": {}}]}}`` — actions run in order, each
+  committing its own snapshot.
 * ``{"replicate": {...}}`` — lake-to-lake incremental replication:
   ``{"replicate": {"source_root": ..., "replica_root": ...,
   "to_version": null}}`` (idempotent; re-run = no-op at the same
@@ -191,6 +198,61 @@ def main(argv: list[str] | None = None) -> int:
             "sync_mode": res.mode,
             "synced_to": res.synced_to,
             "replica_version": res.replica_version,
+        }))
+        return 0
+
+    if "maintenance" in spec:
+        # Table maintenance as a job (the Iceberg procedures surface,
+        # driven the DataX way — one JSON spec): an ordered list of
+        # actions against one table root. Each action commits its own
+        # snapshot (or none for vacuum), so a crash between actions
+        # leaves a consistent table and the re-run is idempotent where
+        # the underlying op is (vacuum/expire) or a no-op (rebucket to
+        # the same count, re-tag to the same version).
+        from datax_spark.lake import LakeTable
+
+        mt = spec["maintenance"]
+        t = LakeTable.load(spark, mt["table_root"])
+        actions = mt.get("actions", [])
+        if args.dry_run:
+            print(json.dumps({
+                "mode": "maintenance",
+                "version": t.current_version(),
+                "actions": [next(iter(a)) for a in actions],
+            }))
+            return 0
+        applied = []
+        for a in actions:
+            (kind, p), = a.items() if isinstance(a, dict) else [(a, {})]
+            p = p or {}
+            if kind == "compact":
+                v = t.compact(
+                    buckets=p.get("buckets"),
+                    target_file_rows=p.get("target_file_rows"),
+                    sort_cols=p.get("sort_cols"),
+                    zorder_cols=p.get("zorder_cols"),
+                )
+                applied.append({"compact": v})
+            elif kind == "rebucket":
+                applied.append({"rebucket": t.rebucket(int(p["num_buckets"]))})
+            elif kind == "tag":
+                applied.append({"tag": t.tag(p["name"], p.get("version"))})
+            elif kind == "rollback":
+                applied.append({"rollback": t.rollback(p["version"])})
+            elif kind == "expire_snapshots":
+                applied.append({
+                    "expire_snapshots": t.expire_snapshots(
+                        keep_last=int(p.get("keep_last", 1))
+                    )
+                })
+            elif kind == "vacuum":
+                applied.append({"vacuum": len(t.vacuum())})
+            else:
+                raise ValueError(f"unknown maintenance action: {kind!r}")
+        print(json.dumps({
+            "mode": "maintenance",
+            "applied": applied,
+            "version": t.current_version(),
         }))
         return 0
 
