@@ -157,9 +157,11 @@ def _replay_run_root(spark: SparkSession, sf_dir: str) -> str:
         events_root=os.path.join(root, "events"),
         table_root=os.path.join(root, "table"),
         metrics_root=os.path.join(root, "metrics"),
-        # the SHIPPED default config: fused storage-partitioned merge
-        # (one Spark job per epoch). The salted two-stage dedup variant
-        # is oracle-checked separately (hot_key_salted_agg) and
+        # the SHIPPED default config: fused storage-partitioned merge,
+        # exchange-aligned on the murmur3 bucket layout (one Spark job
+        # and ONE shuffle per epoch). The salted two-stage dedup
+        # variant rides the same fused path (exact composed stats) and
+        # is oracle-checked separately (hot_key_salted_agg) plus
         # crash-tested in pytest (test_replay_e2e CFG salt_buckets=8).
         # stats_cols: every commit also harvests per-file lsn bounds
         # into the manifest (the filtered-read skipping they enable is

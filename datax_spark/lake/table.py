@@ -6,10 +6,12 @@ manifests, atomic pointer swap, snapshot summary, schema evolution,
 partition/bucket pruning):
 
 * Data layout: ``data/txn-<uuid>/b=<bucket>/*.parquet`` — rows are
-  hash-bucketed by key (``pmod(xxhash64(keys), num_buckets)``), the
-  analog of an Iceberg bucket-partitioned table. Buckets bound the
-  blast radius of copy-on-write merges: an epoch touching 12 of 256
-  buckets rewrites only those 12.
+  hash-bucketed by key (``pmod(<hash_fn>(keys), num_buckets)``; the
+  per-table ``Manifest.hash_fn`` is murmur3 — Spark's own shuffle
+  hash, enabling exchange-aligned writes — or the historical
+  xxhash64), the analog of an Iceberg bucket-partitioned table.
+  Buckets bound the blast radius of copy-on-write merges: an epoch
+  touching 12 of 256 buckets rewrites only those 12.
 * Metadata: ``_manifests/v<NNNNNNNN>.json`` lists, per bucket, the
   parquet files of that snapshot plus schema, row counts, and a
   summary (committed epoch watermark). ``_manifests/_current`` is a
