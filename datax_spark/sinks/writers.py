@@ -299,6 +299,10 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
         from datax_spark.sinks.es_writer import write_elasticsearch
 
         return write_elasticsearch(df, p)
+    elif name == "ocswriter":
+        from datax_spark.sinks.ocs_writer import write_ocs
+
+        return write_ocs(df, p)
     elif name == "streamwriter":
         # console smoke sink (StreamWriter.java analog)
         df.show(int(p.get("recordNumBeforePrint", 20)), truncate=False)
