@@ -303,6 +303,10 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
         from datax_spark.sinks.ocs_writer import write_ocs
 
         return write_ocs(df, p)
+    elif name in ("hbasewriter", "hbase11xwriter", "hbase20xwriter"):
+        from datax_spark.sources.hbase import hbase_write
+
+        return hbase_write(df, p)
     elif name == "streamwriter":
         # console smoke sink (StreamWriter.java analog)
         df.show(int(p.get("recordNumBeforePrint", 20)), truncate=False)

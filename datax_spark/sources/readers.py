@@ -602,6 +602,10 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
         from datax_spark.sources.tsdb import tsdb_read
 
         return tsdb_read(spark, p)
+    elif name in ("hbasereader", "hbase11xreader", "hbase20xreader"):
+        from datax_spark.sources.hbase import hbase_read
+
+        return hbase_read(spark, p)
     elif name == "ftpreader":
         # FtpReader.java: resolve path specs against the remote server,
         # stage the matched files locally, then run the same
