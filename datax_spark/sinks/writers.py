@@ -307,6 +307,10 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
         from datax_spark.sources.hbase import hbase_write
 
         return hbase_write(df, p)
+    elif name == "mongodbwriter":
+        from datax_spark.sources.mongo import mongo_write
+
+        return mongo_write(df, p)
     elif name == "streamwriter":
         # console smoke sink (StreamWriter.java analog)
         df.show(int(p.get("recordNumBeforePrint", 20)), truncate=False)

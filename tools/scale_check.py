@@ -52,14 +52,17 @@ def main() -> None:
     from datax_spark.fixtures.changelog import ChangelogSpec, write_events
     from datax_spark.session import get_spark
 
-    # tmpfs scratch only when it can plausibly hold the shuffle: the
-    # changelog is ~400B/event and shuffle spill is a fraction of
-    # that, but a filled /dev/shm means unevictable RAM and dead
-    # tasks, where the default disk-backed dir would have finished
+    # tmpfs scratch only when it can plausibly hold the shuffle AND
+    # leave room for the JVM heap + Arrow python workers: /dev/shm
+    # pages are unevictable RAM, and at 128M events the first sizing
+    # (free > n_events*800) admitted a run the OOM killer then took
+    # out mid-replay (exit 137, ~105 GiB anon + shm). Require 1.5x the
+    # event estimate PLUS a fixed 72 GiB compute budget; otherwise the
+    # disk-backed default is slower but finishes.
     extra = {}
     if os.path.isdir("/dev/shm"):
         free = shutil.disk_usage("/dev/shm").free
-        if free > max(8 << 30, n_events * 800):
+        if free > max(8 << 30, int(n_events * 800 * 1.5) + (72 << 30)):
             extra["spark.local.dir"] = "/dev/shm/datax_spark_scale_scratch"
     spark = get_spark("scale-check", cores=cpus, extra_conf=extra)
 
