@@ -293,6 +293,20 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
         parts = sorted(_glob.glob(os.path.join(spool, "part-*")))
         remotes = ftp_publish_write(parts, p)
         return {"files": len(remotes), "path": p["path"]}
+    elif name == "osswriter":
+        # OssWriter.java: CSV parts spooled locally, writeMode applied
+        # remotely (truncate/nonConflict/append), parts uploaded as
+        # <object>__<n> with multipart above the size threshold.
+        import glob as _glob
+        import tempfile as _tempfile
+
+        from datax_spark.sources.oss import oss_publish_write
+
+        spool = _tempfile.mkdtemp(prefix="oss_spool_")
+        write_sink(df, "csvwriter", {**p, "path": spool, "writeMode": "overwrite"})
+        parts = sorted(_glob.glob(os.path.join(spool, "part-*")))
+        remotes = oss_publish_write(parts, p)
+        return {"files": len(remotes), "object": p["object"]}
     elif name == "restfulapiwriter":
         return write_restful(df, p)
     elif name == "elasticsearchwriter":

@@ -617,6 +617,12 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
         from datax_spark.sources.ftp import ftp_stage_read
 
         return read_source(spark, "txtfilereader", {**p, "path": ftp_stage_read(p)})
+    elif name == "ossreader":
+        # OssReader.java: wildcard object resolution via marker-paged
+        # listing, staged download, same unstructured scan engine.
+        from datax_spark.sources.oss import oss_stage_read
+
+        return read_source(spark, "txtfilereader", {**p, "path": oss_stage_read(p)})
     elif name == "restfulapireader" and p.get("url"):
         text = restful_fetch(
             p["url"],
@@ -686,7 +692,30 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
     if where:
         df = df.filter(where)  # pushed down by Catalyst
     if columns:
-        df = df.select(*columns)  # column pruning reaches the scan
+        if isinstance(columns[0], dict):
+            # reference unstructured column spec ({index,type} picks a
+            # positional CSV field and casts it; {type,value} is a
+            # constant — UnstructuredStorageReaderUtil.transportOneRecord)
+            exprs = []
+            for i, c in enumerate(columns):
+                ctype = {"long": "long", "double": "double", "string": "string",
+                         "boolean": "boolean", "bool": "boolean",
+                         "date": "timestamp", "bytes": "binary"}.get(
+                    str(c.get("type", "string")).lower(), "string"
+                )
+                if c.get("index") is not None:
+                    src = df.columns[int(c["index"])]
+                    exprs.append(F.col(src).cast(ctype).alias(src))
+                elif "value" in c:
+                    exprs.append(F.lit(c["value"]).cast(ctype).alias(f"const_{i}"))
+                else:
+                    raise ValueError(
+                        "unstructured column spec needs index or value "
+                        "(UnstructuredStorageReaderUtil parity)"
+                    )
+            df = df.select(*exprs)
+        else:
+            df = df.select(*columns)  # column pruning reaches the scan
     return df
 
 
