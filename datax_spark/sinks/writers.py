@@ -325,6 +325,10 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
         from datax_spark.sources.mongo import mongo_write
 
         return mongo_write(df, p)
+    elif name == "cassandrawriter":
+        from datax_spark.sources.cassandra import cassandra_write
+
+        return cassandra_write(df, p)
     elif name == "streamwriter":
         # console smoke sink (StreamWriter.java analog)
         df.show(int(p.get("recordNumBeforePrint", 20)), truncate=False)

@@ -610,6 +610,10 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
         from datax_spark.sources.mongo import mongo_read
 
         return mongo_read(spark, p)
+    elif name == "cassandrareader":
+        from datax_spark.sources.cassandra import cassandra_read
+
+        return cassandra_read(spark, p)
     elif name == "ftpreader":
         # FtpReader.java: resolve path specs against the remote server,
         # stage the matched files locally, then run the same

@@ -64,6 +64,9 @@ def main() -> None:
         free = shutil.disk_usage("/dev/shm").free
         if free > max(8 << 30, int(n_events * 800 * 1.5) + (72 << 30)):
             extra["spark.local.dir"] = "/dev/shm/datax_spark_scale_scratch"
+    # ad-hoc host tuning (e.g. {"spark.python.worker.reuse": "false"}
+    # when long replays accumulate python-worker RSS on a small box)
+    extra.update(json.loads(os.environ.get("SCALE_CHECK_EXTRA_CONF", "{}")))
     spark = get_spark("scale-check", cores=cpus, extra_conf=extra)
 
     spec = ChangelogSpec(
@@ -99,6 +102,19 @@ def main() -> None:
             if r.rebucketed_to
         ]
 
+        # replay is measured; flush it BEFORE the (memory-hungry)
+        # verification so an OOM-killed verify cannot destroy the
+        # measurement — three 128M attempts died exactly there (the
+        # embedded DuckDB window over the full event log grows to its
+        # default 80%-of-RAM limit with spilling disabled for
+        # in-memory databases)
+        print(json.dumps({
+            "phase": "replay_done",
+            "n_events": n_events,
+            "replay_sec": round(replay_sec, 2),
+            "events_per_sec": round(n_events / replay_sec, 1),
+        }), flush=True)
+
         # ---- independent verification (DuckDB over the raw log) ----
         t1 = time.monotonic()
         got = (
@@ -113,6 +129,12 @@ def main() -> None:
             .reset_index(drop=True)
         )
         con = duckdb.connect()
+        # bound the window's memory and let it spill: the default 80%-
+        # of-RAM limit with no temp_directory turns a big verify into
+        # an OOM kill instead of disk spill
+        con.execute("SET memory_limit='32GB'")
+        os.makedirs(os.path.join(root, "duck_spill"), exist_ok=True)
+        con.execute(f"SET temp_directory='{root}/duck_spill'")
         want = con.execute(
             f"""
             WITH ev AS (
