@@ -129,26 +129,44 @@ def main() -> None:
             .reset_index(drop=True)
         )
         con = duckdb.connect()
-        # bound the window's memory and let it spill: the default 80%-
-        # of-RAM limit with no temp_directory turns a big verify into
-        # an OOM kill instead of disk spill
+        # memory discipline: the old row_number() window materialized
+        # and sorted ALL events incl. full content (~100 GB at 128M
+        # events) — three 128M attempts OOM'd / filled the disk there.
+        # Grouped arg_max instead: content is hashed in the scan and
+        # dropped, the aggregate state is one small row per distinct
+        # (repo, path), so memory ~ final keys, never ~ events.
+        # The scalar ordering key commit || lpad(lsn) is order-exact
+        # because commits are fixed-width 40-hex and lsn is a global
+        # total order (no ties possible).
         con.execute("SET memory_limit='32GB'")
         os.makedirs(os.path.join(root, "duck_spill"), exist_ok=True)
         con.execute(f"SET temp_directory='{root}/duck_spill'")
         want = con.execute(
             f"""
             WITH ev AS (
-              SELECT * FROM read_parquet(
+              SELECT repo, path, commit, lsn, lang, lang_variant, op,
+                     sha256(content) AS content_sha256,
+                     commit || lpad(CAST(lsn AS VARCHAR), 20, '0') AS ord
+              FROM read_parquet(
                   '{root}/events/epoch=*/*.parquet', union_by_name = true)
             ),
-            w AS (
-              SELECT *, row_number() OVER (
-                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
-              FROM ev
+            last AS (
+              -- the whole row rides in ONE struct arg: a struct with
+              -- NULL fields is itself non-NULL, so arg_max cannot
+              -- drop pre-evolution rows whose lang_variant is NULL
+              -- (arg_max ignores rows with a NULL arg)
+              SELECT repo, path,
+                     arg_max(struct_pack(
+                         commit := commit, lsn := lsn, lang := lang,
+                         lang_variant := lang_variant,
+                         content_sha256 := content_sha256,
+                         op := op), ord) AS r
+              FROM ev GROUP BY repo, path
             )
-            SELECT repo, path, commit, lsn, lang, lang_variant,
-                   sha256(content) AS content_sha256
-            FROM w WHERE rn = 1 AND op <> 'D'
+            SELECT repo, path, r.commit AS commit, r.lsn AS lsn,
+                   r.lang AS lang, r.lang_variant AS lang_variant,
+                   r.content_sha256 AS content_sha256
+            FROM last WHERE r.op <> 'D'
             ORDER BY repo, path
             """
         ).df().reset_index(drop=True)
