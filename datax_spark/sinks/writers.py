@@ -175,9 +175,17 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
     elif name == "orcwriter":
         df.write.mode(mode).option("compression", p.get("compress", "snappy")).orc(path)
     elif name == "kafkawriter":
-        # KafkaWriter.java: row -> JSON -> producer.send; untested here
-        # (no broker) but complete. Exactly-once on replay comes from
-        # downstream idempotence, as in the reference (at-least-once).
+        # KafkaWriter.java: row -> JSON -> producer.send, acks=all.
+        # "wire" transport (default) renders the typed column map and
+        # produces magic-1 message sets per Spark partition with
+        # round-robin topic partitioning (tests/test_kafka.py); the
+        # "spark" transport keeps the connector path for clusters
+        # that ship spark-sql-kafka. At-least-once either way, as in
+        # the reference (retries=0, downstream idempotence).
+        if p.get("transport", "wire") == "wire" and p.get("column"):
+            from datax_spark.sources.kafka import kafka_write
+
+            return kafka_write(df, p)
         (
             df.select(F.to_json(F.struct(*df.columns)).alias("value"))
             .write.format("kafka")

@@ -656,12 +656,18 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
             DataFrame.unionByName, [spark.sql(s) for s in sqls]
         )
     elif name == "kafkareader":
-        # KafkaReader.java:77-85 splits one task per partition; Spark's
-        # kafka source does the same. The value projection is factored
-        # out (kafka_value_projection) and exercised by a file-backed
-        # readStream carrying the same `value` column contract
-        # (tests/test_streaming.py); only the broker transport itself
-        # is unexecutable in this environment.
+        # KafkaReader.java:77-85 splits one task per partition. Two
+        # transports: "wire" (default) speaks the Kafka binary
+        # protocol directly — Metadata/ListOffsets plan one slice per
+        # partition, executors Fetch their [earliest, latest) range
+        # inside mapInPandas (tests/test_kafka.py vs an in-process
+        # fake broker) — while "spark" uses the spark-sql-kafka
+        # connector (same projection contract, file-backed readStream
+        # test in tests/test_streaming.py) for clusters that ship it.
+        if p.get("transport", "wire") == "wire":
+            from datax_spark.sources.kafka import kafka_read
+
+            return kafka_read(spark, p)
         raw = (
             spark.read.format("kafka")
             .option("kafka.bootstrap.servers", p["bootstrapServers"])

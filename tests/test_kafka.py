@@ -1,0 +1,408 @@
+"""Kafka wire-protocol transport tests against an in-process fake
+broker speaking the real versioned frames (Metadata v1, ListOffsets
+v1, Fetch v2, Produce v2, magic-1 MessageSets)."""
+
+from __future__ import annotations
+
+import json
+import socket
+import socketserver
+import struct
+import threading
+import zlib
+
+import pytest
+
+from datax_spark.sources.kafka import (
+    EARLIEST,
+    LATEST,
+    KafkaConnection,
+    KafkaError,
+    decode_message_set,
+    encode_message_set,
+    kafka_read,
+    kafka_write,
+    project_json_value,
+)
+
+
+# ------------------------------------------------------------ fake broker
+
+class _Log:
+    def __init__(self):
+        self.messages: list[tuple[int, bytes | None, bytes]] = []
+
+
+class FakeKafkaHandler(socketserver.BaseRequestHandler):
+    def handle(self):
+        try:
+            while True:
+                hdr = self._recv(4)
+                if hdr is None:
+                    return
+                (size,) = struct.unpack(">i", hdr)
+                req = self._recv(size)
+                api_key, api_version, corr = struct.unpack_from(">hhi", req, 0)
+                i = 8
+                (cid_len,) = struct.unpack_from(">h", req, i)
+                i += 2 + max(cid_len, 0)
+                body = req[i:]
+                out = self._dispatch(api_key, api_version, body)
+                resp = struct.pack(">i", corr) + out
+                self.request.sendall(struct.pack(">i", len(resp)) + resp)
+        except (ConnectionError, OSError):
+            pass
+
+    def _recv(self, n):
+        buf = b""
+        while len(buf) < n:
+            chunk = self.request.recv(n - len(buf))
+            if not chunk:
+                return None
+            buf += chunk
+        return buf
+
+    def _dispatch(self, api_key, api_version, body):
+        srv = self.server
+        if api_key == 3 and api_version == 1:
+            return self._metadata(srv)
+        if api_key == 2 and api_version == 1:
+            return self._list_offsets(srv, body)
+        if api_key == 1 and api_version == 2:
+            return self._fetch(srv, body)
+        if api_key == 0 and api_version == 2:
+            return self._produce(srv, body)
+        raise AssertionError(f"unexpected api {api_key} v{api_version}")
+
+    @staticmethod
+    def _str(s):
+        b = s.encode()
+        return struct.pack(">h", len(b)) + b
+
+    def _metadata(self, srv):
+        host, port = srv.server_address
+        out = struct.pack(">i", 1)  # one broker
+        out += struct.pack(">i", 0) + self._str(host) + struct.pack(">i", port)
+        out += struct.pack(">h", -1)  # rack null
+        out += struct.pack(">i", 0)  # controller
+        topics = {}
+        for (t, p) in srv.logs:
+            topics.setdefault(t, []).append(p)
+        out += struct.pack(">i", len(topics))
+        for t, pids in sorted(topics.items()):
+            out += struct.pack(">h", 0) + self._str(t) + struct.pack(">b", 0)
+            out += struct.pack(">i", len(pids))
+            for pid in sorted(pids):
+                out += struct.pack(">hii", 0, pid, 0)  # err, pid, leader 0
+                out += struct.pack(">ii", 1, 0)  # replicas [0]
+                out += struct.pack(">ii", 1, 0)  # isr [0]
+        return out
+
+    def _list_offsets(self, srv, body):
+        r = struct.Struct(">i").unpack_from(body, 0)  # replica_id
+        i = 4
+        (ntop,) = struct.unpack_from(">i", body, i)
+        i += 4
+        assert ntop == 1 and r
+        (tlen,) = struct.unpack_from(">h", body, i)
+        topic = body[i + 2 : i + 2 + tlen].decode()
+        i += 2 + tlen
+        (nparts,) = struct.unpack_from(">i", body, i)
+        i += 4
+        assert nparts == 1
+        pid, ts = struct.unpack_from(">iq", body, i)
+        log = srv.logs[(topic, pid)]
+        off = 0 if ts == -2 else len(log.messages)
+        out = struct.pack(">i", 1) + self._str(topic) + struct.pack(">i", 1)
+        out += struct.pack(">ihqq", pid, 0, -1, off)
+        return out
+
+    def _fetch(self, srv, body):
+        i = 12  # replica, max_wait, min_bytes
+        (ntop,) = struct.unpack_from(">i", body, i)
+        i += 4
+        assert ntop == 1
+        (tlen,) = struct.unpack_from(">h", body, i)
+        topic = body[i + 2 : i + 2 + tlen].decode()
+        i += 2 + tlen
+        i += 4  # one partition
+        pid, offset, max_bytes = struct.unpack_from(">iqi", body, i)
+        log = srv.logs[(topic, pid)]
+        msgs = [
+            (off, ts, key, val)
+            for off, (ts, key, val) in enumerate(log.messages)
+            if off >= offset
+        ]
+        ms = b""
+        for off, ts, key, val in msgs:
+            chunk = encode_message_set([(ts, key, val)], base_offset=off)
+            ms += chunk
+            if len(ms) >= max_bytes:
+                # real brokers cut at max_bytes, possibly mid-message:
+                # exercise the client's truncated-trailer handling
+                ms = ms[: max_bytes + 7]
+                break
+        out = struct.pack(">i", 0)  # throttle
+        out += struct.pack(">i", 1) + self._str(topic) + struct.pack(">i", 1)
+        out += struct.pack(">ihq", pid, 0, len(log.messages))
+        out += struct.pack(">i", len(ms)) + ms
+        return out
+
+    def _produce(self, srv, body):
+        acks, _timeout = struct.unpack_from(">hi", body, 0)
+        i = 6
+        (ntop,) = struct.unpack_from(">i", body, i)
+        i += 4
+        assert ntop == 1 and acks == -1  # reference produces acks=all
+        (tlen,) = struct.unpack_from(">h", body, i)
+        topic = body[i + 2 : i + 2 + tlen].decode()
+        i += 2 + tlen
+        i += 4  # one partition entry
+        (pid,) = struct.unpack_from(">i", body, i)
+        i += 4
+        (n,) = struct.unpack_from(">i", body, i)
+        i += 4
+        ms = body[i : i + n]
+        with srv.lock:
+            log = srv.logs[(topic, pid)]
+            base = len(log.messages)
+            for _off, ts, key, val in decode_message_set(ms):
+                log.messages.append((ts, key, val))
+        out = struct.pack(">i", 1) + self._str(topic) + struct.pack(">i", 1)
+        out += struct.pack(">ihqq", pid, 0, base, -1)
+        out += struct.pack(">i", 0)  # throttle
+        return out
+
+
+class FakeKafkaBroker(socketserver.ThreadingTCPServer):
+    allow_reuse_address = True
+    daemon_threads = True
+
+    def __init__(self, topics: dict[str, int]):
+        super().__init__(("127.0.0.1", 0), FakeKafkaHandler)
+        self.logs = {
+            (t, p): _Log() for t, n in topics.items() for p in range(n)
+        }
+        self.lock = threading.Lock()
+        self._thread = threading.Thread(target=self.serve_forever, daemon=True)
+        self._thread.start()
+
+    @property
+    def bootstrap(self) -> str:
+        h, p = self.server_address
+        return f"{h}:{p}"
+
+    def stop(self):
+        self.shutdown()
+        self.server_close()
+
+
+@pytest.fixture()
+def broker():
+    b = FakeKafkaBroker({"events": 3})
+    yield b
+    b.stop()
+
+
+# ------------------------------------------------------------- unit: codec
+
+def test_message_set_byte_layout():
+    ms = encode_message_set([(1234, b"k", b"v")], base_offset=7)
+    # offset(8) size(4) crc(4) magic(1) attrs(1) ts(8) klen(4)+1 vlen(4)+1
+    assert struct.unpack_from(">q", ms, 0)[0] == 7
+    size = struct.unpack_from(">i", ms, 8)[0]
+    assert size == len(ms) - 12 == 4 + 1 + 1 + 8 + 5 + 5
+    crc = struct.unpack_from(">I", ms, 12)[0]
+    assert crc == zlib.crc32(ms[16:]) & 0xFFFFFFFF
+    assert ms[16] == 1 and ms[17] == 0  # magic 1, no codec
+    assert struct.unpack_from(">q", ms, 18)[0] == 1234
+    assert decode_message_set(ms) == [(7, 1234, b"k", b"v")]
+
+
+def test_decode_rejects_corrupt_crc():
+    ms = bytearray(encode_message_set([(0, None, b"payload")]))
+    ms[-1] ^= 0xFF
+    with pytest.raises(KafkaError):
+        decode_message_set(bytes(ms))
+
+
+def test_decode_stops_at_truncated_trailer():
+    ms = encode_message_set([(0, None, b"a"), (0, None, b"b")], base_offset=0)
+    cut = ms[: len(ms) - 3]  # second message torn mid-value
+    got = decode_message_set(cut)
+    assert [(o, v) for o, _, _, v in got] == [(0, b"a")]
+
+
+def test_decode_rejects_compressed():
+    body = struct.pack(">bbq", 1, 2, 0) + struct.pack(">i", -1) + struct.pack(">i", 1) + b"x"
+    msg = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
+    ms = struct.pack(">qi", 0, len(msg)) + msg
+    with pytest.raises(NotImplementedError):
+        decode_message_set(ms)
+
+
+# -------------------------------------------------- unit: value projection
+
+def test_project_json_value_object_and_list():
+    rows = project_json_value('{"a": 1, "b": "x", "c": true}', ["a", "b", "c", "d"], 0)
+    assert rows == [["1", "x", "true", None]]
+    rows = project_json_value('[{"a": 1}, {"a": 2.5}]', ["a"], 1)
+    assert rows == [["1"], ["2.5"]]
+    with pytest.raises(ValueError):
+        project_json_value("{}", ["a"], 2)
+
+
+# ------------------------------------------------------------- wire client
+
+def test_client_metadata_offsets_produce_fetch(broker):
+    c = KafkaConnection(*broker.server_address)
+    try:
+        brokers, parts = c.metadata(["events"])
+        assert parts == {"events": {0: 0, 1: 0, 2: 0}}
+        assert brokers[0][1] == broker.server_address[1]
+        assert c.list_offset("events", 0, EARLIEST) == 0
+        base = c.produce("events", 0, [(5, None, b'{"n": 1}'), (6, b"k", b'{"n": 2}')])
+        assert base == 0
+        assert c.list_offset("events", 0, LATEST) == 2
+        msgs, hw = c.fetch("events", 0, 0)
+        assert hw == 2
+        assert [(o, ts, k, v) for o, ts, k, v in msgs] == [
+            (0, 5, None, b'{"n": 1}'),
+            (1, 6, b"k", b'{"n": 2}'),
+        ]
+    finally:
+        c.close()
+
+
+# ------------------------------------------------------------------- e2e
+
+def _preload(broker, topic, per_partition):
+    c = KafkaConnection(*broker.server_address)
+    try:
+        for pid, values in per_partition.items():
+            c.produce(topic, pid, [(0, None, v.encode()) for v in values])
+    finally:
+        c.close()
+
+
+def test_kafka_read_all_partitions(broker, spark):
+    _preload(broker, "events", {
+        0: ['{"id": 1, "name": "a"}', '{"id": 2, "name": "b"}'],
+        1: ['{"id": 3, "name": "c"}'],
+        2: ['{"id": 4}'],
+    })
+    df = kafka_read(spark, {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": ["id", "name"],
+        "isList": 0,
+    })
+    got = sorted((r["id"], r["name"]) for r in df.collect())
+    assert got == [("1", "a"), ("2", "b"), ("3", "c"), ("4", None)]
+    assert df.rdd.getNumPartitions() == 3  # one task per partition
+
+
+def test_kafka_read_is_list_and_bounded_drain(broker, spark):
+    _preload(broker, "events", {0: ['[{"x": 1}, {"x": 2}]', '[{"x": 3}]']})
+    df = kafka_read(spark, {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": ["x"],
+        "isList": 1,
+    })
+    # messages produced AFTER the plan snapshot stay outside the range
+    _preload(broker, "events", {0: ['[{"x": 99}]']})
+    assert sorted(r["x"] for r in df.collect()) == ["1", "2", "3"]
+
+
+def test_kafka_read_pages_through_small_max_bytes(broker, spark):
+    vals = [json.dumps({"i": i, "pad": "p" * 64}) for i in range(40)]
+    _preload(broker, "events", {0: vals, 1: vals[:7]})
+    df = kafka_read(spark, {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": ["i"],
+        "isList": 0,
+        "fetchMaxBytes": 150,  # forces many rounds + torn trailers
+    })
+    got = sorted(int(r["i"]) for r in df.collect())
+    assert got == sorted(list(range(40)) + list(range(7)))
+
+
+def test_kafka_write_round_robin_and_types(broker, spark):
+    df = spark.createDataFrame(
+        [(1, "a", 1.5, True), (2, "b", 2.5, False), (3, None, None, None)],
+        "id long, name string, score double, ok boolean",
+    ).coalesce(1)
+    res = kafka_write(df, {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": [
+            {"columnName": "id", "columnType": "Long"},
+            {"columnName": "name", "columnType": "String"},
+            {"columnName": "score", "columnType": "Double"},
+            {"columnName": "ok", "columnType": "Boolean"},
+        ],
+    })
+    assert res == {"written": 3, "dirty": 0}
+    c = KafkaConnection(*broker.server_address)
+    try:
+        objs, by_part = [], []
+        for pid in range(3):
+            end = c.list_offset("events", pid, LATEST)
+            if end:
+                msgs, _ = c.fetch("events", pid, 0)
+                by_part.append(len(msgs))
+                objs += [json.loads(v.decode()) for _, _, _, v in msgs]
+    finally:
+        c.close()
+    assert sorted(by_part) == [1, 1, 1]  # round-robin across partitions
+    assert sorted(objs, key=lambda o: o["id"]) == [
+        {"id": 1, "name": "a", "ok": True, "score": 1.5},
+        {"id": 2, "name": "b", "ok": False, "score": 2.5},
+        {"id": 3, "name": None, "ok": None, "score": None},
+    ]
+
+
+def test_kafka_write_read_round_trip(broker, spark):
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(25)], "id long, name string"
+    )
+    kafka_write(df, {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": [
+            {"columnName": "id", "columnType": "Long"},
+            {"columnName": "name", "columnType": "String"},
+        ],
+    })
+    back = kafka_read(spark, {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": ["id", "name"],
+        "isList": 0,
+    })
+    got = sorted((int(r["id"]), r["name"]) for r in back.collect())
+    assert got == [(i, f"n{i}") for i in range(25)]
+
+
+def test_jobspec_dispatch_wire_transport(broker, spark):
+    from datax_spark.sources.readers import read_source
+    from datax_spark.sinks.writers import write_sink
+
+    _preload(broker, "events", {0: ['{"id": 10}']})
+    df = read_source(spark, "kafkareader", {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": ["id"],
+        "isList": 0,
+        "transport": "wire",
+    })
+    assert [r["id"] for r in df.collect()] == ["10"]
+    res = write_sink(df, "kafkawriter", {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": [{"columnName": "id", "columnType": "String"}],
+        "transport": "wire",
+    })
+    assert res["written"] == 1
