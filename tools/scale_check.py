@@ -128,6 +128,13 @@ def main() -> None:
             .sort_values(["repo", "path"])
             .reset_index(drop=True)
         )
+        # the replay measurement and the table snapshot are in hand:
+        # release the whole Spark side (JVM heap + 32 reused Arrow
+        # python workers) before the verify — at 128M events the
+        # verify needs the RAM more than a dead session does
+        final_buckets = int(eng.table().manifest().num_buckets)
+        spark.stop()
+
         con = duckdb.connect()
         # memory discipline: the old row_number() window materialized
         # and sorted ALL events incl. full content (~100 GB at 128M
@@ -138,7 +145,14 @@ def main() -> None:
         # The scalar ordering key commit || lpad(lsn) is order-exact
         # because commits are fixed-width 40-hex and lsn is a global
         # total order (no ties possible).
-        con.execute("SET memory_limit='32GB'")
+        # memory_limit bounds the buffer pool but NOT per-thread scan
+        # buffers: 32 threads over 1000+ parquet files of long strings
+        # still OOM'd a 128 GiB box (oom-kill at 125 GiB anon). Eight
+        # threads + no insertion-order preservation keep the scan's
+        # working set proportional to threads, not files.
+        con.execute("SET memory_limit='24GB'")
+        con.execute("SET threads=8")
+        con.execute("SET preserve_insertion_order=false")
         os.makedirs(os.path.join(root, "duck_spill"), exist_ok=True)
         con.execute(f"SET temp_directory='{root}/duck_spill'")
         want = con.execute(
@@ -191,7 +205,7 @@ def main() -> None:
                     "verified": "sha256_frame_equal_vs_duckdb_lww",
                     "verify_sec": round(verify_sec, 2),
                     "start_buckets": start_buckets,
-                    "final_buckets": int(eng.table().manifest().num_buckets),
+                    "final_buckets": final_buckets,
                     "target_bucket_rows": target_bucket_rows,
                     "rebuckets": rebuckets,
                 }
