@@ -345,6 +345,10 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
         from datax_spark.sources.odps import odps_write
 
         return odps_write(df, p)
+    elif name == "tdenginewriter":
+        from datax_spark.sources.tdengine import tdengine_write
+
+        return tdengine_write(df, p)
     elif name == "streamwriter":
         # console smoke sink (StreamWriter.java analog)
         df.show(int(p.get("recordNumBeforePrint", 20)), truncate=False)

@@ -622,6 +622,10 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
         from datax_spark.sources.odps import odps_read
 
         return odps_read(spark, p)
+    elif name == "tdenginereader":
+        from datax_spark.sources.tdengine import tdengine_read
+
+        return tdengine_read(spark, p)
     elif name == "ftpreader":
         # FtpReader.java: resolve path specs against the remote server,
         # stage the matched files locally, then run the same
