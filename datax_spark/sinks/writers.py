@@ -349,6 +349,8 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
         from datax_spark.sources.tdengine import tdengine_write
 
         return tdengine_write(df, p)
+    elif name == "hivewriter":
+        return hive_write(df, p)
     elif name == "streamwriter":
         # console smoke sink (StreamWriter.java analog)
         df.show(int(p.get("recordNumBeforePrint", 20)), truncate=False)
@@ -375,3 +377,49 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
     else:
         raise ValueError(f"unknown writer plugin: {name}")
     return {"path": path}
+
+
+def hive_write(df: DataFrame, p: dict) -> dict:
+    """hivewriter (HiveWriter.java:42-256): the reference spools the
+    batch as a TEXT temp table under ``tmpDatabasePath`` and then runs
+
+        insert {into|overwrite} table <db>.<table> [partition(spec)]
+        select * from <tmpDatabase>.<tmpTable> DISTRIBUTE BY rand();
+
+    through ``hive_cmd -e``, dropping the temp table in post(). The
+    Spark-native two-phase analog stages the batch as a temp view (the
+    catalog's equivalent of the temp table — no HDFS spool needed
+    because the INSERT reads the staged plan directly) and runs the
+    same statement through the session catalog. ``DISTRIBUTE BY
+    rand()`` is kept for parity (the reference uses it to spread
+    output files; disable with distributeByRand=false when the
+    target's own partitioning should stand).
+
+    writeMode insert -> INSERT INTO (append); overwrite -> INSERT
+    OVERWRITE (replaces the table or just the addressed static
+    partition, Hive semantics either way).
+    """
+    spark = df.sparkSession
+    for k in ("databaseName", "tableName"):
+        if not p.get(k):
+            raise ValueError(f"The parameter [{k}] is not set.")
+    database, table = p["databaseName"], p["tableName"]
+    write_mode = "overwrite" if p.get("writeMode") == "overwrite" else "into"
+    partition = p.get("partition")
+    part_str = f" partition({partition}) " if partition else " "
+    cols = p.get("column")
+    if cols and cols != ["*"]:
+        names = [c["name"] if isinstance(c, dict) else c for c in cols]
+        df = df.select(*names)
+    tmp = f"tmp_datax_hivewriter_{abs(hash((database, table))) % 10**8}"
+    df.createOrReplaceTempView(tmp)
+    try:
+        tail = " DISTRIBUTE BY rand()" if p.get("distributeByRand", True) \
+            else ""
+        spark.sql(
+            f"insert {write_mode} table {database}.{table}{part_str}"
+            f"select * from {tmp}{tail}"
+        )
+    finally:
+        spark.catalog.dropTempView(tmp)  # post() deleteTmpTable parity
+    return {"table": f"{database}.{table}", "writeMode": write_mode}
