@@ -115,6 +115,18 @@ def main() -> None:
             "events_per_sec": round(n_events / replay_sec, 1),
         }), flush=True)
 
+        # DATAX_SCALE_VERIFY=skip: stop after the measured replay and
+        # KEEP the root so the strictly memory-bounded verifier
+        # (tools/verify_existing_join.py <root>) can run as its own
+        # process — at >=128M events the in-process arg_max state
+        # below does not spill and has OOM'd a 128 GiB box; the
+        # join-based tool is the proven path at that size.
+        if os.environ.get("DATAX_SCALE_VERIFY") == "skip":
+            spark.stop()
+            print(json.dumps({"phase": "root_kept", "root": root,
+                              "rebuckets": rebuckets}), flush=True)
+            return
+
         # ---- independent verification (DuckDB over the raw log) ----
         t1 = time.monotonic()
         got = (
@@ -212,7 +224,8 @@ def main() -> None:
             )
         )
     finally:
-        shutil.rmtree(root, ignore_errors=True)
+        if os.environ.get("DATAX_SCALE_VERIFY") != "skip":
+            shutil.rmtree(root, ignore_errors=True)
 
 
 if __name__ == "__main__":
