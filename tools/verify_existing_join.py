@@ -49,40 +49,54 @@ def main() -> None:
     hashed = os.path.join(root, "events_hashed")
     state = os.path.join(root, "engine_state_hashed")
 
-    spark = get_spark("verify-join", cores=cpus)
-    if not os.path.exists(os.path.join(hashed, "_SUCCESS")):
-        (
-            spark.read.option("mergeSchema", "true")
-            .parquet(os.path.join(root, "events"))
-            .selectExpr(
-                "repo", "path", "commit", "lsn", "lang",
-                "lang_variant", "op",
-                "sha2(content, 256) AS content_sha256",
+    # Both exports done on a previous (interrupted) run: the raw
+    # events/ and table/ may have been reclaimed for disk — the DuckDB
+    # comparison needs only the two hashed exports, so skip Spark.
+    exports_done = os.path.exists(
+        os.path.join(hashed, "_SUCCESS")
+    ) and os.path.exists(os.path.join(state, "_SUCCESS"))
+    final_buckets = None
+    if not exports_done:
+        spark = get_spark("verify-join", cores=cpus)
+        if not os.path.exists(os.path.join(hashed, "_SUCCESS")):
+            (
+                spark.read.option("mergeSchema", "true")
+                .parquet(os.path.join(root, "events"))
+                .selectExpr(
+                    "repo", "path", "commit", "lsn", "lang",
+                    "lang_variant", "op",
+                    "sha2(content, 256) AS content_sha256",
+                )
+                .write.mode("overwrite")
+                .parquet(hashed)
             )
-            .write.mode("overwrite")
-            .parquet(hashed)
-        )
-    tbl = LakeTable(spark, os.path.join(root, "table"))
-    if not os.path.exists(os.path.join(state, "_SUCCESS")):
-        (
-            tbl.read()
-            .selectExpr(
-                "repo", "path", "commit", "lsn", "lang", "lang_variant",
-                "sha2(content, 256) AS content_sha256",
+        tbl = LakeTable(spark, os.path.join(root, "table"))
+        if not os.path.exists(os.path.join(state, "_SUCCESS")):
+            (
+                tbl.read()
+                .selectExpr(
+                    "repo", "path", "commit", "lsn", "lang", "lang_variant",
+                    "sha2(content, 256) AS content_sha256",
+                )
+                .write.mode("overwrite")
+                .parquet(state)
             )
-            .write.mode("overwrite")
-            .parquet(state)
-        )
-    final_buckets = int(tbl.manifest().num_buckets)
-    spark.stop()
+        final_buckets = int(tbl.manifest().num_buckets)
+        spark.stop()
     export_sec = time.monotonic() - t0
 
     con = duckdb.connect()
     con.execute("SET memory_limit='24GB'")
     con.execute("SET threads=8")
     con.execute("SET preserve_insertion_order=false")
-    os.makedirs(os.path.join(root, "duck_spill"), exist_ok=True)
-    con.execute(f"SET temp_directory='{root}/duck_spill'")
+    # spill dir overridable: a 256M-event verify spills >55 GB during
+    # the scan+join CTE, which can exceed the root volume — point
+    # DATAX_VERIFY_SPILL at a roomier mount (e.g. /dev/shm) there
+    spill = os.environ.get(
+        "DATAX_VERIFY_SPILL", os.path.join(root, "duck_spill")
+    )
+    os.makedirs(spill, exist_ok=True)
+    con.execute(f"SET temp_directory='{spill}'")
 
     cols = "repo, path, commit, lsn, lang, lang_variant, content_sha256"
     want_sql = f"""
