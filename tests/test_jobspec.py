@@ -516,3 +516,75 @@ def test_hdfsreader_filetype_orc_roundtrip(spark, tmp_path):
     spark.createDataFrame([(1, "x")], ["a", "b"]).write.orc(orc)
     df = read_source(spark, "hdfsreader", {"path": orc, "fileType": "orc"})
     assert [(r["a"], r["b"]) for r in df.collect()] == [(1, "x")]
+
+
+def test_plan_channel_count_reference_parity():
+    """adjustChannelNumber (JobContainer.java:416-486): rate limits
+    divide by per-channel speeds, the tighter budget wins, explicit
+    channel count is the no-rate-limit fallback."""
+    from datax_spark.jobspec import plan_channel_count
+
+    # byte limit alone: 10 MiB/s global / 1 MiB/s per channel
+    assert plan_channel_count({"speed": {"byte": 10 * 1_048_576}}) == 10
+    # record limit alone: 50k rec/s / 10k per channel
+    assert plan_channel_count({"speed": {"record": 50_000}}) == 5
+    # both set: min(byByte, byRecord) — the tighter budget
+    assert (
+        plan_channel_count({"speed": {"byte": 10 * 1_048_576, "record": 50_000}})
+        == 5
+    )
+    # a global budget below one channel's speed floors at 1
+    assert plan_channel_count({"speed": {"byte": 1000}}) == 1
+    # no rate limit: explicit speed.channel
+    assert plan_channel_count({"speed": {"channel": 7}}) == 7
+    # nothing configured -> None (Spark source partitioning decides)
+    assert plan_channel_count({}) is None
+    assert plan_channel_count({"speed": {}}) is None
+    # non-positive per-channel speed with a limit set is a config error
+    with pytest.raises(ValueError, match="byte speed"):
+        plan_channel_count({"speed": {"byte": 100}}, channel_byte_speed=0)
+    with pytest.raises(ValueError, match="record speed"):
+        plan_channel_count({"speed": {"record": 100}}, channel_record_speed=-1)
+
+
+def test_jobspec_speed_drives_reader_split_width(spark, tmp_path):
+    """job.setting.speed.record=30000 -> 3 channels -> a single-table
+    jdbc job with a splitPk fans out channels x splitFactor = 15 task
+    slices (ReaderSplitUtil.java:62-77: one table must still feed
+    every channel), observable as 15 part-files: the transform chain
+    is narrow, so the scan's partitioning survives to the writer."""
+    from datax_spark.sinks.writers import write_sink
+
+    url = f"jdbc:derby:{tmp_path}/chan;create=true"
+    write_sink(
+        spark.createDataFrame([(i,) for i in range(1, 31)], "id bigint"),
+        "jdbcwriter",
+        {"jdbcUrl": url, "table": "nums", "writeMode": "insert"},
+    )
+    out = str(tmp_path / "chan_out")
+    result = run_job(
+        spark,
+        {
+            "reader": {
+                "name": "jdbcreader",
+                "parameter": {
+                    "jdbcUrl": url,
+                    "table": "nums",
+                    "splitPk": "id",
+                    "splitPkType": "long",
+                    "lowerBound": 1,
+                    "upperBound": 30,
+                },
+            },
+            "writer": {
+                "name": "parquetwriter",
+                "parameter": {"path": out, "writeMode": "truncate"},
+            },
+            "settings": {"speed": {"record": 30_000}},
+        },
+    )
+    assert result.rows_written == 30
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 3 * 5  # channels x default splitFactor
+    got = sorted(r["id"] for r in spark.read.parquet(out).collect())
+    assert got == list(range(1, 31))
