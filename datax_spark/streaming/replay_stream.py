@@ -34,6 +34,16 @@ compaction folds them (the retention window). The reference applies
 deletes immediately too and relies on in-order delivery
 (otsstreamreader parent-before-child shard ordering,
 ``ShardStatusChecker.java:21-36``).
+
+Because that one case is SILENT wrong state (a resurrected key),
+CoW-strategy streams guard it by default (``delete_order_check``):
+the max order key among applied DELETE events persists in the table
+summary, and any later batch carrying an event OLDER than an applied
+delete raises ``UnorderedFeedError`` before merging — fail loud, table
+unchanged. Upsert-only feeds never trip it (no delete, no state), so
+arbitrary file-discovery order remains supported there; feeds with
+deletes need event-order-contiguous batches (a binlog/WAL tail is —
+offsets are the order) or ``merge_strategy="mor"``, which is exempt.
 """
 
 from __future__ import annotations
@@ -50,6 +60,13 @@ from datax_spark.lake.table import LakeTable
 from datax_spark.operators.dedup import lww_dedup
 
 
+class UnorderedFeedError(RuntimeError):
+    """A micro-batch carries events older than an already-applied
+    delete: a CoW merge would resurrect the deleted key (silently).
+    Deliver event-order-contiguous batches or use merge_strategy='mor'
+    (tombstone retention resolves any order at read time)."""
+
+
 @dataclass
 class StreamReplay:
     spark: SparkSession
@@ -59,6 +76,11 @@ class StreamReplay:
     config: ReplayConfig = field(default_factory=ReplayConfig)
     max_files_per_trigger: int | None = None
     schema: T.StructType | None = None
+    #: guard CoW streams against the delete-resurrection case (module
+    #: docstring); persists max applied delete-ord in the table summary
+    #: so restarts keep the memory. MoR streams skip it (exempt by
+    #: construction). Costs one tiny agg job per micro-batch.
+    delete_order_check: bool = True
 
     applied_batches: list[int] = field(default_factory=list)
 
@@ -102,6 +124,30 @@ class StreamReplay:
         table = self._ensure_table(batch_df)
         if batch_id <= table.last_epoch:
             return  # replayed batch after restart — exactly-once skip
+        strategy = {"spj_staged": "spj"}.get(cfg.merge_strategy, cfg.merge_strategy)
+        summary: dict = {"last_epoch": batch_id}
+        if self.delete_order_check and strategy != "mor":
+            ord_struct = F.struct(*[F.col(c) for c in cfg.order_cols])
+            lo, hi_del = batch_df.agg(
+                F.min(ord_struct),
+                F.max(
+                    F.when(F.col(cfg.op_col) == cfg.delete_op, ord_struct)
+                ),
+            ).first()
+            prev = table.manifest().summary.get("max_delete_ord")
+            if prev is not None and lo is not None and list(lo) < list(prev):
+                raise UnorderedFeedError(
+                    f"batch {batch_id} carries an event at order "
+                    f"{list(lo)}, older than an already-applied delete "
+                    f"at {list(prev)} — a CoW merge could resurrect the "
+                    f"deleted key. Feed event-order-contiguous batches "
+                    f"or use merge_strategy='mor'."
+                )
+            new_max = list(hi_del) if hi_del is not None else None
+            if prev is not None and (new_max is None or new_max < list(prev)):
+                new_max = list(prev)
+            if new_max is not None:
+                summary["max_delete_ord"] = new_max
         deduped = lww_dedup(
             batch_df,
             keys=list(cfg.keys),
@@ -110,7 +156,6 @@ class StreamReplay:
         )
         for fn in cfg.transforms:
             deduped = fn(deduped)
-        strategy = {"spj_staged": "spj"}.get(cfg.merge_strategy, cfg.merge_strategy)
         # Exchange-aligned micro-batches (see ReplayConfig.
         # aligned_exchange): on a murmur3-bucketed table the dedup
         # aggregation's shuffle — pinned to num_buckets partitions for
@@ -155,9 +200,7 @@ class StreamReplay:
         # same write-audit-publish gate as the batch driver: with
         # cfg.audit_fn set the batch stages, audits, then publishes —
         # a failed audit aborts the stream with the table unchanged
-        audit_gated_commit(
-            table, pending, batch_id, {"last_epoch": batch_id}, cfg.audit_fn
-        )
+        audit_gated_commit(table, pending, batch_id, summary, cfg.audit_fn)
         # adaptive bucket-count evolution (cfg.target_bucket_rows): the
         # stream grows the table's bucket layout as the key space grows
         # — committed as a layout-only snapshot the change feed streams

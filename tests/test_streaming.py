@@ -420,3 +420,93 @@ def test_stream_audited_batches(spark, tmp_path):
     )
     good.run_available_now()
     _assert_matches(good.table().read(), str(tmp_path / "events"))
+
+
+def _one_file(spark, root, rows):
+    """Append exactly one parquet file of change events to root."""
+    import time as _t
+
+    df = spark.createDataFrame(
+        rows, "repo string, path string, op string, commit string, "
+              "lsn long, lang string, content string",
+    )
+    df.coalesce(1).write.mode("append").parquet(root)
+    _t.sleep(1.05)  # distinct mod-times: file-source batch order is by timestamp
+
+
+def test_stream_unordered_delete_feed_fails_loud(spark, tmp_path):
+    """CoW stream, delete applied in batch 0, an OLDER update for the
+    same key arriving in batch 1: the merge would silently resurrect
+    the deleted key, so the sink must raise UnorderedFeedError with
+    the table unchanged (module docstring ordering note)."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    from datax_spark.streaming.replay_stream import UnorderedFeedError  # noqa: F401
+
+    ev = str(tmp_path / "events")
+    _one_file(spark, ev, [
+        ("r", "a.py", "U", "c01", 1, "py", "v1"),
+        ("r", "a.py", "D", "c05", 5, "py", None),
+    ])
+    _one_file(spark, ev, [("r", "a.py", "U", "c03", 3, "py", "v3")])
+
+    sr = StreamReplay(
+        spark, ev, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        config=CFG, max_files_per_trigger=1,
+    )
+    with pytest.raises(StreamingQueryException, match="resurrect"):
+        sr.run_available_now()
+    # batch 0 committed (key deleted), batch 1 aborted before merging
+    assert sr.table().read().count() == 0
+    assert sr.table().manifest().summary["max_delete_ord"] == ["c05", 5]
+
+
+def test_stream_delete_order_check_across_restart(spark, tmp_path):
+    """The applied-delete watermark persists in the table summary: a
+    FRESH StreamReplay on the same roots still rejects an older event
+    arriving after a restart."""
+    import pytest
+    from pyspark.errors.exceptions.captured import StreamingQueryException
+
+    ev = str(tmp_path / "events")
+    _one_file(spark, ev, [
+        ("r", "a.py", "U", "c01", 1, "py", "v1"),
+        ("r", "b.py", "U", "c02", 2, "py", "w1"),
+        ("r", "a.py", "D", "c05", 5, "py", None),
+    ])
+    sr = StreamReplay(
+        spark, ev, str(tmp_path / "table"), str(tmp_path / "ckpt"), config=CFG,
+    )
+    sr.run_available_now()
+    assert sr.table().read().count() == 1  # b.py survives
+
+    _one_file(spark, ev, [("r", "a.py", "U", "c03", 3, "py", "v3")])
+    sr2 = StreamReplay(
+        spark, ev, str(tmp_path / "table"), str(tmp_path / "ckpt"), config=CFG,
+    )
+    with pytest.raises(StreamingQueryException, match="resurrect"):
+        sr2.run_available_now()
+    assert sr2.table().read().count() == 1  # unchanged
+
+
+def test_stream_unordered_delete_feed_mor_converges(spark, tmp_path):
+    """The same unordered feed under merge_strategy='mor' needs no
+    guard: tombstone retention resolves winners by event order at
+    read time, so the late older update never wins."""
+    from dataclasses import replace
+
+    ev = str(tmp_path / "events")
+    _one_file(spark, ev, [
+        ("r", "a.py", "U", "c01", 1, "py", "v1"),
+        ("r", "b.py", "U", "c02", 2, "py", "w1"),
+        ("r", "a.py", "D", "c05", 5, "py", None),
+    ])
+    _one_file(spark, ev, [("r", "a.py", "U", "c03", 3, "py", "v3")])
+    sr = StreamReplay(
+        spark, ev, str(tmp_path / "table"), str(tmp_path / "ckpt"),
+        config=replace(CFG, merge_strategy="mor"), max_files_per_trigger=1,
+    )
+    sr.run_available_now()
+    got = {(r["path"], r["lsn"]) for r in sr.table().read().collect()}
+    assert got == {("b.py", 2)}  # a.py stays deleted; v3 never resurrects
