@@ -1361,6 +1361,35 @@ class LakeTable:
     def total_rows(self) -> int:
         return sum(self.manifest().row_counts.values())
 
+    def _folded_delete_ord(self, m: "Manifest", buckets) -> list | None:
+        """Max resolve-order among MoR tombstones a rewrite is about to
+        fold away (``buckets=None`` → all), max'd with any previously
+        recorded fold. Folding a tombstone ends its retention window:
+        an event OLDER than the folded delete arriving later could
+        silently resurrect the key, so the fold boundary persists in
+        the summary (``max_folded_delete_ord``) for feed-order guards
+        (``StreamReplay.delete_order_check``) to check against."""
+        prev = m.summary.get("max_folded_delete_ord")
+        prev = list(prev) if prev is not None else None
+        if not m.resolve_order:
+            return prev
+        keys = m.delta_files if buckets is None else {
+            str(b): m.delta_files.get(str(b), []) for b in buckets
+        }
+        dpaths = [os.path.join(self.root, p) for fs in keys.values() for p in fs]
+        if not dpaths:
+            return prev
+        row = (
+            self.spark.read.parquet(*dpaths)
+            .filter(F.col("__op") == "D")
+            .agg(F.max(F.struct(*[F.col(c) for c in m.resolve_order])))
+            .first()[0]
+        )
+        folded = list(row) if row is not None else None
+        if prev is not None and (folded is None or folded < prev):
+            return prev
+        return folded
+
     def compact(
         self,
         buckets: list[int] | None = None,
@@ -1468,11 +1497,15 @@ class LakeTable:
             if rows:
                 new_files[b] = files
                 new_counts[b] = rows
+        summary: dict = {"compacted": len(todo)}
+        folded = self._folded_delete_ord(m, todo)
+        if folded is not None:
+            summary["max_folded_delete_ord"] = folded
         return self.commit(
             replaced_buckets=todo,
             new_files=new_files,
             new_row_counts=new_counts,
-            summary={"compacted": len(todo)},
+            summary=summary,
             base_version=m.version,
             # layout-only: visible state provably unchanged — lets
             # change-feed consumers skip diffing this commit entirely
@@ -1579,7 +1612,18 @@ class LakeTable:
             key_cols=m.key_cols,
             files=files,
             row_counts=counts,
-            summary={**m.summary, "rebucketed_from": m.num_buckets},
+            summary={
+                **m.summary,
+                "rebucketed_from": m.num_buckets,
+                # a rebucket folds ALL pending deltas (read() above is
+                # the merged view; no delta_files carry over) — record
+                # the retention-window boundary like compact() does
+                **(
+                    {"max_folded_delete_ord": f}
+                    if (f := self._folded_delete_ord(m, None)) is not None
+                    else {}
+                ),
+            },
             resolve_order=m.resolve_order,
             stats_cols=m.stats_cols,
             operation="rebucket",

@@ -43,7 +43,12 @@ delete raises ``UnorderedFeedError`` before merging — fail loud, table
 unchanged. Upsert-only feeds never trip it (no delete, no state), so
 arbitrary file-discovery order remains supported there; feeds with
 deletes need event-order-contiguous batches (a binlog/WAL tail is —
-offsets are the order) or ``merge_strategy="mor"``, which is exempt.
+offsets are the order) or ``merge_strategy="mor"``. MoR's immunity
+lasts exactly as long as its tombstones: a compact/rebucket FOLDS them
+away, so those rewrites record the max folded delete-ord
+(``LakeTable._folded_delete_ord``) and the same guard rejects any
+later batch reaching behind that fold boundary — the compaction
+cadence IS the retention window, now enforced instead of assumed.
 """
 
 from __future__ import annotations
@@ -126,28 +131,45 @@ class StreamReplay:
             return  # replayed batch after restart — exactly-once skip
         strategy = {"spj_staged": "spj"}.get(cfg.merge_strategy, cfg.merge_strategy)
         summary: dict = {"last_epoch": batch_id}
-        if self.delete_order_check and strategy != "mor":
+        if self.delete_order_check:
             ord_struct = F.struct(*[F.col(c) for c in cfg.order_cols])
-            lo, hi_del = batch_df.agg(
-                F.min(ord_struct),
-                F.max(
-                    F.when(F.col(cfg.op_col) == cfg.delete_op, ord_struct)
-                ),
-            ).first()
-            prev = table.manifest().summary.get("max_delete_ord")
-            if prev is not None and lo is not None and list(lo) < list(prev):
-                raise UnorderedFeedError(
-                    f"batch {batch_id} carries an event at order "
-                    f"{list(lo)}, older than an already-applied delete "
-                    f"at {list(prev)} — a CoW merge could resurrect the "
-                    f"deleted key. Feed event-order-contiguous batches "
-                    f"or use merge_strategy='mor'."
-                )
-            new_max = list(hi_del) if hi_del is not None else None
-            if prev is not None and (new_max is None or new_max < list(prev)):
-                new_max = list(prev)
-            if new_max is not None:
-                summary["max_delete_ord"] = new_max
+            if strategy == "mor":
+                # retained tombstones resolve ANY disorder at read
+                # time; the window closes only when a compact/rebucket
+                # FOLDS them — guard against events older than that
+                # fold boundary (recorded by LakeTable._folded_delete_ord)
+                lo = batch_df.agg(F.min(ord_struct)).first()[0]
+                prev = table.manifest().summary.get("max_folded_delete_ord")
+                if prev is not None and lo is not None and list(lo) < list(prev):
+                    raise UnorderedFeedError(
+                        f"batch {batch_id} carries an event at order "
+                        f"{list(lo)}, older than a delete whose tombstone "
+                        f"was already FOLDED by compaction at {list(prev)} "
+                        f"— the key could silently resurrect. Widen the "
+                        f"compaction cadence (retention window) past the "
+                        f"feed's max disorder, or deliver ordered batches."
+                    )
+            else:
+                lo, hi_del = batch_df.agg(
+                    F.min(ord_struct),
+                    F.max(
+                        F.when(F.col(cfg.op_col) == cfg.delete_op, ord_struct)
+                    ),
+                ).first()
+                prev = table.manifest().summary.get("max_delete_ord")
+                if prev is not None and lo is not None and list(lo) < list(prev):
+                    raise UnorderedFeedError(
+                        f"batch {batch_id} carries an event at order "
+                        f"{list(lo)}, older than an already-applied delete "
+                        f"at {list(prev)} — a CoW merge could resurrect the "
+                        f"deleted key. Feed event-order-contiguous batches "
+                        f"or use merge_strategy='mor'."
+                    )
+                new_max = list(hi_del) if hi_del is not None else None
+                if prev is not None and (new_max is None or new_max < list(prev)):
+                    new_max = list(prev)
+                if new_max is not None:
+                    summary["max_delete_ord"] = new_max
         deduped = lww_dedup(
             batch_df,
             keys=list(cfg.keys),
