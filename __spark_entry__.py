@@ -281,6 +281,56 @@ def _q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained materialized aggregate view
+    (lake/matview.py): a (repo, lang) GROUP BY of the replayed table —
+    count(*), sum/min/max(lsn) — advanced snapshot-by-snapshot through
+    the preimage change feed (signed-delta arithmetic for count/sum,
+    dirty-group-only recompute for min/max under retraction), never
+    recomputed from scratch. The reference's closest shape is a full
+    re-extract per run (reader -> writer copy of the aggregate); here
+    each sync costs O(changed groups). Oracle: a from-scratch GROUP BY
+    over the pure-SQL LWW final state of the raw log — every delete,
+    group-moving update and schema-evolution epoch in between must
+    net out exactly."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.matview import AggView, AggViewSpec
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable.load(spark, os.path.join(root, "table"))
+    view_root = os.path.join(root, "agg_view")
+    if not _REPLAY_CACHE.get("agg_view"):
+        view = AggView.create(
+            spark, view_root, t,
+            AggViewSpec(
+                group_cols=("repo", "lang"),
+                sum_cols=("lsn",),
+                min_cols=("lsn",),
+                max_cols=("lsn",),
+                # the fixture's ~1/37 NULL-lang bucket: NULL groups are
+                # sentinel-encoded (SQL-equality key joins can't
+                # address a NULL key); the oracle coalesces identically
+                group_fill=(("lang", "__null__"),),
+            ),
+            num_buckets=8,
+        )
+        recomputed = 0
+        for ver in t.versions():
+            if ver == 0:
+                continue  # the empty create snapshot
+            r = view.refresh(t, to_version=ver)
+            assert not r.skipped
+            recomputed += r.groups_recomputed
+        # the fixture's updates retract old (commit, lsn) winners, so
+        # the dirty min/max recompute path must actually have fired
+        assert recomputed > 0, "dirty-group recompute path never exercised"
+        _REPLAY_CACHE["agg_view"] = "done"
+    view = AggView.load(spark, view_root)
+    return view.read().select(
+        "repo", "lang", "n_rows", "sum_lsn", "min_lsn", "max_lsn"
+    )
+
+
 def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (the Iceberg read-at-version surface):
     read the replay table AS OF the snapshot committed by epoch 1
@@ -1011,6 +1061,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replica_sync": _q_cdc_replica_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_time_travel": _q_cdc_time_travel,
+        "cdc_incremental_agg_view": _q_cdc_incremental_agg_view,
         "cdc_snapshot_lineage": _q_cdc_snapshot_lineage,
         "cdc_recent_changes_scan": _q_cdc_recent_changes_scan,
         "cdc_change_feed": _q_cdc_change_feed,
@@ -1293,6 +1344,31 @@ def oracle_sql() -> dict[str, str]:
                    sha256(content) AS content_sha256
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY repo, path LIMIT 20
+        """,
+        # incremental agg view: maintained purely from the change feed,
+        # must equal a from-scratch GROUP BY over the LWW final state
+        # (sum cast: DuckDB sum(BIGINT) is HUGEINT, the view stores i64)
+        "cdc_incremental_agg_view": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            ),
+            state AS (
+              SELECT repo, coalesce(lang, '__null__') AS lang, lsn
+              FROM w WHERE rn = 1 AND op <> 'D'
+            )
+            SELECT repo, lang,
+                   count(*) AS n_rows,
+                   CAST(sum(lsn) AS BIGINT) AS sum_lsn,
+                   min(lsn) AS min_lsn,
+                   max(lsn) AS max_lsn
+            FROM state GROUP BY repo, lang
         """,
         "cdc_time_travel": f"""
             WITH ev AS (

@@ -1099,13 +1099,25 @@ class LakeTable:
         )
 
     def changes(
-        self, from_version: int, to_version: int | None = None
+        self,
+        from_version: int,
+        to_version: int | None = None,
+        include_preimage: bool = False,
     ) -> DataFrame:
         """Change data feed between two snapshots (the Delta CDF /
         Iceberg changelog-scan surface for this table format): one row
         per key whose state differs, with ``_change_type`` in
         {insert, update, delete}. Inserts/updates carry the TO-side
         image; deletes carry the FROM-side image.
+
+        ``include_preimage=True`` switches updates to the Delta CDF
+        two-row form — ``update_preimage`` (FROM-side image) followed
+        by ``update_postimage`` (TO-side) — which is what retraction
+        consumers (incremental aggregate maintenance, downstream
+        signed-delta sinks) need: every feed row then carries weight
+        +1 (insert / update_postimage) or -1 (delete /
+        update_preimage), and any sum/count decomposable aggregate of
+        the table state is exactly the running signed sum of the feed.
 
         Physical shape: both snapshots are bucket-partitioned on the
         same key hash, so the full-outer join shuffles on the keys
@@ -1152,17 +1164,40 @@ class LakeTable:
             .when(F.col("__h_b").isNull(), F.lit("delete"))
             .when(F.col("__h_a") != F.col("__h_b"), F.lit("update"))
         )
-        img = F.when(
-            F.col("__h_b").isNull(), F.col("__img_a")
-        ).otherwise(F.col("__img_b"))
-        return (
-            j.withColumn("_change_type", change)
-            .filter(F.col("_change_type").isNotNull())
-            .select(
-                *keys,
-                *[img.getField(c).alias(c) for c in payload],
-                "_change_type",
+        if not include_preimage:
+            img = F.when(
+                F.col("__h_b").isNull(), F.col("__img_a")
+            ).otherwise(F.col("__img_b"))
+            return (
+                j.withColumn("_change_type", change)
+                .filter(F.col("_change_type").isNotNull())
+                .select(
+                    *keys,
+                    *[img.getField(c).alias(c) for c in payload],
+                    "_change_type",
+                )
             )
+        # two-row update form: explode each diff row into its
+        # (change_type, image) emissions — still one join, one pass
+        pair = lambda t, img_col: F.struct(  # noqa: E731
+            F.lit(t).alias("t"), F.col(img_col).alias("img")
+        )
+        emissions = (
+            F.when(change == "insert", F.array(pair("insert", "__img_b")))
+            .when(change == "delete", F.array(pair("delete", "__img_a")))
+            .when(
+                change == "update",
+                F.array(
+                    pair("update_preimage", "__img_a"),
+                    pair("update_postimage", "__img_b"),
+                ),
+            )
+        )
+        e = j.select(*keys, F.explode(emissions).alias("__e"))
+        return e.select(
+            *keys,
+            *[F.col("__e.img").getField(c).alias(c) for c in payload],
+            F.col("__e.t").alias("_change_type"),
         )
 
     def _changed_buckets_between(

@@ -1,0 +1,236 @@
+"""Incremental aggregate-view maintenance (lake/matview.py): after
+every source commit + refresh, the view must equal a from-scratch
+GROUP BY over the source's current state — including retraction
+(deletes / group-moving updates), min/max dirty-group recompute, SQL
+null semantics, and group disappearance."""
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from datax_spark.lake import LakeTable, merge_into
+from datax_spark.lake.matview import AggView, AggViewSpec
+
+SCHEMA = T.StructType(
+    [
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("size", T.LongType()),
+    ]
+)
+
+SPEC = AggViewSpec(
+    group_cols=("repo", "lang"),
+    sum_cols=("size",),
+    min_cols=("size",),
+    max_cols=("size",),
+)
+
+
+def _src(spark, root):
+    return LakeTable.create(
+        spark, root, SCHEMA, key_cols=["repo", "path"], num_buckets=4
+    )
+
+
+def _batch(spark, rows, deletes=()):
+    """rows: (repo, path, lang, size) upserts; deletes: (repo, path)."""
+    data = [(*r, "U") for r in rows] + [
+        (r, p, None, None, "D") for (r, p) in deletes
+    ]
+    return spark.createDataFrame(
+        data,
+        T.StructType(SCHEMA.fields + [T.StructField("op", T.StringType())]),
+    )
+
+
+def _expected(source):
+    return (
+        source.read()
+        .groupBy("repo", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum("size").alias("sum_size"),
+            F.min("size").alias("min_size"),
+            F.max("size").alias("max_size"),
+        )
+    )
+
+
+def _assert_view_matches(view, source):
+    got = (
+        view.read()
+        .toPandas()
+        .sort_values(["repo", "lang"])
+        .reset_index(drop=True)
+    )
+    want = (
+        _expected(source)
+        .toPandas()
+        .sort_values(["repo", "lang"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[want.columns.tolist()], want, check_dtype=False
+    )
+
+
+def test_matview_tracks_source_through_churn(spark, tmp_path):
+    src = _src(spark, str(tmp_path / "src"))
+    view = AggView.create(spark, str(tmp_path / "view"), src, SPEC, num_buckets=4)
+
+    # v1: plain inserts across two groups
+    merge_into(src, _batch(spark, [
+        ("r1", "a.py", "py", 10),
+        ("r1", "b.py", "py", 30),
+        ("r1", "c.rs", "rs", 7),
+        ("r2", "d.py", "py", 5),
+    ]), op_col="op").commit()
+    r = view.refresh(src)
+    assert not r.skipped and r.groups_recomputed == 0
+    _assert_view_matches(view, src)
+
+    # v2: update that MOVES a row between groups (lang change) and
+    # bumps a measure — retraction from (r1,py), addition to (r1,rs)
+    merge_into(src, _batch(spark, [("r1", "b.py", "rs", 31)]), op_col="op").commit()
+    r = view.refresh(src)
+    _assert_view_matches(view, src)
+    # b.py held (r1,py)'s max=30 -> that group must have been recomputed
+    assert r.groups_recomputed >= 1
+
+    # v3: delete the row holding a group MIN (dirty-min path) plus a
+    # harmless insert (clean arithmetic path) in the same window
+    merge_into(src, _batch(spark, [("r2", "e.py", "py", 50)],
+                           deletes=[("r1", "a.py")]), op_col="op").commit()
+    r = view.refresh(src)
+    _assert_view_matches(view, src)
+
+    # v4: delete EVERY row of a group -> the view row must disappear
+    merge_into(src, _batch(spark, [], deletes=[("r1", "c.rs"), ("r1", "b.py")]),
+               op_col="op").commit()
+    r = view.refresh(src)
+    assert r.groups_deleted >= 1
+    _assert_view_matches(view, src)
+    live = {(x["repo"], x["lang"]) for x in view.read().collect()}
+    assert ("r1", "rs") not in live
+
+    # idempotence: already synced -> no-op, state unchanged
+    r2 = view.refresh(src)
+    assert r2.skipped
+    _assert_view_matches(view, src)
+
+
+def test_matview_null_measures_match_sql_semantics(spark, tmp_path):
+    src = _src(spark, str(tmp_path / "src"))
+    view = AggView.create(spark, str(tmp_path / "view"), src, SPEC, num_buckets=4)
+
+    # a group whose sizes are ALL NULL: sum/min/max must read as NULL
+    merge_into(src, _batch(spark, [
+        ("r1", "a.md", "md", None),
+        ("r1", "b.md", "md", None),
+        ("r1", "c.py", "py", 4),
+    ]), op_col="op").commit()
+    view.refresh(src)
+    _assert_view_matches(view, src)
+    row = {(r["repo"], r["lang"]): r for r in view.read().collect()}
+    assert row[("r1", "md")]["n_rows"] == 2
+    assert row[("r1", "md")]["sum_size"] is None
+
+    # the null group gains a value, the py group's value goes null
+    merge_into(src, _batch(spark, [
+        ("r1", "b.md", "md", 9),
+        ("r1", "c.py", "py", None),
+    ]), op_col="op").commit()
+    view.refresh(src)
+    _assert_view_matches(view, src)
+
+
+def test_matview_rejects_null_group_keys(spark, tmp_path):
+    src = _src(spark, str(tmp_path / "src"))
+    view = AggView.create(spark, str(tmp_path / "view"), src, SPEC, num_buckets=4)
+    merge_into(src, _batch(spark, [("r1", "a", None, 3)]), op_col="op").commit()
+    with pytest.raises(ValueError, match="NULL in a group key"):
+        view.refresh(src)
+
+
+def test_matview_rebuild_after_divergence(spark, tmp_path):
+    src = _src(spark, str(tmp_path / "src"))
+    view = AggView.create(spark, str(tmp_path / "view"), src, SPEC, num_buckets=4)
+    merge_into(src, _batch(spark, [("r1", "a.py", "py", 10),
+                                   ("r1", "b.rs", "rs", 2)]), op_col="op").commit()
+    view.refresh(src)
+    merge_into(src, _batch(spark, [("r2", "c.py", "py", 8)],
+                           deletes=[("r1", "b.rs")]), op_col="op").commit()
+    view.rebuild(src)  # full recompute path must also converge
+    _assert_view_matches(view, src)
+    assert view.synced_version() == src.current_version()
+    assert view.refresh(src).skipped
+
+
+def test_matview_load_roundtrip_and_persistence(spark, tmp_path):
+    src = _src(spark, str(tmp_path / "src"))
+    AggView.create(spark, str(tmp_path / "view"), src, SPEC, num_buckets=4)
+    merge_into(src, _batch(spark, [("r1", "a.py", "py", 10)]), op_col="op").commit()
+    v2 = AggView.load(spark, str(tmp_path / "view"))  # fresh handle
+    assert v2.spec == SPEC
+    v2.refresh(src)
+    _assert_view_matches(v2, src)
+
+
+def test_changes_include_preimage_two_row_updates(spark, tmp_path):
+    src = _src(spark, str(tmp_path / "src"))
+    merge_into(src, _batch(spark, [("r1", "a.py", "py", 10)]), op_col="op").commit()
+    merge_into(src, _batch(spark, [("r1", "a.py", "rs", 11)],
+                           deletes=[]), op_col="op").commit()
+    cdf = src.changes(1, 2, include_preimage=True).collect()
+    kinds = sorted(r["_change_type"] for r in cdf)
+    assert kinds == ["update_postimage", "update_preimage"]
+    by = {r["_change_type"]: r for r in cdf}
+    assert by["update_preimage"]["lang"] == "py"
+    assert by["update_preimage"]["size"] == 10
+    assert by["update_postimage"]["lang"] == "rs"
+    assert by["update_postimage"]["size"] == 11
+    # default (single-row) form unchanged
+    one = src.changes(1, 2).collect()
+    assert [r["_change_type"] for r in one] == ["update"]
+    assert one[0]["lang"] == "rs"
+
+
+def test_matview_group_fill_sentinel_null_groups(spark, tmp_path):
+    """NULL group keys via sentinel encoding (group_fill): the NULL
+    group is maintained like any other — including retraction — and
+    reads back as the sentinel."""
+    spec = AggViewSpec(
+        group_cols=("repo", "lang"), sum_cols=("size",),
+        min_cols=("size",), max_cols=("size",),
+        group_fill=(("lang", "@null"),),
+    )
+    src = _src(spark, str(tmp_path / "src"))
+    view = AggView.create(spark, str(tmp_path / "view"), src, spec, num_buckets=4)
+    merge_into(src, _batch(spark, [
+        ("r1", "a", None, 5),
+        ("r1", "b", None, 9),
+        ("r1", "c", "py", 1),
+    ]), op_col="op").commit()
+    view.refresh(src)
+    rows = {(r["repo"], r["lang"]): r for r in view.read().collect()}
+    assert rows[("r1", "@null")]["n_rows"] == 2
+    assert rows[("r1", "@null")]["sum_size"] == 14
+    # retract the null group's max -> dirty recompute on the sentinel
+    merge_into(src, _batch(spark, [], deletes=[("r1", "b")]), op_col="op").commit()
+    r = view.refresh(src)
+    assert r.groups_recomputed >= 1
+    rows = {(r["repo"], r["lang"]): r for r in view.read().collect()}
+    assert rows[("r1", "@null")]["n_rows"] == 1
+    assert rows[("r1", "@null")]["max_size"] == 5
+    want = (
+        spec.fill(src.read())
+        .groupBy("repo", "lang")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("size").alias("sum_size"),
+             F.min("size").alias("min_size"), F.max("size").alias("max_size"))
+        .toPandas().sort_values(["repo", "lang"]).reset_index(drop=True)
+    )
+    got = view.read().toPandas().sort_values(["repo", "lang"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
