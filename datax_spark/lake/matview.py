@@ -14,12 +14,16 @@ table scan per sync; this module's refresh costs O(changed groups):
   the signed delta (+1 for insert/update_postimage, -1 for
   delete/update_preimage) — one hash aggregate over the feed, one
   keyed join against only the view buckets those groups live in;
-* min/max are NOT decomposable under retraction: a deleted row equal
-  to the current extreme makes the group "dirty", and dirty groups —
-  and only dirty groups — are recomputed from the source with a
-  pushed-down semi-join filter. Inserting rows never dirties a group
-  (``least``/``greatest`` against the incoming extreme suffices), so
-  an append-mostly feed recomputes nothing;
+* min/max are NOT decomposable under retraction: a group goes "dirty"
+  only when a retraction reaches its stored extreme AND no incoming
+  value dominates every retracted one (if ``add_max >= del_max``,
+  every survivor <= stored max <= del_max <= add_max, so
+  ``greatest(stored, add)`` is exact — and symmetrically for min).
+  Dirty groups — and only dirty groups — are recomputed from the
+  source with a pushed-down semi-join filter. Inserting rows never
+  dirties a group, and a MONOTONE feed (CDC lsn/commit always rising)
+  never dirties its max at all — only its min, only when the
+  min-holder itself changes;
 * the view is itself a LakeTable keyed on the group columns, so the
   apply is the engine's own bucketed MERGE and the synced-to source
   version rides the view's atomic snapshot commit — a crashed refresh
@@ -358,12 +362,22 @@ class AggView:
                     + F.coalesce(F.col(f"__d_cnt_{c}"), F.lit(0))
                 ).alias(f"cnt_{c}")
             )
+        # Extreme dirtiness, refined: a group needs recompute only when
+        # a retraction reaches the stored extreme AND no incoming value
+        # dominates every retracted one. If add_max >= del_max, then
+        # even a retracted stored max is safe: every survivor <= stored
+        # max <= del_max <= add_max, so greatest(stored, add) is exact.
+        # Consequence: a monotone feed (CDC lsn/commit always rising)
+        # NEVER dirties its max — only its min, and only when the
+        # min-holder itself changes.
         for c in spec.min_cols:
-            # retraction at (or below — paranoia over type edge cases)
-            # the stored extreme means the stored value may be gone
             dirty = dirty | F.coalesce(
                 F.col(f"__del_min_{c}").isNotNull()
-                & (F.col(f"__del_min_{c}") <= F.col(f"min_{c}")),
+                & (F.col(f"__del_min_{c}") <= F.col(f"min_{c}"))
+                & (
+                    F.col(f"__add_min_{c}").isNull()
+                    | (F.col(f"__add_min_{c}") > F.col(f"__del_min_{c}"))
+                ),
                 F.lit(False),
             )
             out_cols.append(
@@ -372,7 +386,11 @@ class AggView:
         for c in spec.max_cols:
             dirty = dirty | F.coalesce(
                 F.col(f"__del_max_{c}").isNotNull()
-                & (F.col(f"__del_max_{c}") >= F.col(f"max_{c}")),
+                & (F.col(f"__del_max_{c}") >= F.col(f"max_{c}"))
+                & (
+                    F.col(f"__add_max_{c}").isNull()
+                    | (F.col(f"__add_max_{c}") < F.col(f"__del_max_{c}"))
+                ),
                 F.lit(False),
             )
             out_cols.append(
@@ -386,7 +404,16 @@ class AggView:
             (dirty & (new_n > 0)).alias("__dirty"),
         ).persist()
         try:
-            n_dirty = arith.filter("__dirty").count()
+            counts = arith.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.col("__dirty").cast("int")).alias("d"),
+                F.sum((~F.col("__live")).cast("int")).alias("x"),
+            ).first()
+            n_changed, n_dirty, n_deleted = (
+                int(counts["n"]),
+                int(counts["d"] or 0),
+                int(counts["x"] or 0),
+            )
             recomputed = None
             if n_dirty:
                 # recompute ONLY the dirty groups from the source: a
@@ -420,8 +447,6 @@ class AggView:
                 )
             else:
                 up = up_clean
-            n_changed = arith.count()
-            n_deleted = arith.filter(~F.col("__live")).count()
             phase["plan_ms"] = round((time.monotonic() - t1) * 1000, 1)
 
             t2 = time.monotonic()
