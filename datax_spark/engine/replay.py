@@ -244,6 +244,16 @@ class ReplayConfig:
     # yourself, the pre-existing behavior).
     target_bucket_rows: int | None = None
     max_buckets: int = 1 << 16
+    # Derived-table maintenance: roots of AggViews (lake/matview.py)
+    # the engine refreshes to the table's new head after every
+    # committed epoch (and again at the end of run(), which heals a
+    # crash that landed between an epoch commit and its view refresh —
+    # each view's own synced-version watermark makes every refresh
+    # idempotent and convergent, so views lag the table by at most
+    # one crash window and never diverge). Create the views first
+    # (AggView.create against the table root); the engine only
+    # advances them.
+    materialized_views: tuple[str, ...] = ()
     # Sharded manifest storage for the created table (LakeTable
     # shard_buckets; see lake/table.py): per-bucket metadata lives in
     # content-addressed shard files of this many consecutive buckets,
@@ -380,6 +390,7 @@ class ReplayEngine:
     table_root: str
     metrics_root: str
     config: ReplayConfig = field(default_factory=ReplayConfig)
+    _views_cache: dict = field(default_factory=dict, repr=False)
 
     # ---------- discovery / resume ----------
     def discover_epochs(self) -> list[int]:
@@ -392,6 +403,27 @@ class ReplayEngine:
 
     def table(self) -> LakeTable:
         return LakeTable.load(self.spark, self.table_root)
+
+    def _refresh_views(self, table: LakeTable, ph: dict | None = None) -> None:
+        """Advance every registered materialized view to the table's
+        current head. Idempotent per view (the synced-version
+        watermark), so calling after every epoch AND once at run()'s
+        end costs a manifest read when nothing changed."""
+        if not self.config.materialized_views:
+            return
+        import time as _time
+
+        from datax_spark.lake.matview import AggView
+
+        tp = _time.monotonic()
+        for root in self.config.materialized_views:
+            view = self._views_cache.get(root)
+            if view is None:
+                view = AggView.load(self.spark, root)
+                self._views_cache[root] = view
+            view.refresh(table)
+        if ph is not None:
+            ph["views"] = (_time.monotonic() - tp) * 1000
 
     def quarantine_root(self) -> str:
         return os.path.join(os.path.dirname(self.metrics_root.rstrip("/")), "quarantine")
@@ -440,6 +472,10 @@ class ReplayEngine:
                 if wait > 0:
                     r.throttle_ms = round(wait * 1000.0, 1)
                     time.sleep(wait)
+        # heal views a previous run crashed between an epoch commit
+        # and its refresh (no-op when every epoch above refreshed)
+        if cfg.materialized_views and LakeTable.exists(self.table_root):
+            self._refresh_views(self.table())
         return results
 
     def _resolve_dirty(self, epoch, obs, ev, ev_obs, dirty_pred, ph) -> int:
@@ -617,6 +653,7 @@ class ReplayEngine:
         rebucketed = maybe_rebucket(table, cfg)
         if rebucketed:
             ph["rebucket"] = (time.monotonic() - tp) * 1000
+        self._refresh_views(table, ph)
         return EpochResult(
             epoch=epoch,
             skipped=False,
@@ -786,6 +823,7 @@ class ReplayEngine:
             rebucketed = maybe_rebucket(table, cfg)
             if rebucketed:
                 ph["rebucket"] = (time.monotonic() - tp) * 1000
+            self._refresh_views(table, ph)
         finally:
             stats_df.unpersist()
 

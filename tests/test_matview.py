@@ -234,3 +234,69 @@ def test_matview_group_fill_sentinel_null_groups(spark, tmp_path):
     )
     got = view.read().toPandas().sort_values(["repo", "lang"]).reset_index(drop=True)
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_matview_engine_attached_refresh_and_crash_heal(spark, tmp_path):
+    """ReplayConfig.materialized_views: the engine advances registered
+    views after every committed epoch; a crash between an epoch commit
+    and its refresh leaves the view behind, and the next run() heals
+    it (idempotent watermarked refresh)."""
+    from datax_spark.engine.replay import ReplayConfig, ReplayCrash, ReplayEngine
+    from datax_spark.fixtures.changelog import ChangelogSpec, write_events
+    from datax_spark.lake.table import LakeTable
+
+    ev = str(tmp_path / "events")
+    write_events(
+        spark,
+        ChangelogSpec(n_events=9000, events_per_epoch=3000,
+                      evolve_from_epoch=2, seed=5),
+        ev,
+    )
+    spec = AggViewSpec(
+        group_cols=("repo", "lang"), sum_cols=("lsn",),
+        min_cols=("lsn",), max_cols=("lsn",),
+        group_fill=(("lang", "@null"),),
+    )
+    roots = dict(
+        events_root=ev, table_root=str(tmp_path / "t"),
+        metrics_root=str(tmp_path / "m"),
+    )
+    # table must exist before a view over it can: epoch 0 unadorned
+    ReplayEngine(spark, **roots, config=ReplayConfig(num_buckets=8)).run(
+        through_epoch=0
+    )
+    table = LakeTable.load(spark, roots["table_root"])
+    view = AggView.create(spark, str(tmp_path / "view"), table, spec, num_buckets=4)
+
+    cfg = ReplayConfig(
+        num_buckets=8, materialized_views=(str(tmp_path / "view"),)
+    )
+    eng = ReplayEngine(spark, **roots, config=cfg)
+    r = eng.run(through_epoch=1)
+    assert any(not x.skipped for x in r)
+    assert view.synced_version() == table.current_version()
+
+    def recompute():
+        return (
+            spec.fill(table.read())
+            .groupBy("repo", "lang")
+            .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("lsn").alias("sum_lsn"),
+                 F.min("lsn").alias("min_lsn"), F.max("lsn").alias("max_lsn"))
+            .toPandas().sort_values(["repo", "lang"]).reset_index(drop=True)
+        )
+
+    got = view.read().toPandas().sort_values(["repo", "lang"]).reset_index(drop=True)
+    want = recompute()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+    # crash AFTER the epoch-2 commit, BEFORE the view refresh
+    with pytest.raises(ReplayCrash):
+        eng.apply_epoch(2, failpoints=["after_commit"])
+    assert view.synced_version() < table.current_version()  # view lags
+
+    # a fresh run has nothing to apply but heals the views at the end
+    ReplayEngine(spark, **roots, config=cfg).run()
+    assert view.synced_version() == table.current_version()
+    got = view.read().toPandas().sort_values(["repo", "lang"]).reset_index(drop=True)
+    want = recompute()
+    pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
