@@ -2,7 +2,7 @@
 (``core/src/main/java/com/alibaba/datax/core/Engine.java:117-170``
 parses -job/-jobid/-mode; here argparse + a JSON job spec).
 
-Three job kinds:
+Job kinds:
 
 * ``{"job": {...}}`` — a DataX-style reader/transformer/writer spec
   executed by ``jobspec.run_job`` (one declarative Spark plan).
@@ -27,6 +27,16 @@ Three job kinds:
   {"rollback": {"version": "nightly"}}, {"expire_snapshots":
   {"keep_last": 3}}, {"vacuum": {}}]}}`` — actions run in order, each
   committing its own snapshot.
+* ``{"matview": {...}}`` — incrementally-maintained aggregate view:
+  ``{"matview": {"source_root": ..., "view_root": ..., "spec":
+  {"group_cols": [...], "sum_cols": [...], "min_cols": [...],
+  "max_cols": [...], "group_fill": [["lang", "@null"]]},
+  "num_buckets": 16, "to_version": null, "rebuild": false}}`` —
+  creates the view when absent, then refreshes it to the source head
+  through the preimage change feed (the scheduled-sync shape;
+  idempotent). Views can also ride the replay job itself:
+  ``"materialized_views": ["/path/to/view", ...]`` in the replay
+  spec refreshes them after every committed epoch.
 * ``{"replicate": {...}}`` — lake-to-lake incremental replication:
   ``{"replicate": {"source_root": ..., "replica_root": ...,
   "to_version": null}}`` (idempotent; re-run = no-op at the same
@@ -91,6 +101,8 @@ def main(argv: list[str] | None = None) -> int:
             # historical layout. Existing tables keep their manifest's.
             hash_fn=r.get("hash_fn", "murmur3"),
             aligned_exchange=r.get("aligned_exchange"),
+            # derived tables the engine advances after each epoch
+            materialized_views=tuple(r.get("materialized_views", ())),
         )
         if r.get("streaming"):
             from datax_spark.streaming import StreamReplay
@@ -198,6 +210,56 @@ def main(argv: list[str] | None = None) -> int:
             "sync_mode": res.mode,
             "synced_to": res.synced_to,
             "replica_version": res.replica_version,
+        }))
+        return 0
+
+    if "matview" in spec:
+        # Incrementally-maintained aggregate view as a job: creates
+        # the view when absent (spec required then), refreshes (or
+        # rebuilds) it to the source head — the scheduled-sync shape;
+        # idempotent, re-run at the same source version = no-op.
+        from datax_spark.lake import LakeTable
+        from datax_spark.lake.matview import AggView, AggViewSpec
+
+        mv = spec["matview"]
+        src = LakeTable.load(spark, mv["source_root"])
+        if not LakeTable.exists(mv["view_root"]):
+            s = mv["spec"]
+            view = AggView.create(
+                spark, mv["view_root"], src,
+                AggViewSpec(
+                    group_cols=tuple(s["group_cols"]),
+                    sum_cols=tuple(s.get("sum_cols", ())),
+                    min_cols=tuple(s.get("min_cols", ())),
+                    max_cols=tuple(s.get("max_cols", ())),
+                    group_fill=tuple(
+                        tuple(p) for p in s.get("group_fill", ())
+                    ),
+                ),
+                num_buckets=int(mv.get("num_buckets", 16)),
+            )
+            created = True
+        else:
+            view = AggView.load(spark, mv["view_root"])
+            created = False
+        if args.dry_run:
+            print(json.dumps({
+                "mode": "matview", "created": created,
+                "synced_version": view.synced_version(),
+            }))
+            return 0
+        if mv.get("rebuild"):
+            res = view.rebuild(src)
+        else:
+            res = view.refresh(src, to_version=mv.get("to_version"))
+        print(json.dumps({
+            "mode": "matview",
+            "created": created,
+            "skipped": res.skipped,
+            "synced_from": res.synced_from,
+            "synced_to": res.synced_to,
+            "groups_changed": res.groups_changed,
+            "groups_recomputed": res.groups_recomputed,
         }))
         return 0
 

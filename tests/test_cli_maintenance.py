@@ -103,3 +103,53 @@ def test_cli_maintenance_unknown_action(spark, tmp_path):
 
     with pytest.raises(ValueError, match="unknown maintenance action"):
         main(["--job", str(spec)])
+
+
+def test_cli_matview_job_kind(spark, tmp_path, capsys):
+    """{"matview": ...} job: create-on-first-run + incremental refresh,
+    idempotent re-run, maintained state equals a recompute."""
+    from pyspark.sql import functions as F
+
+    root = str(tmp_path / "t")
+    vroot = str(tmp_path / "v")
+    t = LakeTable.create(spark, root, SCHEMA, ["repo", "path"], num_buckets=4)
+    merge_into(t, _ups(spark, [("r1", "a", 1, "x"), ("r2", "b", 2, "y")])).commit()
+
+    spec = tmp_path / "mv.json"
+    spec.write_text(json.dumps({
+        "matview": {
+            "source_root": root,
+            "view_root": vroot,
+            "spec": {"group_cols": ["repo"], "sum_cols": ["lsn"],
+                     "max_cols": ["lsn"]},
+            "num_buckets": 4,
+        }
+    }))
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["created"] and not out["skipped"]
+
+    # source advances; re-run the SAME spec file (the scheduled shape)
+    merge_into(t, _ups(spark, [("r1", "c", 9, "z"), ("r3", "d", 5, "w")])).commit()
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert not out["created"] and not out["skipped"]
+    assert out["synced_to"] == t.current_version()
+
+    from datax_spark.lake.matview import AggView
+
+    got = sorted(tuple(r) for r in AggView.load(spark, vroot).read().collect())
+    want = sorted(
+        tuple(r)
+        for r in t.read()
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("lsn").alias("sum_lsn"),
+             F.max("lsn").alias("max_lsn"))
+        .collect()
+    )
+    assert got == want
+
+    # third run: nothing changed -> no-op
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["skipped"]
