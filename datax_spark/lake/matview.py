@@ -124,6 +124,32 @@ class RefreshResult:
     phase_ms: dict = field(default_factory=dict)
 
 
+def signed_delta(cdf: DataFrame, spec: AggViewSpec) -> DataFrame:
+    """One hash aggregate over the preimage change feed: per group,
+    the signed row/sum/count deltas plus the added/retracted extremes.
+    Every aggregate here is decomposable, so Spark plans it with a
+    map-side partial — the exchange carries at most |groups touched
+    per map task| rows, never the feed."""
+    w = F.when(
+        F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
+    ).otherwise(F.lit(-1))
+    aggs = [F.sum(w).alias("__d_rows")]
+    for c in spec.sum_cols:
+        aggs.append(
+            F.sum(F.when(F.col(c).isNotNull(), w * F.col(c))).alias(f"__d_sum_{c}")
+        )
+        aggs.append(
+            F.sum(F.when(F.col(c).isNotNull(), w).otherwise(0)).alias(f"__d_cnt_{c}")
+        )
+    for c in spec.min_cols:
+        aggs.append(F.min(F.when(w > 0, F.col(c))).alias(f"__add_min_{c}"))
+        aggs.append(F.min(F.when(w < 0, F.col(c))).alias(f"__del_min_{c}"))
+    for c in spec.max_cols:
+        aggs.append(F.max(F.when(w > 0, F.col(c))).alias(f"__add_max_{c}"))
+        aggs.append(F.max(F.when(w < 0, F.col(c))).alias(f"__del_max_{c}"))
+    return cdf.groupBy(*spec.group_cols).agg(*aggs)
+
+
 def _sum_type(src: T.DataType) -> T.DataType:
     """Spark's own sum() result typing, so the maintained column's
     type equals what a recompute would produce."""
@@ -267,30 +293,10 @@ class AggView:
                 "from the current snapshot"
             ) from e
 
-        w = F.when(
-            F.col("_change_type").isin("insert", "update_postimage"), F.lit(1)
-        ).otherwise(F.lit(-1))
-        aggs = [F.sum(w).alias("__d_rows")]
-        for c in spec.sum_cols:
-            aggs.append(
-                F.sum(F.when(F.col(c).isNotNull(), w * F.col(c))).alias(f"__d_sum_{c}")
-            )
-            aggs.append(
-                F.sum(F.when(F.col(c).isNotNull(), w).otherwise(0)).alias(
-                    f"__d_cnt_{c}"
-                )
-            )
-        for c in spec.min_cols:
-            aggs.append(F.min(F.when(w > 0, F.col(c))).alias(f"__add_min_{c}"))
-            aggs.append(F.min(F.when(w < 0, F.col(c))).alias(f"__del_min_{c}"))
-        for c in spec.max_cols:
-            aggs.append(F.max(F.when(w > 0, F.col(c))).alias(f"__add_max_{c}"))
-            aggs.append(F.max(F.when(w < 0, F.col(c))).alias(f"__del_max_{c}"))
         gcols = list(spec.group_cols)
         vm = self.table.manifest()
         delta = (
-            cdf.groupBy(*gcols)
-            .agg(*aggs)
+            signed_delta(cdf, spec)
             .withColumn("__b", bucket_expr_for(vm))
             .persist()
         )

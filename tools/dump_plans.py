@@ -259,6 +259,39 @@ def main() -> None:
         ["sha2(cast(text", "hashpartitioning(_groupingexpression"],
     ))
 
+    # 9. Matview signed-delta aggregate: one hash agg over the change
+    # feed with a map-side partial — the exchange carries groups, not
+    # feed rows
+    from datax_spark.lake.matview import AggViewSpec, signed_delta
+
+    ev9 = spark.read.parquet(f"{SF}/events.parquet").withColumn(
+        "_change_type",
+        F.when(F.col("event_id") % 2 == 0, F.lit("insert")).otherwise(
+            F.lit("delete")
+        ),
+    )
+    sd = signed_delta(
+        ev9,
+        AggViewSpec(
+            group_cols=("user_id",),
+            sum_cols=("value",),
+            min_cols=("ts",),
+            max_cols=("ts",),
+        ),
+    )
+    sections.append((
+        "Matview signed-delta aggregate (lake.matview.signed_delta)",
+        "Incremental view maintenance is ONE decomposable hash aggregate "
+        "over the preimage change feed: partial_sum/partial_min/partial_max "
+        "run map-side, so the exchange carries at most |groups touched per "
+        "map task| rows — the refresh shuffles groups, never the feed. The "
+        "downstream dirty-group recompute (min/max retraction) is a "
+        "broadcast left-semi join pushed into the source scan, sized by "
+        "dirty groups only.",
+        plan_of(sd),
+        ["partial_sum", "partial_min", "partial_max", "hashpartitioning"],
+    ))
+
     out = ["# Physical plans of the core operators\n",
            "Generated by `python tools/dump_plans.py` — the quoted plan\n"
            "properties are asserted, so regressions fail the script.\n"]
