@@ -228,6 +228,17 @@ class StreamReplay:
         # — committed as a layout-only snapshot the change feed streams
         # as a heartbeat, so downstream consumers never restart
         maybe_rebucket(table, cfg)
+        # derived-table maintenance, same contract as the batch engine
+        # (ReplayConfig.materialized_views): each view advances to the
+        # table's new head behind its own synced-version watermark, so
+        # a crash between the batch commit and a refresh just leaves
+        # the view one batch behind — the NEXT batch's refresh (or the
+        # batch engine's run()-end heal) converges it
+        if cfg.materialized_views:
+            from datax_spark.lake.matview import AggView
+
+            for vroot in cfg.materialized_views:
+                AggView.load(self.spark, vroot).refresh(table)
         self.applied_batches.append(batch_id)
 
     def run_available_now(self) -> None:

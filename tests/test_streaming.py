@@ -561,3 +561,56 @@ def test_stream_mor_fold_boundary_guard(spark, tmp_path):
     v2 = sr2.table().rebucket(4)
     assert sr2.table().manifest().summary["max_folded_delete_ord"] == ["c05", 5]
     assert sr2.table().manifest().version == v2
+
+
+def test_stream_materialized_view_follows_batches(spark, tmp_path):
+    """ReplayConfig.materialized_views in the STREAMING sink: attached
+    views advance with every applied micro-batch and equal a recompute
+    of the table state after the drain."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from datax_spark.lake.matview import AggView, AggViewSpec
+
+    ev = str(tmp_path / "events")
+    _one_file(spark, ev, [
+        ("r1", "a.py", "U", "c01", 1, "py", "v1"),
+        ("r1", "b.rs", "U", "c02", 2, "rs", "w1"),
+        ("r2", "c.py", "U", "c03", 3, "py", "x1"),
+    ])
+    sr = StreamReplay(
+        spark, ev, str(tmp_path / "table"), str(tmp_path / "ckpt"), config=CFG,
+    )
+    sr.run_available_now()  # table now exists; attach the view
+
+    vroot = str(tmp_path / "view")
+    view = AggView.create(
+        spark, vroot, sr.table(),
+        AggViewSpec(group_cols=("repo",), sum_cols=("lsn",), max_cols=("lsn",)),
+        num_buckets=4,
+    )
+    cfg = replace(CFG, materialized_views=(vroot,))
+
+    # update + delete + new repo across two more batches
+    _one_file(spark, ev, [
+        ("r1", "a.py", "U", "c04", 4, "py", "v2"),
+        ("r1", "b.rs", "D", "c05", 5, None, None),
+    ])
+    _one_file(spark, ev, [("r3", "d.go", "U", "c06", 6, "go", "y1")])
+    sr2 = StreamReplay(
+        spark, ev, str(tmp_path / "table"), str(tmp_path / "ckpt"), config=cfg,
+    )
+    sr2.run_available_now()
+
+    assert view.synced_version() == sr2.table().current_version()
+    got = sorted(tuple(r) for r in view.read().collect())
+    want = sorted(
+        tuple(r)
+        for r in sr2.table().read()
+        .groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("lsn").alias("sum_lsn"),
+             F.max("lsn").alias("max_lsn"))
+        .collect()
+    )
+    assert got == want
