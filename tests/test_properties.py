@@ -339,3 +339,108 @@ def test_murmur3_bucket_is_shuffle_partition(spark, rows, nb):
             .count()
         )
     assert bad == 0
+
+
+# ---------------------------------------------------------------------------
+# Incremental matview maintenance == recompute, for arbitrary churn
+# (lake/matview.py): random upsert/delete batches over a small key
+# space — group-moving updates, NULL groups (sentinel), NULL measures,
+# retractions of extremes, group death — then the maintained view must
+# equal a pure-pandas GROUP BY of the surviving rows.
+
+batches_strategy = st.lists(
+    st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=7),           # key id
+            st.sampled_from(["U", "U", "U", "D"]),           # op (upsert-heavy)
+            st.one_of(st.none(), st.sampled_from(["g0", "g1", "g2"])),  # group
+            st.one_of(st.none(), st.integers(min_value=-50, max_value=50)),
+        ),
+        min_size=1,
+        max_size=10,
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=batches_strategy)
+def test_matview_equals_recompute_under_arbitrary_churn(spark, tmp_path_factory, batches):
+    import pandas as pd
+    from pyspark.sql import types as TT
+
+    from datax_spark.lake import LakeTable, merge_into
+    from datax_spark.lake.matview import AggView, AggViewSpec
+
+    tmp = tmp_path_factory.mktemp("mv_prop")
+    schema = TT.StructType([
+        TT.StructField("k", TT.StringType()),
+        TT.StructField("g", TT.StringType()),
+        TT.StructField("m", TT.LongType()),
+    ])
+    src = LakeTable.create(spark, str(tmp / "src"), schema, ["k"], num_buckets=4)
+    view = AggView.create(
+        spark, str(tmp / "view"), src,
+        AggViewSpec(group_cols=("g",), sum_cols=("m",),
+                    min_cols=("m",), max_cols=("m",),
+                    group_fill=(("g", "@null"),)),
+        num_buckets=4,
+    )
+    state: dict[str, tuple] = {}
+    for batch in batches:
+        rows = {}
+        for kid, op, g, m in batch:  # one row per key per batch
+            rows[f"k{kid}"] = (op, g, m)
+        data = [
+            (k, g, m, op) for k, (op, g, m) in rows.items()
+        ]
+        df = spark.createDataFrame(
+            data,
+            TT.StructType(schema.fields + [TT.StructField("op", TT.StringType())]),
+        )
+        merge_into(src, df, op_col="op").commit()
+        view.refresh(src)
+        for k, (op, g, m) in rows.items():
+            if op == "D":
+                state.pop(k, None)
+            else:
+                state[k] = (g, m)
+
+    # pure-pandas reference over the surviving rows
+    if state:
+        ref = pd.DataFrame(
+            [(g if g is not None else "@null", m) for g, m in state.values()],
+            columns=["g", "m"],
+        )
+        exp = (
+            ref.groupby("g", dropna=False)
+            .agg(n_rows=("m", "size"), sum_m=("m", "sum"),
+                 min_m=("m", "min"), max_m=("m", "max"))
+            .reset_index()
+        )
+        # pandas sums all-NaN groups to 0; SQL says NULL
+        allnull = ref.groupby("g")["m"].count() == 0
+        for g in allnull[allnull].index:
+            exp.loc[exp["g"] == g, "sum_m"] = None
+        expected = {
+            r["g"]: (r["n_rows"], r["sum_m"], r["min_m"], r["max_m"])
+            for _, r in exp.iterrows()
+        }
+    else:
+        expected = {}
+
+    got = {
+        r["g"]: (r["n_rows"], r["sum_m"], r["min_m"], r["max_m"])
+        for r in view.read().collect()
+    }
+
+    def norm(d):
+        return {
+            g: tuple(None if v is None or (isinstance(v, float) and pd.isna(v))
+                     else int(v) for v in vals)
+            for g, vals in d.items()
+        }
+
+    assert norm(got) == norm(expected)
