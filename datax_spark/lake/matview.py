@@ -20,7 +20,11 @@ table scan per sync; this module's refresh costs O(changed groups):
   every survivor <= stored max <= del_max <= add_max, so
   ``greatest(stored, add)`` is exact — and symmetrically for min).
   Dirty groups — and only dirty groups — are recomputed from the
-  source with a pushed-down semi-join filter. Inserting rows never
+  source through a broadcast semi-join (rows outside the dirty groups
+  are dropped at the scan; FILE skipping additionally applies only
+  when a group column is in the source's stats_cols, since group
+  columns are generally not the table's bucketing keys). Inserting
+  rows never
   dirties a group, and a MONOTONE feed (CDC lsn/commit always rising)
   never dirties its max at all — only its min, only when the
   min-holder itself changes;
@@ -262,14 +266,25 @@ class AggView:
 
     # ------------------------------------------------------------------
     def refresh(
-        self, source: LakeTable, to_version: int | None = None
+        self,
+        source: LakeTable,
+        to_version: int | None = None,
+        shared_cdf: DataFrame | None = None,
     ) -> RefreshResult:
         """Advance the view to the source's current snapshot (or a
         pinned ``to_version``, for deterministic stepping / bounded
         per-refresh feed windows) by applying the change feed since
         the last refresh. Idempotent: already-synced → no-op; crash
         anywhere → rerunnable (the synced marker commits atomically
-        WITH the view data)."""
+        WITH the view data).
+
+        ``shared_cdf``: a caller-provided (ideally persisted)
+        ``source.changes(v0, v1, include_preimage=True)`` frame for
+        EXACTLY this refresh's window — lets a driver maintaining
+        several views over one table read the feed once per sync
+        instead of once per view (see ReplayEngine._refresh_views).
+        The caller owns the window match; this method still validates
+        v0/v1 bookkeeping."""
         import time
 
         t0 = time.monotonic()
@@ -285,7 +300,11 @@ class AggView:
                 "was rolled back (rebuild() the view)"
             )
         try:
-            cdf = spec.fill(source.changes(v0, v1, include_preimage=True))
+            cdf = spec.fill(
+                shared_cdf
+                if shared_cdf is not None
+                else source.changes(v0, v1, include_preimage=True)
+            )
         except FileNotFoundError as e:
             raise RuntimeError(
                 f"source snapshot v{v0} has been expired; the feed "

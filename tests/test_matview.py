@@ -300,3 +300,66 @@ def test_matview_engine_attached_refresh_and_crash_heal(spark, tmp_path):
     got = view.read().toPandas().sort_values(["repo", "lang"]).reset_index(drop=True)
     want = recompute()
     pd.testing.assert_frame_equal(got[want.columns.tolist()], want, check_dtype=False)
+
+
+def test_matview_engine_multiple_views_share_one_feed(spark, tmp_path):
+    """Several views at the same synced version ride ONE persisted
+    change-feed read per epoch (engine _refresh_views grouping) and
+    each still equals its own recompute."""
+    from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+    from datax_spark.fixtures.changelog import ChangelogSpec, write_events
+    from datax_spark.lake.table import LakeTable
+
+    ev = str(tmp_path / "events")
+    write_events(
+        spark,
+        ChangelogSpec(n_events=6000, events_per_epoch=3000, seed=3),
+        ev,
+    )
+    roots = dict(
+        events_root=ev, table_root=str(tmp_path / "t"),
+        metrics_root=str(tmp_path / "m"),
+    )
+    ReplayEngine(spark, **roots, config=ReplayConfig(num_buckets=8)).run(
+        through_epoch=0
+    )
+    table = LakeTable.load(spark, roots["table_root"])
+    v_rich = AggView.create(
+        spark, str(tmp_path / "v_rich"), table,
+        AggViewSpec(group_cols=("repo", "lang"), sum_cols=("lsn",),
+                    min_cols=("lsn",), max_cols=("lsn",),
+                    group_fill=(("lang", "@null"),)),
+        num_buckets=4,
+    )
+    v_lang = AggView.create(
+        spark, str(tmp_path / "v_lang"), table,
+        AggViewSpec(group_cols=("lang",), group_fill=(("lang", "@null"),)),
+        num_buckets=4,
+    )
+    cfg = ReplayConfig(
+        num_buckets=8,
+        materialized_views=(str(tmp_path / "v_rich"), str(tmp_path / "v_lang")),
+    )
+    ReplayEngine(spark, **roots, config=cfg).run()
+    assert v_rich.synced_version() == table.current_version()
+    assert v_lang.synced_version() == table.current_version()
+
+    got_rich = sorted(tuple(r) for r in v_rich.read().collect())
+    want_rich = sorted(
+        tuple(r)
+        for r in v_rich.spec.fill(table.read())
+        .groupBy("repo", "lang")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("lsn").alias("sum_lsn"),
+             F.min("lsn").alias("min_lsn"), F.max("lsn").alias("max_lsn"))
+        .collect()
+    )
+    assert got_rich == want_rich
+    got_lang = sorted(tuple(r) for r in v_lang.read().collect())
+    want_lang = sorted(
+        tuple(r)
+        for r in v_lang.spec.fill(table.read())
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_rows"))
+        .collect()
+    )
+    assert got_lang == want_lang
