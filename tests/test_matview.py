@@ -363,3 +363,102 @@ def test_matview_engine_multiple_views_share_one_feed(spark, tmp_path):
         .collect()
     )
     assert got_lang == want_lang
+
+
+def test_matview_cascaded_rollup(spark, tmp_path):
+    """Views cascade: a second-level view over a first-level view's
+    table (rollup (repo,lang) -> (repo)) refreshes incrementally from
+    the FIRST view's change feed — a view is itself a LakeTable, so
+    the machinery is closed under composition."""
+    src = _src(spark, str(tmp_path / "src"))
+    v1 = AggView.create(spark, str(tmp_path / "v1"), src, SPEC, num_buckets=4)
+    merge_into(src, _batch(spark, [
+        ("r1", "a.py", "py", 10), ("r1", "b.rs", "rs", 2),
+        ("r2", "c.py", "py", 7), ("r2", "d.py", "py", 1),
+    ]), op_col="op").commit()
+    v1.refresh(src)
+    # level 2: per-repo file count and total size, over v1's table
+    v2 = AggView.create(
+        spark, str(tmp_path / "v2"), v1.table,
+        AggViewSpec(group_cols=("repo",), sum_cols=("n_rows", "sum_size")),
+        num_buckets=4,
+    )
+    v2.refresh(v1.table)
+
+    # churn: delete one row, move another between groups
+    merge_into(src, _batch(spark, [("r2", "d.py", "rs", 3)],
+                           deletes=[("r1", "a.py")]), op_col="op").commit()
+    v1.refresh(src)
+    v2.refresh(v1.table)
+
+    got = {r["repo"]: (r["n_rows"], r["sum_n_rows"], r["sum_sum_size"])
+           for r in v2.read().collect()}
+    want = {
+        r["repo"]: (r["g"], r["n"], r["s"])
+        for r in src.read()
+        .groupBy("repo")
+        .agg(
+            F.countDistinct("lang").alias("g"),
+            F.count(F.lit(1)).alias("n"),
+            F.sum("size").alias("s"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
+def test_matview_over_mor_source(spark, tmp_path):
+    """A view over a merge-on-read source: the change feed resolves
+    base+deltas, so refreshes see the LWW-merged state — including
+    across a compaction (layout-only commits contribute no changes)."""
+    mor_schema = T.StructType(SCHEMA.fields + [T.StructField("lsn", T.LongType())])
+    ev_schema = T.StructType(mor_schema.fields + [T.StructField("op", T.StringType())])
+
+    def _mor_batch(rows):
+        # rows: (repo, path, lang, size, lsn, op) — deletes carry lsn
+        return spark.createDataFrame(rows, ev_schema)
+
+    src = LakeTable.create(
+        spark, str(tmp_path / "src"), mor_schema, key_cols=["repo", "path"],
+        num_buckets=4, resolve_order=["lsn"],
+    )
+    view = AggView.create(spark, str(tmp_path / "view"), src, SPEC, num_buckets=4)
+    merge_into(src, _mor_batch([
+        ("r1", "a.py", "py", 10, 1, "U"), ("r1", "b.rs", "rs", 2, 2, "U"),
+    ]), op_col="op", strategy="mor").commit()
+    view.refresh(src)
+    _assert_view_matches(view, src)
+
+    merge_into(src, _mor_batch([
+        ("r1", "a.py", "py", 99, 3, "U"),
+        ("r1", "b.rs", None, None, 4, "D"),
+    ]), op_col="op", strategy="mor").commit()
+    view.refresh(src)
+    _assert_view_matches(view, src)
+    assert src.manifest().delta_files  # still un-compacted deltas
+
+    src.compact()  # layout-only: refresh must see zero changes
+    r = view.refresh(src)
+    assert r.groups_changed == 0
+    _assert_view_matches(view, src)
+
+
+def test_matview_concurrent_refresh_conflicts_safely(spark, tmp_path):
+    """Two racing refreshes of one view: the loser raises
+    CommitConflictError and the view state stays exactly-once (the
+    winner's commit carries the synced marker atomically)."""
+    from datax_spark.lake.table import CommitConflictError
+
+    src = _src(spark, str(tmp_path / "src"))
+    view = AggView.create(spark, str(tmp_path / "view"), src, SPEC, num_buckets=4)
+    merge_into(src, _batch(spark, [("r1", "a.py", "py", 10)]), op_col="op").commit()
+
+    # handle B computes its refresh against the pre-refresh view state;
+    # handle A commits first; B's commit must conflict, not double-apply
+    a = AggView.load(spark, str(tmp_path / "view"))
+    b = AggView.load(spark, str(tmp_path / "view"))
+    a.refresh(src)
+    with pytest.raises((CommitConflictError, ValueError)):
+        b.refresh(src)  # already synced (no-op) OR conflict — never double
+    # state is the single-application answer either way
+    _assert_view_matches(view, src)
