@@ -443,9 +443,14 @@ class AggView:
             if n_dirty:
                 # recompute ONLY the dirty groups from the source: a
                 # broadcast semi-join filter that pushes to the scan
+                # no broadcast hint: AQE broadcasts the key set while
+                # it is small and falls back to a shuffle semi-join
+                # when a churn-heavy window dirties millions of groups
+                # (a forced broadcast would cap dirty-set size at the
+                # driver)
                 dirty_keys = arith.filter("__dirty").select(*gcols)
                 src = spec.fill(source.read(version=v1)).join(
-                    F.broadcast(dirty_keys), on=gcols, how="left_semi"
+                    dirty_keys, on=gcols, how="left_semi"
                 )
                 r_aggs = [F.count(F.lit(1)).alias("n_rows")]
                 for c in spec.sum_cols:

@@ -443,22 +443,21 @@ def test_matview_over_mor_source(spark, tmp_path):
     _assert_view_matches(view, src)
 
 
-def test_matview_concurrent_refresh_conflicts_safely(spark, tmp_path):
-    """Two racing refreshes of one view: the loser raises
-    CommitConflictError and the view state stays exactly-once (the
-    winner's commit carries the synced marker atomically)."""
-    from datax_spark.lake.table import CommitConflictError
-
+def test_matview_double_refresh_never_double_applies(spark, tmp_path):
+    """Two maintainers refreshing one view: every refresh re-reads the
+    synced marker from the CURRENT manifest (not a cached handle
+    snapshot), so the second application of the same window is a
+    skipped no-op — never a double apply. A genuine mid-flight race is
+    the lake commit conflict, covered by
+    test_lake.py::test_commit_rebase_concurrent_writers."""
     src = _src(spark, str(tmp_path / "src"))
     view = AggView.create(spark, str(tmp_path / "view"), src, SPEC, num_buckets=4)
     merge_into(src, _batch(spark, [("r1", "a.py", "py", 10)]), op_col="op").commit()
 
-    # handle B computes its refresh against the pre-refresh view state;
-    # handle A commits first; B's commit must conflict, not double-apply
     a = AggView.load(spark, str(tmp_path / "view"))
-    b = AggView.load(spark, str(tmp_path / "view"))
-    a.refresh(src)
-    with pytest.raises((CommitConflictError, ValueError)):
-        b.refresh(src)  # already synced (no-op) OR conflict — never double
-    # state is the single-application answer either way
+    b = AggView.load(spark, str(tmp_path / "view"))  # loaded BEFORE a's refresh
+    r_a = a.refresh(src)
+    assert not r_a.skipped
+    r_b = b.refresh(src)  # stale handle, same window
+    assert r_b.skipped  # marker re-read from the manifest -> no-op
     _assert_view_matches(view, src)

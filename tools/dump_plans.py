@@ -286,8 +286,9 @@ def main() -> None:
         "run map-side, so the exchange carries at most |groups touched per "
         "map task| rows — the refresh shuffles groups, never the feed. The "
         "downstream dirty-group recompute (min/max retraction) is a "
-        "broadcast left-semi join pushed into the source scan, sized by "
-        "dirty groups only.",
+        "left-semi join on the dirty-group keys — AQE broadcasts the key "
+        "set while it is small, shuffle semi-join when a churn-heavy "
+        "window dirties millions of groups.",
         plan_of(sd),
         ["partial_sum", "partial_min", "partial_max", "hashpartitioning"],
     ))
