@@ -254,6 +254,17 @@ class ReplayConfig:
     # (AggView.create against the table root); the engine only
     # advances them.
     materialized_views: tuple[str, ...] = ()
+    # Refresh cadence for the attached views: refresh after every Nth
+    # committed epoch (1 = every epoch). A view refresh costs roughly
+    # one extra read of the epoch's touched buckets per diff side (the
+    # change feed is a snapshot diff) — measured comparable to the
+    # epoch apply itself when epochs touch every bucket — so bulk
+    # backfills should raise this and let the views catch up in one
+    # multi-epoch window; run() always heals views to head at the end
+    # regardless of cadence, and the feed window composes across any
+    # number of skipped epochs (the refresh is version-ranged, not
+    # epoch-ranged).
+    view_refresh_every: int = 1
     # Sharded manifest storage for the created table (LakeTable
     # shard_buckets; see lake/table.py): per-bucket metadata lives in
     # content-addressed shard files of this many consecutive buckets,
@@ -404,7 +415,12 @@ class ReplayEngine:
     def table(self) -> LakeTable:
         return LakeTable.load(self.spark, self.table_root)
 
-    def _refresh_views(self, table: LakeTable, ph: dict | None = None) -> None:
+    def _refresh_views(
+        self,
+        table: LakeTable,
+        ph: dict | None = None,
+        epoch: int | None = None,
+    ) -> None:
         """Advance every registered materialized view to the table's
         current head. Idempotent per view (the synced-version
         watermark), so calling after every epoch AND once at run()'s
@@ -414,6 +430,12 @@ class ReplayEngine:
         of one per view."""
         if not self.config.materialized_views:
             return
+        if (
+            epoch is not None
+            and self.config.view_refresh_every > 1
+            and (epoch + 1) % self.config.view_refresh_every != 0
+        ):
+            return  # cadence skip; run()-end heal converges the tail
         import time as _time
 
         from collections import defaultdict
@@ -675,7 +697,7 @@ class ReplayEngine:
         rebucketed = maybe_rebucket(table, cfg)
         if rebucketed:
             ph["rebucket"] = (time.monotonic() - tp) * 1000
-        self._refresh_views(table, ph)
+        self._refresh_views(table, ph, epoch=epoch)
         return EpochResult(
             epoch=epoch,
             skipped=False,
@@ -845,7 +867,7 @@ class ReplayEngine:
             rebucketed = maybe_rebucket(table, cfg)
             if rebucketed:
                 ph["rebucket"] = (time.monotonic() - tp) * 1000
-            self._refresh_views(table, ph)
+            self._refresh_views(table, ph, epoch=epoch)
         finally:
             stats_df.unpersist()
 

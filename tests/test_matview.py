@@ -461,3 +461,51 @@ def test_matview_double_refresh_never_double_applies(spark, tmp_path):
     r_b = b.refresh(src)  # stale handle, same window
     assert r_b.skipped  # marker re-read from the manifest -> no-op
     _assert_view_matches(view, src)
+
+
+def test_matview_view_refresh_cadence(spark, tmp_path):
+    """view_refresh_every=2: odd epochs skip the refresh (no 'views'
+    phase), the run()-end heal still leaves the view at head and
+    correct — the feed window composes across skipped epochs."""
+    from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+    from datax_spark.fixtures.changelog import ChangelogSpec, write_events
+    from datax_spark.lake.table import LakeTable
+
+    ev = str(tmp_path / "events")
+    write_events(
+        spark,
+        ChangelogSpec(n_events=9000, events_per_epoch=3000, seed=11),
+        ev,
+    )
+    roots = dict(
+        events_root=ev, table_root=str(tmp_path / "t"),
+        metrics_root=str(tmp_path / "m"),
+    )
+    ReplayEngine(spark, **roots, config=ReplayConfig(num_buckets=8)).run(
+        through_epoch=0
+    )
+    table = LakeTable.load(spark, roots["table_root"])
+    view = AggView.create(
+        spark, str(tmp_path / "view"), table,
+        AggViewSpec(group_cols=("repo",), sum_cols=("lsn",)),
+        num_buckets=4,
+    )
+    cfg = ReplayConfig(
+        num_buckets=8,
+        materialized_views=(str(tmp_path / "view"),),
+        view_refresh_every=2,
+    )
+    res = ReplayEngine(spark, **roots, config=cfg).run()
+    applied = {r.epoch: r for r in res if not r.skipped}
+    assert 1 in applied and 2 in applied
+    assert "views" in applied[1].phase_ms     # (1+1) % 2 == 0 -> refreshed
+    assert "views" not in applied[2].phase_ms  # cadence skip
+    assert view.synced_version() == table.current_version()  # end heal
+    got = sorted(tuple(r) for r in view.read().collect())
+    want = sorted(
+        tuple(r)
+        for r in table.read().groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("lsn").alias("sum_lsn"))
+        .collect()
+    )
+    assert got == want
