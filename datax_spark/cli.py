@@ -103,6 +103,7 @@ def main(argv: list[str] | None = None) -> int:
             aligned_exchange=r.get("aligned_exchange"),
             # derived tables the engine advances after each epoch
             materialized_views=tuple(r.get("materialized_views", ())),
+            view_refresh_every=int(r.get("view_refresh_every", 1)),
         )
         if r.get("streaming"):
             from datax_spark.streaming import StreamReplay

@@ -20,14 +20,14 @@ table scan per sync; this module's refresh costs O(changed groups):
   every survivor <= stored max <= del_max <= add_max, so
   ``greatest(stored, add)`` is exact — and symmetrically for min).
   Dirty groups — and only dirty groups — are recomputed from the
-  source through a broadcast semi-join (rows outside the dirty groups
-  are dropped at the scan; FILE skipping additionally applies only
-  when a group column is in the source's stats_cols, since group
+  source through a semi-join on their keys (AQE broadcasts the key set
+  while small, shuffle semi-join otherwise; rows outside the dirty
+  groups are dropped at the scan — FILE skipping additionally applies
+  only when a group column is in the source's stats_cols, since group
   columns are generally not the table's bucketing keys). Inserting
-  rows never
-  dirties a group, and a MONOTONE feed (CDC lsn/commit always rising)
-  never dirties its max at all — only its min, only when the
-  min-holder itself changes;
+  rows never dirties a group, and a MONOTONE feed (CDC lsn/commit
+  always rising) never dirties its max at all — only its min, only
+  when the min-holder itself changes;
 * the view is itself a LakeTable keyed on the group columns, so the
   apply is the engine's own bucketed MERGE and the synced-to source
   version rides the view's atomic snapshot commit — a crashed refresh
@@ -441,12 +441,11 @@ class AggView:
             )
             recomputed = None
             if n_dirty:
-                # recompute ONLY the dirty groups from the source: a
-                # broadcast semi-join filter that pushes to the scan
-                # no broadcast hint: AQE broadcasts the key set while
-                # it is small and falls back to a shuffle semi-join
-                # when a churn-heavy window dirties millions of groups
-                # (a forced broadcast would cap dirty-set size at the
+                # recompute ONLY the dirty groups from the source. No
+                # broadcast hint: AQE broadcasts the key set while it
+                # is small and falls back to a shuffle semi-join when a
+                # churn-heavy window dirties millions of groups (a
+                # forced broadcast would cap dirty-set size at the
                 # driver)
                 dirty_keys = arith.filter("__dirty").select(*gcols)
                 src = spec.fill(source.read(version=v1)).join(
