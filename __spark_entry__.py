@@ -331,6 +331,47 @@ def _q_cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cascaded incremental views (continuous-aggregate composition):
+    a SECOND-level view over the first view's table — per-repo lang
+    group count, file count, total/max lsn — maintained from the FIRST
+    view's own change feed, stepped through each of its refresh
+    commits. A view is itself a LakeTable, so maintenance is closed
+    under composition; the oracle recomputes both levels from the LWW
+    final state of the raw log. lsn is never NULL in the fixture, so
+    level-1's internal 0-for-all-NULL sum encoding cannot diverge from
+    the oracle's SUM-skips-NULL semantics here."""
+    _q_cdc_incremental_agg_view(spark, sf_dir)  # level 1 exists + synced
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.matview import AggView, AggViewSpec
+
+    v1 = AggView.load(spark, os.path.join(root, "agg_view"))
+    v2_root = os.path.join(root, "agg_rollup")
+    if not _REPLAY_CACHE.get("agg_rollup"):
+        v2 = AggView.create(
+            spark, v2_root, v1.table,
+            AggViewSpec(
+                group_cols=("repo",),
+                sum_cols=("n_rows", "sum_lsn"),
+                max_cols=("max_lsn",),
+            ),
+            num_buckets=4,
+        )
+        for ver in v1.table.versions():
+            if ver == 0:
+                continue
+            v2.refresh(v1.table, to_version=ver)
+        _REPLAY_CACHE["agg_rollup"] = "done"
+    v2 = AggView.load(spark, v2_root)
+    return v2.read().select(
+        F.col("repo"),
+        F.col("n_rows").alias("n_lang_groups"),
+        F.col("sum_n_rows").alias("n_files"),
+        F.col("sum_sum_lsn").alias("sum_lsn"),
+        F.col("max_max_lsn").alias("max_lsn"),
+    )
+
+
 def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (the Iceberg read-at-version surface):
     read the replay table AS OF the snapshot committed by epoch 1
@@ -1062,6 +1103,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_incremental_agg_view": _q_cdc_incremental_agg_view,
+        "cdc_matview_rollup": _q_cdc_matview_rollup,
         "cdc_snapshot_lineage": _q_cdc_snapshot_lineage,
         "cdc_recent_changes_scan": _q_cdc_recent_changes_scan,
         "cdc_change_feed": _q_cdc_change_feed,
@@ -1369,6 +1411,35 @@ def oracle_sql() -> dict[str, str]:
                    min(lsn) AS min_lsn,
                    max(lsn) AS max_lsn
             FROM state GROUP BY repo, lang
+        """,
+        # cascaded rollup: recompute BOTH aggregation levels from the
+        # LWW final state; the maintained two-level cascade must match
+        "cdc_matview_rollup": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            ),
+            state AS (
+              SELECT repo, coalesce(lang, '__null__') AS lang, lsn
+              FROM w WHERE rn = 1 AND op <> 'D'
+            ),
+            l1 AS (
+              SELECT repo, lang, count(*) AS n,
+                     CAST(sum(lsn) AS BIGINT) AS s, max(lsn) AS m
+              FROM state GROUP BY repo, lang
+            )
+            SELECT repo,
+                   count(*) AS n_lang_groups,
+                   CAST(sum(n) AS BIGINT) AS n_files,
+                   CAST(sum(s) AS BIGINT) AS sum_lsn,
+                   max(m) AS max_lsn
+            FROM l1 GROUP BY repo
         """,
         "cdc_time_travel": f"""
             WITH ev AS (
