@@ -229,17 +229,25 @@ class StreamReplay:
         # as a heartbeat, so downstream consumers never restart
         maybe_rebucket(table, cfg)
         # derived-table maintenance, same contract as the batch engine
-        # (ReplayConfig.materialized_views): each view advances to the
-        # table's new head behind its own synced-version watermark, so
-        # a crash between the batch commit and a refresh just leaves
-        # the view one batch behind — the NEXT batch's refresh (or the
-        # batch engine's run()-end heal) converges it
-        if cfg.materialized_views:
-            from datax_spark.lake.matview import AggView
-
-            for vroot in cfg.materialized_views:
-                AggView.load(self.spark, vroot).refresh(table)
+        # (ReplayConfig.materialized_views + view_refresh_every): each
+        # view advances to the table's new head behind its own
+        # synced-version watermark, so a crash between the batch
+        # commit and a refresh — or a cadence skip — just leaves the
+        # view behind; the next refreshed batch (or the drain-end heal
+        # in run_available_now) converges it, the feed window being
+        # version-ranged
+        if cfg.materialized_views and (
+            cfg.view_refresh_every <= 1
+            or (batch_id + 1) % cfg.view_refresh_every == 0
+        ):
+            self._refresh_views(table)
         self.applied_batches.append(batch_id)
+
+    def _refresh_views(self, table: LakeTable) -> None:
+        from datax_spark.lake.matview import AggView
+
+        for vroot in self.config.materialized_views:
+            AggView.load(self.spark, vroot).refresh(table)
 
     def run_available_now(self) -> None:
         """Drain everything currently in the log, then stop (the batch
@@ -258,6 +266,11 @@ class StreamReplay:
             .start()
         )
         q.awaitTermination()
+        # drain-end heal (the streaming analog of the batch run()-end
+        # heal): views skipped by the cadence — or stranded by a crash
+        # between a batch commit and its refresh — converge to head
+        if self.config.materialized_views and LakeTable.exists(self.table_root):
+            self._refresh_views(self.table())
 
     def table(self) -> LakeTable:
         return LakeTable.load(self.spark, self.table_root)

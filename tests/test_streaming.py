@@ -614,3 +614,41 @@ def test_stream_materialized_view_follows_batches(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_stream_view_cadence_heals_at_drain_end(spark, tmp_path):
+    """view_refresh_every larger than the batch count: every per-batch
+    refresh is skipped, the drain-end heal still converges the view."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+
+    from datax_spark.lake.matview import AggView, AggViewSpec
+
+    ev = str(tmp_path / "events")
+    _one_file(spark, ev, [("r1", "a.py", "U", "c01", 1, "py", "v1")])
+    sr = StreamReplay(
+        spark, ev, str(tmp_path / "table"), str(tmp_path / "ckpt"), config=CFG,
+    )
+    sr.run_available_now()
+
+    vroot = str(tmp_path / "view")
+    view = AggView.create(
+        spark, vroot, sr.table(),
+        AggViewSpec(group_cols=("repo",), sum_cols=("lsn",)), num_buckets=4,
+    )
+    cfg = replace(CFG, materialized_views=(vroot,), view_refresh_every=5)
+    _one_file(spark, ev, [("r2", "b.rs", "U", "c02", 2, "rs", "w1")])
+    sr2 = StreamReplay(
+        spark, ev, str(tmp_path / "table"), str(tmp_path / "ckpt"), config=cfg,
+    )
+    sr2.run_available_now()
+    assert view.synced_version() == sr2.table().current_version()
+    got = sorted(tuple(r) for r in view.read().collect())
+    want = sorted(
+        tuple(r)
+        for r in sr2.table().read().groupBy("repo")
+        .agg(F.count(F.lit(1)).alias("n_rows"), F.sum("lsn").alias("sum_lsn"))
+        .collect()
+    )
+    assert got == want
