@@ -101,6 +101,9 @@ def main(argv: list[str] | None = None) -> int:
             # historical layout. Existing tables keep their manifest's.
             hash_fn=r.get("hash_fn", "murmur3"),
             aligned_exchange=r.get("aligned_exchange"),
+            # file-skipping metadata for tables this run creates
+            stats_cols=tuple(r.get("stats_cols", ())),
+            bloom_cols=tuple(r.get("bloom_cols", ())),
             # derived tables the engine advances after each epoch
             materialized_views=tuple(r.get("materialized_views", ())),
             view_refresh_every=int(r.get("view_refresh_every", 1)),

@@ -210,6 +210,13 @@ class ReplayConfig:
     # time-ranged read then touches only files whose commit/lsn bounds
     # overlap the range. Empty = stats off (the default).
     stats_cols: tuple[str, ...] = ()
+    # Per-file bloom filters on these columns (LakeTable bloom_cols):
+    # equality/IN reads — every point lookup — skip files whose bloom
+    # proves the key absent, the pruning min/max can't give on
+    # high-cardinality keys. Building them re-reads those columns of
+    # each epoch's new files at commit, so reserve it for tables that
+    # SERVE point reads. Empty = off (the default).
+    bloom_cols: tuple[str, ...] = ()
     # Write-audit-publish epoch commits: when set, every epoch is
     # first STAGED (LakeTable WAP — manifest written, pointer
     # unmoved), then audit_fn(candidate_state_df) runs against the
@@ -483,6 +490,7 @@ class ReplayEngine:
             key_cols=list(self.config.keys),
             num_buckets=self.config.num_buckets,
             stats_cols=list(self.config.stats_cols),
+            bloom_cols=list(self.config.bloom_cols),
             shard_buckets=self.config.shard_manifest_buckets,
             hash_fn=self.config.hash_fn,
         )

@@ -117,6 +117,7 @@ def sync(
             num_buckets=sm.num_buckets,
             resolve_order=list(sm.resolve_order),
             stats_cols=list(sm.stats_cols),
+            bloom_cols=list(sm.bloom_cols),
         )
         seed = source.read(version=sm.version).withColumn("__op", F.lit("U"))
         return _apply(replica, seed, sm.version, "seed")

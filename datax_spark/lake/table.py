@@ -44,6 +44,8 @@ a single rename on any HDFS-compatible store.
 
 from __future__ import annotations
 
+import base64
+import hashlib
 import json
 import os
 import threading
@@ -125,6 +127,21 @@ class Manifest:
     # O(batch) property the data path already has. None = single-file
     # manifests (the default; small tables don't need the indirection).
     shard_buckets: int | None = None
+    # Per-file KEY BLOOM FILTERS (the Delta bloom-filter-index /
+    # Iceberg puffin-blob analog): for each column named in
+    # ``bloom_cols``, every BASE data file carries a small bloom
+    # filter over its non-null values, serialized into the manifest
+    # as {"m": bits, "k": hashes, "b64": bitset}. Equality and IN
+    # conjuncts (``read(filters=...)``, and therefore every
+    # ``lookup``) skip files whose bloom proves the value absent —
+    # the pruning dimension min/max bounds cannot provide when a
+    # bucket's files all span the key range (high-cardinality keys
+    # after interleaved writes). False positives only cost a read;
+    # a file is never skipped while containing the value. Absent
+    # blooms (pre-bloom files, unsupported value types) disable
+    # skipping for that file — never correctness.
+    bloom_cols: list[str] = field(default_factory=list)
+    file_blooms: dict[str, dict[str, dict]] = field(default_factory=dict)
     # Bucket hash function: "xxhash64" (the historical default) or
     # "murmur3" — Spark's Murmur3Hash, the SAME function (seed 42)
     # Spark's shuffle HashPartitioning uses. A murmur3-bucketed table
@@ -157,6 +174,7 @@ class Manifest:
             "summary": self.summary,
             "resolve_order": self.resolve_order,
             "stats_cols": self.stats_cols,
+            "bloom_cols": self.bloom_cols,
             "operation": self.operation,
             "shard_buckets": self.shard_buckets,
             "hash_fn": self.hash_fn,
@@ -173,6 +191,7 @@ class Manifest:
                 "delta_files": self.delta_files,
                 "delta_row_counts": self.delta_row_counts,
                 "file_stats": self.file_stats,
+                "file_blooms": self.file_blooms,
             },
             indent=1,
         )
@@ -197,6 +216,7 @@ class Manifest:
         lo, hi = si * self.shard_buckets, (si + 1) * self.shard_buckets
         buckets: dict[str, dict] = {}
         stats: dict[str, dict] = {}
+        blooms: dict[str, dict] = {}
         for b in set(self.files) | set(self.delta_files):
             if not (lo <= int(b) < hi):
                 continue
@@ -207,12 +227,17 @@ class Manifest:
                 for p in self.files[b]:
                     if p in self.file_stats:
                         stats[p] = self.file_stats[p]
+                    if p in self.file_blooms:
+                        blooms[p] = self.file_blooms[p]
             if self.delta_files.get(b):
                 e["delta_files"] = self.delta_files[b]
                 e["delta_rows"] = int(self.delta_row_counts.get(b, 0))
             if e:
                 buckets[b] = e
-        return {"buckets": buckets, "file_stats": stats}
+        out = {"buckets": buckets, "file_stats": stats}
+        if blooms:
+            out["file_blooms"] = blooms
+        return out
 
     def merge_shard_payload(self, payload: dict) -> None:
         for b, e in payload.get("buckets", {}).items():
@@ -223,6 +248,7 @@ class Manifest:
                 self.delta_files[b] = e["delta_files"]
                 self.delta_row_counts[b] = int(e.get("delta_rows", 0))
         self.file_stats.update(payload.get("file_stats", {}))
+        self.file_blooms.update(payload.get("file_blooms", {}))
 
 
 def load_manifest(manifest_dir: str, version: int) -> Manifest:
@@ -243,6 +269,7 @@ def load_manifest(manifest_dir: str, version: int) -> Manifest:
         delta_files={},
         delta_row_counts={},
         file_stats={},
+        file_blooms={},
     )
     # each distinct shard file once; bucket ids are globally unique
     # across payloads, so merge order is irrelevant
@@ -549,6 +576,112 @@ def harvest_file_stats(paths: list[str], stats_cols: list[str]) -> dict[str, dic
     return out
 
 
+# ---------- per-file bloom filters (Delta bloom index analog) ----------
+# k=7 hash probes with ~10 bits per value gives ~0.8% false positives;
+# the bitset is capped so one (file, column) bloom can never bloat a
+# manifest past ~512 KiB — past the cap the fpp degrades gracefully,
+# which costs reads, never answers.
+_BLOOM_K = 7
+_BLOOM_BITS_PER_VALUE = 10
+_BLOOM_MAX_BITS = 1 << 22
+
+
+def _bloom_encode(v) -> bytes | None:
+    """Canonical bytes for a bloomable value; None = type not covered
+    (floats, bools, nested) — both build and probe sides return None
+    for the same inputs, so an unprobeable value can never be skipped.
+    The type prefix keeps int 5 and string '5' from colliding."""
+    if v is None or isinstance(v, bool):
+        return None
+    if isinstance(v, int):
+        return b"i:" + str(v).encode()
+    if isinstance(v, str):
+        return b"s:" + v.encode("utf-8")
+    if isinstance(v, bytes):
+        return b"b:" + v
+    return None
+
+
+def _bloom_positions(enc: bytes, m_bits: int) -> list[int]:
+    # double hashing over the two halves of one blake2b digest —
+    # deterministic across processes (no PYTHONHASHSEED dependence)
+    d = hashlib.blake2b(enc, digest_size=16).digest()
+    h1 = int.from_bytes(d[:8], "little")
+    h2 = int.from_bytes(d[8:], "little") | 1
+    return [(h1 + i * h2) % m_bits for i in range(_BLOOM_K)]
+
+
+def harvest_file_blooms(paths: list[str], bloom_cols: list[str]) -> dict[str, dict[str, dict]]:
+    """Build per-file bloom filters over ``bloom_cols`` for new data
+    files at commit time. Unlike footer stats this reads the bloom
+    columns' data pages (column-pruned — only those columns), so the
+    cost is O(new rows) per commit on an opt-in feature; a column with
+    any un-encodable value in a file simply gets no bloom there
+    (conservative: that file is never skipped)."""
+    import pyarrow.parquet as pq
+
+    out: dict[str, dict[str, dict]] = {}
+    for p in paths:
+        pf = pq.ParquetFile(p)
+        present = [c for c in bloom_cols if c in pf.schema_arrow.names]
+        if not present:
+            continue
+        tbl = pf.read(columns=present)
+        per_col: dict[str, dict] = {}
+        for c in present:
+            vals = [v for v in tbl.column(c).to_pylist() if v is not None]
+            encs = []
+            ok = True
+            for v in vals:
+                e = _bloom_encode(v)
+                if e is None:
+                    ok = False
+                    break
+                encs.append(e)
+            if not ok:
+                continue
+            m_bits = min(
+                max(64, -(-len(encs) * _BLOOM_BITS_PER_VALUE // 8) * 8),
+                _BLOOM_MAX_BITS,
+            )
+            bits = bytearray(m_bits // 8)
+            for e in encs:
+                for pos in _bloom_positions(e, m_bits):
+                    bits[pos >> 3] |= 1 << (pos & 7)
+            per_col[c] = {
+                "m": m_bits,
+                "k": _BLOOM_K,
+                "b64": base64.b64encode(bytes(bits)).decode(),
+            }
+        if per_col:
+            out[p] = per_col
+    return out
+
+
+def _bloom_may_match(bloom: dict, op: str, val) -> bool:
+    """Probe one file's bloom for an equality/IN conjunct. True = the
+    file may contain a matching value; only a definite all-probes-miss
+    answers False. Non-equality ops never consult blooms."""
+    if op in ("=", "=="):
+        vals = [val]
+    elif op == "in":
+        vals = list(val)
+    else:
+        return True
+    m_bits = int(bloom["m"])
+    bits = base64.b64decode(bloom["b64"])
+    for v in vals:
+        enc = _bloom_encode(v)
+        if enc is None:
+            return True
+        if all(
+            bits[pos >> 3] & (1 << (pos & 7))
+            for pos in _bloom_positions(enc, m_bits)
+        ):
+            return True
+    return False
+
+
 # file-skipping conjunct evaluation: True = file may contain matches,
 # False = provably empty for this conjunct. ``bounds`` is the manifest
 # triple [min, max, null_count]; min/max of None with null_count > 0
@@ -582,14 +715,21 @@ def _bounds_may_match(bounds: list, op: str, val) -> bool:
     return True  # unknown op: never prune
 
 
-def _file_may_match(per_col: dict[str, list], filters: list[tuple]) -> bool:
-    """AND of per-conjunct bounds checks for one file. A conjunct on a
-    column with no harvested stats is conservatively satisfiable."""
+def _file_may_match(
+    per_col: dict[str, list],
+    filters: list[tuple],
+    blooms: dict[str, dict] | None = None,
+) -> bool:
+    """AND of per-conjunct bounds + bloom checks for one file. A
+    conjunct on a column with no harvested stats/bloom is
+    conservatively satisfiable."""
     for col, op, *rest in filters:
+        val = rest[0] if rest else None
         bounds = per_col.get(col)
-        if bounds is None:
-            continue
-        if not _bounds_may_match(bounds, op, rest[0] if rest else None):
+        if bounds is not None and not _bounds_may_match(bounds, op, val):
+            return False
+        bloom = (blooms or {}).get(col)
+        if bloom is not None and not _bloom_may_match(bloom, op, val):
             return False
     return True
 
@@ -707,6 +847,7 @@ class LakeTable:
         num_buckets: int = 64,
         resolve_order: list[str] | None = None,
         stats_cols: list[str] | None = None,
+        bloom_cols: list[str] | None = None,
         shard_buckets: int | None = None,
         hash_fn: str = "xxhash64",
     ) -> "LakeTable":
@@ -723,6 +864,14 @@ class LakeTable:
         footers, and ``read(filters=...)`` skips files the bounds
         prove empty. Pick the columns queries range over (event time,
         LSN, a monotone id) — not every payload column.
+
+        ``bloom_cols`` opts the table into per-file BLOOM filters (the
+        Delta bloom-filter-index analog): equality/IN conjuncts skip
+        files whose bloom proves the value absent — the point-lookup
+        pruning min/max can't give on high-cardinality keys whose
+        range every file spans. Pick the columns point reads probe
+        (primary keys); building them reads those columns once per
+        commit, so it's a serving-table feature, not a default.
 
         ``shard_buckets`` opts the table into SHARDED manifest storage
         (see :class:`Manifest`): per-bucket metadata lives in
@@ -742,6 +891,9 @@ class LakeTable:
         for c in stats_cols or ():
             if c not in names:
                 raise ValueError(f"stats_cols column {c!r} not in schema")
+        for c in bloom_cols or ():
+            if c not in names:
+                raise ValueError(f"bloom_cols column {c!r} not in schema")
         if shard_buckets is not None and shard_buckets < 1:
             raise ValueError(f"shard_buckets must be >= 1, got {shard_buckets}")
         if hash_fn not in BUCKET_HASH_FNS:
@@ -759,6 +911,7 @@ class LakeTable:
             summary={"last_epoch": -1},
             resolve_order=list(resolve_order or ()),
             stats_cols=list(stats_cols or ()),
+            bloom_cols=list(bloom_cols or ()),
             shard_buckets=shard_buckets,
             hash_fn=hash_fn,
         )
@@ -946,7 +1099,9 @@ class LakeTable:
             rel = [
                 p
                 for p in rel
-                if _file_may_match(m.file_stats.get(p, {}), filters)
+                if _file_may_match(
+                    m.file_stats.get(p, {}), filters, m.file_blooms.get(p)
+                )
             ]
             # key columns exist in every file (they predate any schema
             # evolution) and these ops map 1:1 onto pyarrow's filters
@@ -992,7 +1147,9 @@ class LakeTable:
                 continue
             mor = bool(m.delta_files.get(b))
             for p in m.files.get(b, []):
-                if not mor and not _file_may_match(m.file_stats.get(p, {}), filters):
+                if not mor and not _file_may_match(
+                    m.file_stats.get(p, {}), filters, m.file_blooms.get(p)
+                ):
                     skipped.append(p)
                 else:
                     kept.append(p)
@@ -1308,6 +1465,7 @@ class LakeTable:
             dfiles.pop(str(b), None)
             dcounts.pop(str(b), None)
         stats = dict(parent.file_stats)
+        blooms = dict(parent.file_blooms)
         for b, fs in new_files.items():
             rel = [os.path.relpath(f, self.root) for f in fs]
             if rel:
@@ -1318,8 +1476,14 @@ class LakeTable:
                 for f, r in zip(fs, rel):
                     if f in harvested:
                         stats[r] = harvested[f]
+            if parent.bloom_cols:
+                built = harvest_file_blooms(fs, parent.bloom_cols)
+                for f, r in zip(fs, rel):
+                    if f in built:
+                        blooms[r] = built[f]
         live = {p for fl in files.values() for p in fl}
         stats = {p: s for p, s in stats.items() if p in live}
+        blooms = {p: s for p, s in blooms.items() if p in live}
         m = Manifest(
             version=parent.version + 1,
             parent=parent.version,
@@ -1334,6 +1498,8 @@ class LakeTable:
             resolve_order=parent.resolve_order,
             stats_cols=parent.stats_cols,
             file_stats=stats,
+            bloom_cols=parent.bloom_cols,
+            file_blooms=blooms,
             operation=operation,
             shard_buckets=parent.shard_buckets,
             hash_fn=parent.hash_fn,
@@ -1387,6 +1553,8 @@ class LakeTable:
             resolve_order=parent.resolve_order,
             stats_cols=parent.stats_cols,
             file_stats=dict(parent.file_stats),
+            bloom_cols=parent.bloom_cols,
+            file_blooms=dict(parent.file_blooms),
             shard_buckets=parent.shard_buckets,
             hash_fn=parent.hash_fn,
         )
@@ -1632,13 +1800,20 @@ class LakeTable:
                 files[b] = [os.path.relpath(f, self.root) for f in fs]
                 counts[b] = rows
         stats: dict[str, dict[str, list]] = {}
-        if m.stats_cols:
+        blooms: dict[str, dict[str, dict]] = {}
+        if m.stats_cols or m.bloom_cols:
             for b, rel in files.items():
                 absf = [os.path.join(self.root, p) for p in rel]
-                harvested = harvest_file_stats(absf, m.stats_cols)
-                for f, r in zip(absf, rel):
-                    if f in harvested:
-                        stats[r] = harvested[f]
+                if m.stats_cols:
+                    harvested = harvest_file_stats(absf, m.stats_cols)
+                    for f, r in zip(absf, rel):
+                        if f in harvested:
+                            stats[r] = harvested[f]
+                if m.bloom_cols:
+                    built = harvest_file_blooms(absf, m.bloom_cols)
+                    for f, r in zip(absf, rel):
+                        if f in built:
+                            blooms[r] = built[f]
         nm = Manifest(
             version=m.version + 1,
             parent=m.version,
@@ -1663,6 +1838,8 @@ class LakeTable:
             stats_cols=m.stats_cols,
             operation="rebucket",
             file_stats=stats,
+            bloom_cols=m.bloom_cols,
+            file_blooms=blooms,
             shard_buckets=m.shard_buckets,
             hash_fn=m.hash_fn,
         )
@@ -1856,6 +2033,8 @@ class LakeTable:
             resolve_order=t.resolve_order,
             stats_cols=t.stats_cols,
             file_stats=dict(t.file_stats),
+            bloom_cols=t.bloom_cols,
+            file_blooms=dict(t.file_blooms),
             shard_buckets=t.shard_buckets,
             hash_fn=t.hash_fn,
         )

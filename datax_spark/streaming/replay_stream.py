@@ -118,6 +118,7 @@ class StreamReplay:
                 else None
             ),
             stats_cols=list(self.config.stats_cols),
+            bloom_cols=list(self.config.bloom_cols),
             shard_buckets=self.config.shard_manifest_buckets,
             hash_fn=self.config.hash_fn,
         )
