@@ -281,6 +281,59 @@ def _q_cdc_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point lookup where per-file KEY BLOOMS (LakeTable bloom_cols,
+    the Delta bloom-filter-index analog) do the file skipping that
+    min/max bounds cannot: the final replayed state is seeded into a
+    bloom-indexed twin and sorted-compacted so every bucket holds
+    SEVERAL files (disjoint path sort ranges, lsn-only manifest
+    stats) — a 12-key lookup then bucket-prunes to <=12 buckets and
+    the path/repo blooms drop the within-bucket files that provably
+    lack the keys, asserted via plan_files before returning. Oracle:
+    the pure-SQL sequential replay limited to the same LAST-12 key
+    range (the opposite slice from cdc_point_lookup)."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+
+    src = LakeTable.load(spark, os.path.join(root, "table"))
+    bloom_root = os.path.join(root, "table_bloom")
+    if not _REPLAY_CACHE.get("bloom"):
+        sm = src.manifest()
+        t = LakeTable.create(
+            spark, bloom_root, sm.schema, list(sm.key_cols),
+            num_buckets=16, resolve_order=list(sm.resolve_order),
+            stats_cols=["lsn"], bloom_cols=["repo", "path"],
+        )
+        seed = src.read().withColumn("__op", F.lit("U"))
+        merge_into(t, seed, op_col="__op").commit()
+        # split each bucket into ~4 path-sorted files so skipping is
+        # within-bucket — the layout a serving table would keep
+        t.compact(sort_cols=["path"], target_file_rows=80)
+        _REPLAY_CACHE["bloom"] = "done"
+    t = LakeTable.load(spark, bloom_root)
+    keys = [
+        (r.repo, r.path)
+        for r in t.read()
+        .select("repo", "path")
+        .orderBy(F.desc("repo"), F.desc("path"))
+        .limit(12)
+        .collect()
+    ]
+    # the same per-column IN conjuncts lookup() pushes; blooms must
+    # beat the bucket pruning alone (several files per touched bucket)
+    kflt = [
+        ("repo", "in", sorted({k[0] for k in keys})),
+        ("path", "in", sorted({k[1] for k in keys})),
+    ]
+    kept, skipped = t.plan_files(kflt)
+    assert skipped, f"expected bloom file-skipping, kept all {len(kept)} files"
+    return t.lookup(keys).select(
+        "repo", "path", "commit", "lsn", "lang",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
 def _q_cdc_incremental_agg_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Incrementally-maintained materialized aggregate view
     (lake/matview.py): a (repo, lang) GROUP BY of the replayed table —
@@ -1101,6 +1154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_mor_table": _q_cdc_replay_mor_table,
         "cdc_replica_sync": _q_cdc_replica_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
+        "cdc_bloom_point_lookup": _q_cdc_bloom_point_lookup,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_incremental_agg_view": _q_cdc_incremental_agg_view,
         "cdc_matview_rollup": _q_cdc_matview_rollup,
@@ -1386,6 +1440,26 @@ def oracle_sql() -> dict[str, str]:
                    sha256(content) AS content_sha256
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY repo, path LIMIT 20
+        """,
+        # bloom-indexed point lookup: different physical table (seeded
+        # twin, path-sorted multi-file buckets, per-file key blooms),
+        # same logical state — so the oracle is the same sequential
+        # replay, taken from the opposite end of the key order
+        "cdc_bloom_point_lookup": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT repo, path, commit, lsn, lang,
+                   sha256(content) AS content_sha256
+            FROM w WHERE rn = 1 AND op <> 'D'
+            ORDER BY repo DESC, path DESC LIMIT 12
         """,
         # incremental agg view: maintained purely from the change feed,
         # must equal a from-scratch GROUP BY over the LWW final state
