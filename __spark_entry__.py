@@ -65,6 +65,7 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 QUERY_VEC = [1.0] * 64  # similarity-search literal query (64-dim testdata)
 
@@ -330,6 +331,32 @@ def _q_cdc_bloom_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     assert skipped, f"expected bloom file-skipping, kept all {len(kept)} files"
     return t.lookup(keys).select(
         "repo", "path", "commit", "lsn", "lang",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+def _q_cdc_debezium_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The public CDC wire format on the line: the replay fixture's
+    raw event log is wrapped into Debezium envelopes (deletes as
+    before-image rows with null after — exactly what a binlog source
+    connector publishes) and normalized back to flat engine events by
+    sources/debezium.py's stateless JVM projection. The oracle reads
+    the raw log directly, so every envelope field mapping (op c/u/d,
+    image side selection, schema-evolution null fill) must be exact.
+    """
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.sources.debezium import normalize_debezium, wrap_debezium
+
+    ev = spark.read.option("mergeSchema", "true").parquet(
+        os.path.join(root, "events")
+    )
+    row_schema = T.StructType(
+        [f for f in ev.schema.fields if f.name != "op"]
+    )
+    wire = wrap_debezium(ev)
+    got = normalize_debezium(wire, row_schema)
+    return got.select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant", "op",
         F.sha2("content", 256).alias("content_sha256"),
     )
 
@@ -1155,6 +1182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replica_sync": _q_cdc_replica_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
         "cdc_bloom_point_lookup": _q_cdc_bloom_point_lookup,
+        "cdc_debezium_normalize": _q_cdc_debezium_normalize,
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_incremental_agg_view": _q_cdc_incremental_agg_view,
         "cdc_matview_rollup": _q_cdc_matview_rollup,
@@ -1460,6 +1488,15 @@ def oracle_sql() -> dict[str, str]:
                    sha256(content) AS content_sha256
             FROM w WHERE rn = 1 AND op <> 'D'
             ORDER BY repo DESC, path DESC LIMIT 12
+        """,
+        # debezium wire round trip: wrap(raw log) -> normalize must be
+        # the identity, so the oracle is the raw log itself
+        "cdc_debezium_normalize": f"""
+            SELECT repo, path, commit, lsn, lang, lang_variant, op,
+                   sha256(content) AS content_sha256
+            FROM read_parquet(
+                '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                union_by_name = true)
         """,
         # incremental agg view: maintained purely from the change feed,
         # must equal a from-scratch GROUP BY over the LWW final state
