@@ -46,6 +46,32 @@ from datax_spark.sources.kafka import EARLIEST, LATEST, KafkaConnection
 
 _OFFSETS_FILE = "_offsets.json"
 
+# debezium op -> engine op (kept in sync with sources/debezium.py;
+# duplicated as a literal so the executor closure stays self-contained)
+_DBZ_OPS = {"c": "I", "r": "I", "u": "U", "d": "D"}
+
+
+def _flatten_value(obj: dict, value_format: str) -> dict | None:
+    """One decoded JSON value -> a flat event dict, or None to drop.
+
+    flat: the value IS the event. debezium: unwrap the optional
+    Connect ``payload``, pick the row image by op (before for d,
+    after otherwise — a binlog delete carries only the old image),
+    map the op to the engine's I/U/D; values without a known op
+    (tombstones decoded as {}, heartbeats) drop."""
+    if value_format == "flat":
+        return obj
+    env = obj.get("payload", obj)
+    if not isinstance(env, dict):
+        return None
+    o = env.get("op")
+    if o not in _DBZ_OPS:
+        return None
+    img = (env.get("before") if o == "d" else env.get("after")) or {}
+    row = dict(img)
+    row["op"] = _DBZ_OPS[o]
+    return row
+
 
 def _epoch_dirs(events_root: str) -> list[int]:
     import glob
@@ -65,12 +91,25 @@ class KafkaTail:
     def __init__(self, spark: SparkSession, events_root: str, *,
                  bootstrap_servers: str, topic: str,
                  long_cols: tuple[str, ...] = ("lsn",),
-                 fetch_max_bytes: int = 1 << 20):
+                 fetch_max_bytes: int = 1 << 20,
+                 value_format: str = "flat"):
+        if value_format not in ("flat", "debezium"):
+            raise ValueError(
+                f"value_format must be 'flat' or 'debezium', got {value_format!r}"
+            )
         self.spark = spark
         self.events_root = events_root
         self.topic = topic
         self.long_cols = tuple(long_cols)
         self.fetch_max_bytes = fetch_max_bytes
+        # "flat": each value is already an engine event object.
+        # "debezium": each value is the Kafka-Connect CDC envelope
+        # ({before, after, source, op}, optionally payload-wrapped) —
+        # the tail flattens it with the same op/image rules as
+        # sources/debezium.normalize_debezium, so a real connector's
+        # topic tails straight into the engine. Tombstones and
+        # heartbeat-ish values without an op drop out.
+        self.value_format = value_format
         host, _, port = bootstrap_servers.split(",")[0].strip().partition(":")
         self.host, self.port = host, int(port or 9092)
 
@@ -126,6 +165,7 @@ class KafkaTail:
         topic = self.topic
         long_cols = set(self.long_cols)
         max_bytes = self.fetch_max_bytes
+        value_format = self.value_format
 
         def scan(batches):
             import pandas as pd
@@ -146,7 +186,14 @@ class KafkaTail:
                             for moff, _ts, _k, value in msgs:
                                 if moff >= t.end:
                                     break
-                                obj = json.loads(value.decode("utf-8"))
+                                if not value:
+                                    continue  # compaction tombstone
+                                obj = _flatten_value(
+                                    json.loads(value.decode("utf-8")),
+                                    value_format,
+                                )
+                                if obj is None:
+                                    continue
                                 rows.append([obj.get(col) for col in columns])
                             off = msgs[-1][0] + 1
                     finally:
@@ -201,9 +248,21 @@ class KafkaTail:
                                      max_bytes=self.fetch_max_bytes)
                 if not msgs:
                     raise IOError(f"probe fetch at {probe_off} was empty")
-                for k in json.loads(msgs[0][3].decode("utf-8")):
+                value = msgs[0][3]
+                if not value:
+                    continue  # tombstone at the probe offset
+                obj = _flatten_value(
+                    json.loads(value.decode("utf-8")), self.value_format
+                )
+                if obj is None:
+                    continue
+                for k in obj:
                     if k not in cols:
                         cols.append(k)
+        if not cols:
+            raise IOError(
+                "no decodable event in the round's head/tail probes"
+            )
         return cols
 
     # ---------------- tail + apply loop

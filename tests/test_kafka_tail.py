@@ -194,3 +194,74 @@ def test_spool_matches_engine_oracle_sha256(spark, tmp_path, broker):
     pd.testing.assert_frame_equal(
         got, want.astype(got.dtypes.to_dict()), check_dtype=False
     )
+
+
+def _dbz(e, wrapper=False):
+    """Engine event dict -> debezium envelope JSON (what a binlog
+    source connector would publish for it)."""
+    row = {k: v for k, v in e.items() if k != "op"}
+    env = {
+        "before": row if e["op"] == "D" else None,
+        "after": None if e["op"] == "D" else row,
+        "source": {"connector": "test", "db": "lake", "table": "events",
+                   "lsn": e["lsn"], "ts_ms": 0},
+        "op": {"I": "c", "U": "u", "D": "d"}[e["op"]],
+        "ts_ms": 0,
+    }
+    return {"payload": env} if wrapper else env
+
+
+def test_tail_debezium_envelopes_end_to_end(spark, tmp_path, broker):
+    """A Debezium topic (bare + Connect-wrapped envelopes, a tombstone,
+    a snapshot-read op) tails into the engine and converges to the
+    same LWW state as the flat wire."""
+    r1 = [_ev("r1", f"f{i}.py", "I", i) for i in range(6)]
+    r1 += [_ev("r1", "f0.py", "U", 6), _ev("r1", "f1.py", "D", 7)]
+    c = KafkaConnection(*broker.server_address)
+    try:
+        for i, e in enumerate(r1):
+            c.produce("changelog", i % 3,
+                      [(0, None, json.dumps(_dbz(e, wrapper=i % 2 == 0)).encode())])
+        # snapshot-read op r -> I, and a tombstone-ish no-op value
+        snap = _dbz(_ev("r2", "seed.py", "I", 8))
+        snap["op"] = "r"
+        c.produce("changelog", 0, [(0, None, json.dumps(snap).encode())])
+        c.produce("changelog", 1, [(0, None, b"{}")])
+    finally:
+        c.close()
+
+    roots = {n: str(tmp_path / n) for n in ("events", "table", "metrics")}
+    tail = KafkaTail(
+        spark, roots["events"],
+        bootstrap_servers=broker.bootstrap, topic="changelog",
+        value_format="debezium",
+    )
+    eng = ReplayEngine(
+        spark, roots["events"], roots["table"], roots["metrics"],
+        ReplayConfig(num_buckets=8),
+    )
+    assert tail.run(eng) == [0]
+    want = _expected_lww(r1 + [_ev("r2", "seed.py", "I", 8)])
+    assert _table_state(eng) == want
+
+    # checkpoint survives format-specific drops: a second round of
+    # debezium deletes/updates applies incrementally
+    r2 = [_ev("r1", "f2.py", "D", 20), _ev("r2", "seed.py", "U", 21)]
+    c = KafkaConnection(*broker.server_address)
+    try:
+        for i, e in enumerate(r2):
+            c.produce("changelog", (1 + i) % 3,
+                      [(0, None, json.dumps(_dbz(e)).encode())])
+    finally:
+        c.close()
+    assert tail.run(eng) == [1]
+    assert _table_state(eng) == _expected_lww(
+        r1 + [_ev("r2", "seed.py", "I", 8)] + r2
+    )
+
+
+def test_tail_rejects_unknown_value_format(spark, tmp_path, broker):
+    with pytest.raises(ValueError, match="value_format"):
+        KafkaTail(spark, str(tmp_path / "e"),
+                  bootstrap_servers=broker.bootstrap, topic="changelog",
+                  value_format="avro")
