@@ -20,6 +20,14 @@ Job kinds:
   ``"hash_fn"`` (murmur3 default = exchange-aligned one-shuffle
   epochs; xxhash64 = historical layout) and ``"aligned_exchange"``
   (null = auto by table hash) pick the epoch's physical plan
+* ``{"tail": {...}}`` — kafka changelog tail + apply in one job (the
+  scheduled binlog-tail shape): ``{"tail": {"bootstrap_servers":
+  "host:9092", "topic": ..., "value_format": "flat" | "debezium",
+  "events_root": ..., "table_root": ..., "metrics_root": ...,
+  "max_rounds": null, ...same engine keys as replay...}}`` — each
+  invocation drains the topic in bounded rounds (crash-safe spool +
+  watermark-gated apply; re-run resumes from the checkpoint);
+  ``debezium`` tails a real CDC connector's envelope topic.
 * ``{"maintenance": {...}}`` — table maintenance (the Iceberg
   procedures surface as a job spec): ``{"maintenance": {"table_root":
   ..., "actions": [{"compact": {"zorder_cols": [...]}}, {"rebucket":
@@ -80,10 +88,10 @@ def main(argv: list[str] | None = None) -> int:
 
     spark = get_spark("datax_spark_cli", cores=args.cores)
 
-    if "replay" in spec:
+    if "replay" in spec or "tail" in spec:
         from datax_spark.engine.replay import ReplayConfig, ReplayEngine
 
-        r = spec["replay"]
+        r = spec.get("replay") or spec["tail"]
         speed = r.get("speed", {})  # DataX job.setting.speed shape
         cfg = ReplayConfig(
             keys=tuple(r.get("keys", ("repo", "path"))),
@@ -108,6 +116,42 @@ def main(argv: list[str] | None = None) -> int:
             materialized_views=tuple(r.get("materialized_views", ())),
             view_refresh_every=int(r.get("view_refresh_every", 1)),
         )
+        if "tail" in spec:
+            # kafka changelog tail -> epoch spools -> engine, in one
+            # job: the scheduled binlog-tail shape (each invocation
+            # drains the topic in bounded rounds and applies them)
+            from datax_spark.streaming.kafka_tail import KafkaTail
+
+            tail = KafkaTail(
+                spark,
+                r["events_root"],
+                bootstrap_servers=r["bootstrap_servers"],
+                topic=r["topic"],
+                long_cols=tuple(r.get("long_cols", ("lsn",))),
+                value_format=r.get("value_format", "flat"),
+            )
+            eng = ReplayEngine(
+                spark,
+                events_root=r["events_root"],
+                table_root=r["table_root"],
+                metrics_root=r["metrics_root"],
+                config=cfg,
+            )
+            if args.dry_run:
+                epoch, ckpt = tail.checkpoint()
+                print(json.dumps({"mode": "tail", "next_epoch": epoch,
+                                  "checkpoint": ckpt, "validated": True}))
+                return 0
+            applied = tail.run(eng, max_rounds=r.get("max_rounds"))
+            print(json.dumps({
+                "mode": "tail",
+                "topic": r["topic"],
+                "value_format": tail.value_format,
+                "epochs_applied": applied,
+                "rows_after": eng.table().total_rows(),
+            }))
+            return 0
+
         if r.get("streaming"):
             from datax_spark.streaming import StreamReplay
 

@@ -265,3 +265,47 @@ def test_tail_rejects_unknown_value_format(spark, tmp_path, broker):
         KafkaTail(spark, str(tmp_path / "e"),
                   bootstrap_servers=broker.bootstrap, topic="changelog",
                   value_format="avro")
+
+
+def test_cli_tail_job_kind(spark, tmp_path, broker, capsys):
+    """{"tail": ...} job spec: dry-run reports the checkpoint, a real
+    run drains the debezium topic and applies it; a re-run is a noop
+    that resumes from the published spool offsets."""
+    from datax_spark.cli import main
+
+    events = [_ev("r1", f"f{i}.py", "I", i) for i in range(5)]
+    events.append(_ev("r1", "f0.py", "D", 5))
+    c = KafkaConnection(*broker.server_address)
+    try:
+        for i, e in enumerate(events):
+            c.produce("changelog", i % 3,
+                      [(0, None, json.dumps(_dbz(e)).encode())])
+    finally:
+        c.close()
+
+    spec = tmp_path / "tail.json"
+    spec.write_text(json.dumps({
+        "tail": {
+            "bootstrap_servers": broker.bootstrap,
+            "topic": "changelog",
+            "value_format": "debezium",
+            "events_root": str(tmp_path / "events"),
+            "table_root": str(tmp_path / "table"),
+            "metrics_root": str(tmp_path / "metrics"),
+            "num_buckets": 8,
+        }
+    }))
+    assert main(["--job", str(spec), "--dry-run"]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out == {"mode": "tail", "next_epoch": 0,
+                   "checkpoint": {}, "validated": True}
+
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["epochs_applied"] == [0]
+    assert out["rows_after"] == 4  # 5 inserts, one deleted
+
+    # drained topic: no new spool, table unchanged
+    assert main(["--job", str(spec)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["epochs_applied"] == [] and out["rows_after"] == 4
