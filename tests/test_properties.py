@@ -444,3 +444,60 @@ def test_matview_equals_recompute_under_arbitrary_churn(spark, tmp_path_factory,
         }
 
     assert norm(got) == norm(expected)
+
+
+# ---- per-file bloom filter primitives (lake/table.py) ----
+# no-false-negative is the CORRECTNESS property (a false negative
+# silently drops rows from a read); false positives only cost IO.
+
+_bloomable = st.one_of(
+    st.integers(min_value=-(2**63), max_value=2**63 - 1),
+    st.text(max_size=40),
+    st.binary(max_size=40),
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    population=st.lists(_bloomable, max_size=200),
+    probes=st.lists(_bloomable, min_size=1, max_size=20),
+)
+def test_bloom_never_false_negative(population, probes):
+    from datax_spark.lake.table import (
+        _BLOOM_K,
+        _bloom_encode,
+        _bloom_may_match,
+        _bloom_positions,
+    )
+    import base64
+
+    encs = [_bloom_encode(v) for v in population]
+    assert all(e is not None for e in encs)
+    m_bits = max(64, -(-len(encs) * 10 // 8) * 8)
+    bits = bytearray(m_bits // 8)
+    for e in encs:
+        for pos in _bloom_positions(e, m_bits):
+            bits[pos >> 3] |= 1 << (pos & 7)
+    bloom = {"m": m_bits, "k": _BLOOM_K,
+             "b64": base64.b64encode(bytes(bits)).decode()}
+
+    pop = set(population)
+    for p in probes:
+        if p in pop:
+            assert _bloom_may_match(bloom, "=", p), (
+                f"false negative for {p!r}")
+    # IN of all probes: must match iff any probe is present (one-sided)
+    if any(p in pop for p in probes):
+        assert _bloom_may_match(bloom, "in", probes)
+    # non-equality ops never consult the bloom
+    assert _bloom_may_match(bloom, "<", probes[0])
+
+
+@given(v=st.integers(min_value=-(10**12), max_value=10**12))
+@settings(max_examples=50, deadline=None)
+def test_bloom_encode_separates_types(v):
+    from datax_spark.lake.table import _bloom_encode
+
+    assert _bloom_encode(v) != _bloom_encode(str(v))
+    assert _bloom_encode(None) is None
+    assert _bloom_encode(bool(v % 2)) is None  # bools never bloomed
