@@ -611,50 +611,77 @@ def _bloom_positions(enc: bytes, m_bits: int) -> list[int]:
     return [(h1 + i * h2) % m_bits for i in range(_BLOOM_K)]
 
 
-def harvest_file_blooms(paths: list[str], bloom_cols: list[str]) -> dict[str, dict[str, dict]]:
+def _harvest_one_bloom(path: str, bloom_cols: list[str]) -> dict[str, dict] | None:
+    """One file's blooms (executor-side unit of work)."""
+    import pyarrow.parquet as pq
+
+    pf = pq.ParquetFile(path)
+    present = [c for c in bloom_cols if c in pf.schema_arrow.names]
+    if not present:
+        return None
+    tbl = pf.read(columns=present)
+    per_col: dict[str, dict] = {}
+    for c in present:
+        # distinct values only: identical bits, fewer hash rounds (and
+        # the m sizing tracks distincts, which is what fpp depends on)
+        vals = {v for v in tbl.column(c).to_pylist() if v is not None}
+        encs = []
+        ok = True
+        for v in vals:
+            e = _bloom_encode(v)
+            if e is None:
+                ok = False
+                break
+            encs.append(e)
+        if not ok:
+            continue
+        m_bits = min(
+            max(64, -(-len(encs) * _BLOOM_BITS_PER_VALUE // 8) * 8),
+            _BLOOM_MAX_BITS,
+        )
+        bits = bytearray(m_bits // 8)
+        for e in encs:
+            for pos in _bloom_positions(e, m_bits):
+                bits[pos >> 3] |= 1 << (pos & 7)
+        per_col[c] = {
+            "m": m_bits,
+            "k": _BLOOM_K,
+            "b64": base64.b64encode(bytes(bits)).decode(),
+        }
+    return per_col or None
+
+
+def harvest_file_blooms(
+    paths: list[str],
+    bloom_cols: list[str],
+    spark: SparkSession | None = None,
+) -> dict[str, dict[str, dict]]:
     """Build per-file bloom filters over ``bloom_cols`` for new data
     files at commit time. Unlike footer stats this reads the bloom
     columns' data pages (column-pruned — only those columns), so the
     cost is O(new rows) per commit on an opt-in feature; a column with
     any un-encodable value in a file simply gets no bloom there
-    (conservative: that file is never skipped)."""
-    import pyarrow.parquet as pq
+    (conservative: that file is never skipped).
 
+    With a ``spark`` session the harvest runs ONE TASK PER FILE on the
+    executors (the value hashing is CPU-bound Python — serial on the
+    driver it would gate commit latency at exactly the epoch sizes
+    where blooms matter); only the finished bloom dicts (~KB each)
+    return to the driver. Without a session (tests, tiny metadata
+    jobs) it runs inline."""
+    if spark is not None and len(paths) > 1:
+        cols = list(bloom_cols)
+        pairs = (
+            spark.sparkContext.parallelize(paths, len(paths))
+            .map(lambda p: (p, _harvest_one_bloom(p, cols)))
+            .collect()
+        )
+        return {p: b for p, b in pairs if b}
     out: dict[str, dict[str, dict]] = {}
     for p in paths:
-        pf = pq.ParquetFile(p)
-        present = [c for c in bloom_cols if c in pf.schema_arrow.names]
-        if not present:
-            continue
-        tbl = pf.read(columns=present)
-        per_col: dict[str, dict] = {}
-        for c in present:
-            vals = [v for v in tbl.column(c).to_pylist() if v is not None]
-            encs = []
-            ok = True
-            for v in vals:
-                e = _bloom_encode(v)
-                if e is None:
-                    ok = False
-                    break
-                encs.append(e)
-            if not ok:
-                continue
-            m_bits = min(
-                max(64, -(-len(encs) * _BLOOM_BITS_PER_VALUE // 8) * 8),
-                _BLOOM_MAX_BITS,
-            )
-            bits = bytearray(m_bits // 8)
-            for e in encs:
-                for pos in _bloom_positions(e, m_bits):
-                    bits[pos >> 3] |= 1 << (pos & 7)
-            per_col[c] = {
-                "m": m_bits,
-                "k": _BLOOM_K,
-                "b64": base64.b64encode(bytes(bits)).decode(),
-            }
-        if per_col:
-            out[p] = per_col
+        b = _harvest_one_bloom(p, bloom_cols)
+        if b:
+            out[p] = b
     return out
 
 
@@ -1476,11 +1503,13 @@ class LakeTable:
                 for f, r in zip(fs, rel):
                     if f in harvested:
                         stats[r] = harvested[f]
-            if parent.bloom_cols:
-                built = harvest_file_blooms(fs, parent.bloom_cols)
-                for f, r in zip(fs, rel):
-                    if f in built:
-                        blooms[r] = built[f]
+        if parent.bloom_cols:
+            # one executor-parallel harvest over ALL the commit's new
+            # files (per-bucket calls would be one tiny job each)
+            all_abs = [f for fs in new_files.values() for f in fs]
+            built = harvest_file_blooms(all_abs, parent.bloom_cols, self.spark)
+            for f, b in built.items():
+                blooms[os.path.relpath(f, self.root)] = b
         live = {p for fl in files.values() for p in fl}
         stats = {p: s for p, s in stats.items() if p in live}
         blooms = {p: s for p, s in blooms.items() if p in live}
@@ -1801,19 +1830,20 @@ class LakeTable:
                 counts[b] = rows
         stats: dict[str, dict[str, list]] = {}
         blooms: dict[str, dict[str, dict]] = {}
-        if m.stats_cols or m.bloom_cols:
+        if m.stats_cols:
             for b, rel in files.items():
                 absf = [os.path.join(self.root, p) for p in rel]
-                if m.stats_cols:
-                    harvested = harvest_file_stats(absf, m.stats_cols)
-                    for f, r in zip(absf, rel):
-                        if f in harvested:
-                            stats[r] = harvested[f]
-                if m.bloom_cols:
-                    built = harvest_file_blooms(absf, m.bloom_cols)
-                    for f, r in zip(absf, rel):
-                        if f in built:
-                            blooms[r] = built[f]
+                harvested = harvest_file_stats(absf, m.stats_cols)
+                for f, r in zip(absf, rel):
+                    if f in harvested:
+                        stats[r] = harvested[f]
+        if m.bloom_cols:
+            all_abs = [
+                os.path.join(self.root, p) for rel in files.values() for p in rel
+            ]
+            built = harvest_file_blooms(all_abs, m.bloom_cols, self.spark)
+            for f, b in built.items():
+                blooms[os.path.relpath(f, self.root)] = b
         nm = Manifest(
             version=m.version + 1,
             parent=m.version,

@@ -90,6 +90,13 @@ def main() -> None:
                 merge_strategy=merge_strategy,
                 target_bucket_rows=target_bucket_rows,
                 hash_fn=hash_fn,
+                # DATAX_SCALE_BLOOM=repo,path A/Bs the commit-time
+                # per-file bloom harvest cost at scale
+                bloom_cols=tuple(
+                    c
+                    for c in os.environ.get("DATAX_SCALE_BLOOM", "").split(",")
+                    if c
+                ),
             ),
         )
         t0 = time.monotonic()
