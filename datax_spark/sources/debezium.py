@@ -121,6 +121,33 @@ def normalize_debezium(
     return df.select(*cols).filter(F.col(op_col).isNotNull())
 
 
+def debezium_rejects(
+    df: DataFrame,
+    row_schema: T.StructType,
+    value_col: str = "value",
+) -> DataFrame:
+    """The complement of :func:`normalize_debezium`: the raw values it
+    DROPS — non-null, non-tombstone payloads with no mappable op
+    (unknown op letters, heartbeats, undecodable JSON). The dirty-data
+    accounting surface at the wire boundary (the reference counts
+    every discarded record against errorLimit before the writer ever
+    sees it, ErrorRecordChecker.java:18-82): route this to a
+    quarantine sink or count it against a cap; together with
+    normalize, every input value is exactly once in one of the two
+    frames or a provable tombstone."""
+    env = envelope_schema(row_schema)
+    wrapped = T.StructType([T.StructField("payload", env)])
+    raw = F.col(value_col).cast("string")
+    bare = F.from_json(raw, env)
+    inner = F.from_json(raw, wrapped)["payload"]
+    e = F.when(inner["op"].isNotNull(), inner).otherwise(bare)
+    mapped = _engine_op(e["op"])
+    is_tombstone = raw.isNull() | (F.length(F.trim(raw)) == 0)
+    return df.filter(mapped.isNull() & ~is_tombstone).select(
+        raw.alias("value"), e["op"].alias("raw_op")
+    )
+
+
 def wrap_debezium(
     df: DataFrame,
     op_col: str = "op",

@@ -149,3 +149,26 @@ def test_fixture_changelog_survives_the_wire(spark, tmp_path):
         .reset_index(drop=True)
     )
     assert a.equals(b)
+
+
+def test_rejects_complement_partition(spark):
+    """Every input value lands in exactly one of: normalized events,
+    rejects, or provable tombstones — the wire-boundary dirty-data
+    accounting (ErrorRecordChecker analog)."""
+    from datax_spark.sources.debezium import debezium_rejects
+
+    ev = _events(spark)
+    wire = wrap_debezium(ev)
+    noise = spark.createDataFrame(
+        [(None,), ("",), ("   ",), ("not json",), ('{"op":"x"}',),
+         ('{"payload": {"op": "zz"}}',)],
+        "value string",
+    )
+    allv = wire.union(noise)
+    good = normalize_debezium(allv, ROW_SCHEMA)
+    bad = debezium_rejects(allv, ROW_SCHEMA)
+    n_tomb = 3  # None, "", whitespace
+    assert good.count() == ev.count()
+    assert bad.count() == allv.count() - ev.count() - n_tomb
+    raw_ops = {r.raw_op for r in bad.collect()}
+    assert raw_ops == {None, "x", "zz"}
