@@ -190,6 +190,54 @@ def _q_cdc_replay_repo_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Initial-snapshot bootstrap -> binlog handoff (Debezium
+    snapshot-mode / DMS full-load+CDC; reference analog: the
+    otsstreamreader export window is bounded by stream expiration,
+    OTSStreamReaderChecker.java:39-58, so pre-window state loads from
+    a snapshot and the tail resumes from the snapshot position). A
+    SECOND table is seeded from the source state at a mid-epoch
+    watermark (LWW over the log prefix, no op column), then the SAME
+    epoch files replay on top — the engine keeps only lsn > watermark
+    (pushed to the parquet scan), so the partial-overlap epoch applies
+    exactly its tail. Final state must equal the full-history
+    sequential replay: the oracle is the identical pure-SQL LWW over
+    the whole raw log used for cdc_replay_repo_table."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.table import LakeTable
+
+    if not _REPLAY_CACHE.get("bootstrap"):
+        from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+        from datax_spark.operators.dedup import lww_dedup
+
+        w = _REPLAY_N_EVENTS // 2 - 1  # inside epoch 1 of 4 (5k/epoch)
+        ev = (
+            spark.read.option("mergeSchema", "true")
+            .parquet(os.path.join(root, "events"))
+            .filter(F.col("lsn") <= w)
+        )
+        snap = (
+            lww_dedup(ev, keys=["repo", "path"], order_cols=["commit", "lsn"])
+            .filter(F.col("op") != "D")
+            .drop("op", "epoch")
+        )
+        eng = ReplayEngine(
+            spark,
+            events_root=os.path.join(root, "events"),
+            table_root=os.path.join(root, "table_boot"),
+            metrics_root=os.path.join(root, "metrics_boot"),
+            config=ReplayConfig(num_buckets=16, stats_cols=("lsn",)),
+        )
+        eng.bootstrap(snap, w)
+        eng.run()
+        _REPLAY_CACHE["bootstrap"] = "done"
+    t = LakeTable.load(spark, os.path.join(root, "table_boot"))
+    return t.read().select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
 def _q_cdc_replay_mor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same binlog replay executed with merge_strategy='mor'
     (merge-on-read: each epoch APPENDS delta files with tombstones —
@@ -1178,6 +1226,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_latest_state": _q_cdc_lww_latest_state,
         "cdc_replay_state": _q_cdc_replay_state,
         "cdc_replay_repo_table": _q_cdc_replay_repo_table,
+        "cdc_bootstrap_handoff": _q_cdc_bootstrap_handoff,
         "cdc_replay_mor_table": _q_cdc_replay_mor_table,
         "cdc_replica_sync": _q_cdc_replica_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
@@ -1403,6 +1452,25 @@ def oracle_sql() -> dict[str, str]:
         # final state excludes keys whose winner is a delete; sha256 of
         # the winning content is the per-row invariant.
         "cdc_replay_repo_table": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT repo, path, commit, lsn, lang, lang_variant,
+                   sha256(content) AS content_sha256
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # snapshot bootstrap + log-tail handoff: a table seeded from
+        # the mid-log source state and tailed with lsn > watermark
+        # must equal the full-history replay — the same pure-SQL LWW
+        # over the entire raw log IS the oracle.
+        "cdc_bootstrap_handoff": f"""
             WITH ev AS (
               SELECT * FROM read_parquet(
                   '{_REPLAY_ROOT}/events/epoch=*/*.parquet',

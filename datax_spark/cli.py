@@ -182,6 +182,22 @@ def main(argv: list[str] | None = None) -> int:
             print(json.dumps({"mode": "replay", "epochs": eng.discover_epochs(),
                               "resume_from": eng.resume_epoch()}))
             return 0
+        # optional initial snapshot (full load -> binlog handoff):
+        # {"bootstrap": {"snapshot_path": <parquet of source STATE>,
+        #                "watermark_lsn": <highest lsn in the snapshot>}}
+        # idempotent — reruns of the same job spec skip a done load
+        boot = None
+        if r.get("bootstrap"):
+            b = r["bootstrap"]
+            res = eng.bootstrap(
+                spark.read.parquet(b["snapshot_path"]),
+                int(b["watermark_lsn"]),
+            )
+            boot = {
+                "skipped": res.skipped,
+                "bootstrap_lsn": res.bootstrap_lsn,
+                "rows_loaded": res.n_rows,
+            }
         results = eng.run(through_epoch=r.get("through_epoch"))
         applied = [x for x in results if not x.skipped]
         print(json.dumps({
@@ -201,6 +217,7 @@ def main(argv: list[str] | None = None) -> int:
                 for x in applied
                 if x.rebucketed_to
             ],
+            "bootstrap": boot,
         }))
         return 0
 

@@ -1,4 +1,5 @@
 from datax_spark.engine.replay import (
+    BootstrapResult,
     DirtyDataError,
     EpochAuditError,
     EpochResult,
@@ -11,6 +12,7 @@ __all__ = [
     "ReplayEngine",
     "ReplayConfig",
     "EpochResult",
+    "BootstrapResult",
     "ReplayCrash",
     "DirtyDataError",
     "EpochAuditError",

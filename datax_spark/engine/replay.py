@@ -402,6 +402,20 @@ class EpochResult:
 
 
 @dataclass
+class BootstrapResult:
+    """Outcome of ``ReplayEngine.bootstrap`` (initial-snapshot load)."""
+
+    skipped: bool
+    bootstrap_lsn: int | None = None
+    n_rows: int = 0
+    n_dirty: int = 0
+    rows_after: int = 0
+    version: int | None = None
+    apply_ms: float = 0.0
+    rebucketed_to: int | None = None
+
+
+@dataclass
 class ReplayEngine:
     spark: SparkSession
     events_root: str
@@ -500,6 +514,172 @@ class ReplayEngine:
         if not LakeTable.exists(self.table_root):
             return 0
         return self.table().last_epoch + 1
+
+    # ---------- initial snapshot (full load -> binlog handoff) ----------
+    def bootstrap(
+        self,
+        snapshot_df: DataFrame,
+        watermark_lsn: int,
+        failpoints: Sequence[str] = (),
+    ) -> "BootstrapResult":
+        """Seed the table from a consistent SOURCE SNAPSHOT, then hand
+        off to the log tail: the Debezium initial-snapshot / DMS
+        full-load+CDC shape, and the batch analog of the reference's
+        bounded stream-export window — otsstreamreader exports
+        [startTimestampMillis, end] (OTSStreamReaderConfig.java:26-47)
+        precisely because the change stream EXPIRES
+        (OTSStreamReaderChecker.java:39-58): state older than the
+        retained log must come from a snapshot, and the tail must
+        resume from the snapshot's position, never before it.
+
+        ``snapshot_df`` is the source's live state — one row per key,
+        NO op column — captured at log position ``watermark_lsn`` (the
+        highest LSN reflected in the snapshot). It is bulk-loaded
+        through the same fused dedup+merge path as an epoch (dup keys
+        resolve LWW on the order columns; dirty rows quarantine under
+        ``<quarantine>/epoch=bootstrap``), committed exactly-once with
+        ``bootstrap_lsn`` in the manifest summary, and every later
+        epoch/stream batch keeps only events with lsn > bootstrap_lsn
+        (see apply_epoch): replaying the overlap would resurrect rows
+        whose deletes expired from the log.
+
+        Idempotent: a bootstrapped table returns ``skipped=True``; a
+        crash before the commit leaves only invisible orphans and the
+        retry re-runs cleanly. Must precede replay — bootstrapping a
+        table with committed epochs raises (the snapshot would clobber
+        newer state).
+        """
+        cfg = self.config
+        t0 = time.monotonic()
+        wlsn = int(watermark_lsn)
+        if LakeTable.exists(self.table_root):
+            m = self.table().manifest()
+            prior = m.summary.get("bootstrap_lsn")
+            if prior is not None:
+                return BootstrapResult(skipped=True, bootstrap_lsn=int(prior))
+            if m.last_epoch >= 0:
+                raise ValueError(
+                    f"cannot bootstrap: table at {self.table_root} already has "
+                    f"committed epochs through {m.last_epoch}; the snapshot "
+                    "would clobber newer replayed state"
+                )
+        if cfg.op_col in snapshot_df.columns:
+            raise ValueError(
+                f"snapshot must be STATE (no {cfg.op_col!r} column); an "
+                "op-typed frame is a changelog — replay it as epochs instead"
+            )
+        missing = [
+            c for c in (*cfg.keys, *cfg.order_cols)
+            if c not in snapshot_df.columns
+        ]
+        if missing:
+            raise ValueError(f"snapshot lacks key/order columns: {missing}")
+
+        ev = snapshot_df.withColumn(cfg.op_col, F.lit("I"))
+        table = self._ensure_table(ev)
+        m = table.manifest()
+        ph: dict[str, float] = {}
+
+        dirty_pred = None
+        for c in (*cfg.keys, *cfg.order_cols):
+            p = F.col(c).isNull()
+            dirty_pred = p if dirty_pred is None else (dirty_pred | p)
+        obs = Observation("dirty_bootstrap")
+        ev_obs = ev.observe(
+            obs,
+            F.sum(dirty_pred.cast("long")).alias("n_dirty"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        ev_clean = ev_obs.filter(~dirty_pred)
+
+        deduped = lww_dedup_stats(
+            ev_clean,
+            keys=list(cfg.keys),
+            order_cols=list(cfg.order_cols),
+            op_col=cfg.op_col,
+            delete_op=cfg.delete_op,
+            lsn_col=cfg.lsn_col,
+            content_col="content" if "content" in ev.columns else None,
+            salt_buckets=cfg.salt_buckets,
+        )
+        fused = cfg.merge_strategy in ("spj", "mor")
+        if not fused:
+            # the shuffle merge carries no fused lineage; the stat
+            # counters must not reach the table's schema
+            deduped = deduped.drop(*STAT_COLS)
+        for fn in cfg.transforms:
+            deduped = fn(deduped)
+
+        aligned = cfg.aligned_exchange
+        if aligned is None:
+            aligned = fused and m.hash_fn == "murmur3"
+        tp = time.monotonic()
+        if aligned and fused:
+            with aligned_shuffle_confs(self.spark, m.num_buckets):
+                pending = merge_into(
+                    table, deduped, op_col=cfg.op_col, delete_op=cfg.delete_op,
+                    strategy=cfg.merge_strategy, stat_cols=STAT_COLS,
+                    aligned=True,
+                )
+        else:
+            pending = merge_into(
+                table, deduped, op_col=cfg.op_col, delete_op=cfg.delete_op,
+                strategy=cfg.merge_strategy,
+                stat_cols=STAT_COLS if fused else None,
+            )
+        ph["fused_dedup_merge"] = (time.monotonic() - tp) * 1000
+        n_dirty = self._resolve_dirty(
+            "bootstrap", obs, ev, ev_obs, dirty_pred, ph
+        )
+        if "after_write" in failpoints:
+            raise ReplayCrash("after_write")
+
+        bs = pending.bucket_stats or {}
+        apply_ms = (time.monotonic() - t0) * 1000.0
+        rows = []
+        for b in sorted(set(bs) | set(pending.stats.bucket_rows_after)):
+            li = bs.get(b, {})
+            rows.append(
+                {
+                    "epoch": -1,  # lineage slot for the initial load
+                    "bucket": b,
+                    "n_events": li.get("n_events", 0),
+                    "n_deletes": li.get("n_deletes", 0),
+                    "min_lsn": li.get("min_lsn"),
+                    "max_lsn": li.get("max_lsn"),
+                    "bytes_in": li.get("bytes_in", 0),
+                    "n_keys_after_dedup": li.get("n_keys", 0),
+                    "rows_after_merge": pending.stats.bucket_rows_after.get(b, 0),
+                    "apply_ms": apply_ms,
+                }
+            )
+        write_epoch_metrics(self.metrics_root, -1, rows)
+        tp = time.monotonic()
+        version = audit_gated_commit(
+            table, pending, -1,
+            {
+                "last_epoch": -1,
+                "bootstrap_lsn": wlsn,
+                "bootstrap_rows": pending.stats.rows_after,
+            },
+            cfg.audit_fn, failpoints,
+        )
+        ph["commit"] = (time.monotonic() - tp) * 1000
+        if "after_commit" in failpoints:
+            raise ReplayCrash("after_commit")
+        rebucketed = maybe_rebucket(table, cfg)
+        return BootstrapResult(
+            skipped=False,
+            bootstrap_lsn=wlsn,
+            # fused lineage when available; the shuffle strategy has no
+            # per-bucket counters, so fall back to the merged row count
+            n_rows=sum(r["n_events"] for r in rows) or pending.stats.rows_after,
+            n_dirty=n_dirty,
+            rows_after=pending.stats.rows_after,
+            version=version,
+            apply_ms=(time.monotonic() - t0) * 1000.0,
+            rebucketed_to=rebucketed,
+        )
 
     # ---------- run ----------
     def run(
@@ -730,10 +910,33 @@ class ReplayEngine:
 
         m0 = table.manifest()
         last = m0.last_epoch
+        wlsn = m0.summary.get("bootstrap_lsn")
         if epoch <= last:
             return EpochResult(epoch=epoch, skipped=True)  # exactly-once gate
-        if epoch != last + 1:
+        if epoch != last + 1 and not (last == -1 and wlsn is not None):
+            # contiguity gate — EXCEPT the first epoch after a snapshot
+            # bootstrap, which may start anywhere in the retained log
+            # (the epochs before it expired; their effects are the
+            # snapshot). From there on, contiguous as usual.
             raise ValueError(f"out-of-order epoch {epoch}; committed watermark is {last}")
+
+        # --- snapshot-handoff gate: a bootstrapped table already
+        # reflects every event with lsn <= bootstrap_lsn (the snapshot
+        # position), so epoch scans keep only the log tail past it — a
+        # plain parquet-pushed range predicate, which with lsn in
+        # stats_cols skips whole pre-watermark files. Replaying the
+        # overlap would be both wasted work and WRONG under log
+        # retention: expired pre-watermark deletes leave orphan inserts
+        # that would resurrect rows the snapshot correctly lacks (why
+        # the reference bounds its export window to the stream's
+        # un-expired range, OTSStreamReaderChecker.java:39-58).
+        # NULL-lsn rows stay: they are dirty data and must still hit
+        # the quarantine accounting below.
+        if wlsn is not None:
+            ev = ev.filter(
+                (F.col(cfg.lsn_col) > F.lit(int(wlsn)))
+                | F.col(cfg.lsn_col).isNull()
+            )
 
         # lineage bucket ids follow the TABLE's live bucket count, not
         # cfg.num_buckets (which only seeds table creation): adaptive

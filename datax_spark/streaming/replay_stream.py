@@ -130,6 +130,15 @@ class StreamReplay:
         table = self._ensure_table(batch_df)
         if batch_id <= table.last_epoch:
             return  # replayed batch after restart — exactly-once skip
+        # snapshot-handoff gate (same rule as ReplayEngine.apply_epoch):
+        # a bootstrapped table already reflects lsn <= bootstrap_lsn;
+        # NULL-lsn rows stay for the dirty accounting downstream
+        wlsn = table.manifest().summary.get("bootstrap_lsn")
+        if wlsn is not None:
+            batch_df = batch_df.filter(
+                (F.col(cfg.lsn_col) > F.lit(int(wlsn)))
+                | F.col(cfg.lsn_col).isNull()
+            )
         strategy = {"spj_staged": "spj"}.get(cfg.merge_strategy, cfg.merge_strategy)
         summary: dict = {"last_epoch": batch_id}
         if self.delete_order_check:
