@@ -238,6 +238,70 @@ def _q_cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_incremental_bootstrap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (chunked) snapshot bootstrap interleaved with the
+    live tail — the DBLog / Debezium incremental-snapshot algorithm
+    (at 10^10 source rows one consistent snapshot frame is
+    unrealistic). The engine's log has EXPIRED epoch 0; the tail
+    begins mid-log after begin_incremental_bootstrap pins the
+    watermark, and two key-range chunks (each captured at its own
+    low-watermark position, mid-tail) fill in pre-watermark state
+    between epoch applies. Chunk rows whose key saw an already-applied
+    event past their low watermark are dropped (the DBLog window
+    suppression — without it a chunk captured before a tail-applied
+    delete would resurrect the row); survivors merge through the
+    cross-batch (commit, lsn) order guard. Final state must equal the
+    full-history sequential replay: the oracle is the identical
+    pure-SQL LWW over the WHOLE raw log, pre-expiry."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.table import LakeTable
+
+    if not _REPLAY_CACHE.get("inc_bootstrap"):
+        import shutil
+
+        from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+        from datax_spark.operators.dedup import lww_dedup
+
+        trunc = os.path.join(root, "events_inc")
+        shutil.copytree(os.path.join(root, "events"), trunc)
+        shutil.rmtree(os.path.join(trunc, "epoch=0"))  # expired history
+        t0 = 4_999  # tail starts after epoch 0's last lsn
+
+        def chunk(low_lsn: int, parity: int):
+            ev = (
+                spark.read.option("mergeSchema", "true")
+                .parquet(os.path.join(root, "events"))
+                .filter(F.col("lsn") <= low_lsn)
+            )
+            st = (
+                lww_dedup(ev, keys=["repo", "path"], order_cols=["commit", "lsn"])
+                .filter(F.col("op") != "D")
+                .drop("op", "epoch")
+            )
+            return st.filter(F.abs(F.xxhash64("repo", "path")) % 2 == parity)
+
+        eng = ReplayEngine(
+            spark,
+            events_root=trunc,
+            table_root=os.path.join(root, "table_inc"),
+            metrics_root=os.path.join(root, "metrics_inc"),
+            config=ReplayConfig(num_buckets=16, stats_cols=("lsn",)),
+        )
+        like = spark.read.parquet(trunc).drop("op", "epoch")
+        eng.begin_incremental_bootstrap(like, t0)
+        eng.apply_epoch(1)
+        eng.bootstrap_chunk(chunk(8_000, 0), "range-even", 8_000)
+        eng.apply_epoch(2)
+        eng.bootstrap_chunk(chunk(12_000, 1), "range-odd", 12_000)
+        eng.apply_epoch(3)
+        _REPLAY_CACHE["inc_bootstrap"] = "done"
+    t = LakeTable.load(spark, os.path.join(root, "table_inc"))
+    return t.read().select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
 def _q_cdc_replay_mor_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The same binlog replay executed with merge_strategy='mor'
     (merge-on-read: each epoch APPENDS delta files with tombstones —
@@ -1227,6 +1291,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_replay_state": _q_cdc_replay_state,
         "cdc_replay_repo_table": _q_cdc_replay_repo_table,
         "cdc_bootstrap_handoff": _q_cdc_bootstrap_handoff,
+        "cdc_incremental_bootstrap": _q_cdc_incremental_bootstrap,
         "cdc_replay_mor_table": _q_cdc_replay_mor_table,
         "cdc_replica_sync": _q_cdc_replica_sync,
         "cdc_point_lookup": _q_cdc_point_lookup,
@@ -1471,6 +1536,25 @@ def oracle_sql() -> dict[str, str]:
         # must equal the full-history replay — the same pure-SQL LWW
         # over the entire raw log IS the oracle.
         "cdc_bootstrap_handoff": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT repo, path, commit, lsn, lang, lang_variant,
+                   sha256(content) AS content_sha256
+            FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # chunked (DBLog-style) incremental bootstrap: expired-prefix
+        # tail + interleaved key-range chunks with window suppression
+        # must also equal the full-history replay — same pure-SQL LWW
+        # over the entire pre-expiry raw log.
+        "cdc_incremental_bootstrap": f"""
             WITH ev AS (
               SELECT * FROM read_parquet(
                   '{_REPLAY_ROOT}/events/epoch=*/*.parquet',

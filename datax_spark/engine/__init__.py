@@ -1,5 +1,6 @@
 from datax_spark.engine.replay import (
     BootstrapResult,
+    ChunkResult,
     DirtyDataError,
     EpochAuditError,
     EpochResult,
@@ -13,6 +14,7 @@ __all__ = [
     "ReplayConfig",
     "EpochResult",
     "BootstrapResult",
+    "ChunkResult",
     "ReplayCrash",
     "DirtyDataError",
     "EpochAuditError",

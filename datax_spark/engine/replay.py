@@ -416,6 +416,23 @@ class BootstrapResult:
 
 
 @dataclass
+class ChunkResult:
+    """Outcome of ``ReplayEngine.bootstrap_chunk`` (one incremental-
+    snapshot chunk of the DBLog-style chunked bootstrap)."""
+
+    chunk_id: str
+    skipped: bool
+    n_rows: int = 0          # chunk rows offered (incl. dirty)
+    n_applied: int = 0       # rows that reached the merge (post window/dedup)
+    n_superseded: int = 0    # rows dropped by the watermark-window anti-join
+    n_dirty: int = 0
+    rows_after: int = 0
+    version: int | None = None
+    apply_ms: float = 0.0
+    watermark_mode: bool = False  # lsn was assigned from low_lsn
+
+
+@dataclass
 class ReplayEngine:
     spark: SparkSession
     events_root: str
@@ -681,6 +698,272 @@ class ReplayEngine:
             rebucketed_to=rebucketed,
         )
 
+    # ---------- incremental (chunked) bootstrap: DBLog-style ----------
+    def begin_incremental_bootstrap(
+        self,
+        like_df: DataFrame,
+        watermark_lsn: int,
+        failpoints: Sequence[str] = (),
+    ) -> "BootstrapResult":
+        """Open a CHUNKED bootstrap: create the (empty) table and pin
+        the tail-start watermark, so the log tail can begin replaying
+        immediately while ``bootstrap_chunk`` fills in pre-watermark
+        state key-range by key-range — the DBLog / Debezium
+        incremental-snapshot shape (Andreakis & Papapanagiotou, "DBLog: A
+        Watermark Based Change-Data-Capture Framework", 2019): at
+        10^10 source rows a single consistent snapshot frame is
+        unrealistic, so chunks load WHILE changes apply.
+
+        ``like_df`` supplies the table schema (a zero-row slice is
+        taken; pass any STATE-shaped frame — key/order/payload
+        columns, no op column). ``watermark_lsn`` is the log position
+        the tail starts after: epochs keep only lsn > watermark, and
+        every chunk must be captured at/after it."""
+        return self.bootstrap(like_df.limit(0), watermark_lsn, failpoints)
+
+    def bootstrap_chunk(
+        self,
+        chunk_df: DataFrame,
+        chunk_id: str,
+        low_lsn: int,
+        failpoints: Sequence[str] = (),
+    ) -> "ChunkResult":
+        """Apply ONE incremental-snapshot chunk while the log tail is
+        (or has been) replaying — the DBLog chunk step re-expressed
+        set-wise. ``chunk_df`` is a key-range slice of the source's
+        live state (no op column) whose SELECT began at log position
+        ``low_lsn`` (the chunk's low watermark: every event with
+        lsn <= low_lsn is reflected in the chunk; events after it may
+        or may not be).
+
+        Correctness under interleaving (why this is safe without
+        tombstones in the CoW table):
+
+        * **Window suppression** (the DBLog trick): chunk rows whose
+          key has ANY already-applied event with lsn > low_lsn are
+          dropped — for those keys the table state is at least as new
+          as the chunk's, and critically a key DELETED in that window
+          must not be resurrected by its (older) chunk image. The
+          window key set is computed from the applied epochs only,
+          pruned via the lineage metrics' per-epoch [min_lsn, max_lsn]
+          (chunks applied promptly scan only the couple of epochs that
+          overlap their window, independent of total log size).
+        * **Order guard**: surviving chunk rows merge through the
+          cross-batch LWW guard (``WHEN MATCHED AND s.(commit,lsn) >
+          t.(commit,lsn)``), so a chunk captured later than another's
+          overlap, or racing a concurrent re-apply, resolves by order.
+        * **Future events win**: any event not yet applied has
+          lsn > tail >= the chunk rows' order, so the normal replay
+          supersedes chunk state — a delete the chunk preceded still
+          lands.
+
+        If ``chunk_df`` lacks the ``lsn`` column (a plain SELECT from
+        a source with no per-row log position — the realistic DBLog
+        case), rows are stamped with ``lsn = low_lsn``
+        (``watermark_mode``): ordering vs future events still holds
+        because every unapplied event has lsn > tail >= low_lsn.
+
+        Idempotent per ``chunk_id`` (committed ids are recorded in the
+        manifest summary); a crash before commit leaves only invisible
+        orphans and the retry re-runs cleanly. Lineage rows land in
+        the metrics table under a negative epoch slot (-2, -3, ... in
+        apply order; -1 is the full-snapshot slot)."""
+        cfg = self.config
+        t0 = time.monotonic()
+        wl = int(low_lsn)
+        if not chunk_id:
+            raise ValueError("chunk_id must be a non-empty string")
+        if cfg.op_col in chunk_df.columns:
+            raise ValueError(
+                f"chunk must be STATE (no {cfg.op_col!r} column); an "
+                "op-typed frame is a changelog — replay it as epochs instead"
+            )
+        watermark_mode = cfg.lsn_col not in chunk_df.columns
+        if watermark_mode:
+            chunk_df = chunk_df.withColumn(cfg.lsn_col, F.lit(wl).cast("long"))
+        missing = [
+            c for c in (*cfg.keys, *cfg.order_cols)
+            if c not in chunk_df.columns
+        ]
+        if missing:
+            raise ValueError(f"chunk lacks key/order columns: {missing}")
+
+        ev = chunk_df.withColumn(cfg.op_col, F.lit("I"))
+        table = self._ensure_table(ev)
+        m = table.manifest()
+        applied = list(m.summary.get("bootstrap_chunks", []))
+        if chunk_id in applied:
+            return ChunkResult(chunk_id=chunk_id, skipped=True,
+                               watermark_mode=watermark_mode)
+        wlsn = m.summary.get("bootstrap_lsn")
+        if wlsn is not None and wl < int(wlsn):
+            raise ValueError(
+                f"chunk low watermark {wl} predates the tail-start "
+                f"watermark {wlsn}: its suppression window would need "
+                "log that was never applied (capture chunks while "
+                "tailing, never before begin_incremental_bootstrap)"
+            )
+        slot = -(2 + len(applied))  # metrics slot; -1 = full snapshot
+        label = f"chunk-{chunk_id}"
+        ph: dict[str, float] = {}
+
+        # --- dirty split (same policy as epochs/bootstrap) ---
+        dirty_pred = None
+        for c in (*cfg.keys, *cfg.order_cols):
+            p = F.col(c).isNull()
+            dirty_pred = p if dirty_pred is None else (dirty_pred | p)
+        obs = Observation(f"dirty_{label}")
+        ev_obs = ev.observe(
+            obs,
+            F.sum(dirty_pred.cast("long")).alias("n_dirty"),
+            F.count(F.lit(1)).alias("n_total"),
+        )
+        ev_clean = ev_obs.filter(~dirty_pred)
+
+        # --- DBLog window suppression: drop chunk keys touched by any
+        # APPLIED event with lsn > low watermark. Epoch pruning is
+        # driver-side over the (tiny) lineage metrics, so the raw-event
+        # scan is bounded by the chunk's window, not the log ---
+        tp = time.monotonic()
+        win_dirs = []
+        if m.last_epoch >= 0:
+            import pyarrow.parquet as _pq
+
+            for d in sorted(glob.glob(os.path.join(self.metrics_root, "epoch=*"))):
+                em = re.search(r"epoch=(-?\d+)$", d)
+                if not em:
+                    continue
+                e = int(em.group(1))
+                if e < 0 or e > m.last_epoch:
+                    continue  # bootstrap slots / uncommitted epochs
+                mx = None
+                for p in sorted(glob.glob(os.path.join(d, "*.parquet"))):
+                    col = _pq.read_table(p, columns=["max_lsn"])["max_lsn"]
+                    for v in col.to_pylist():
+                        if v is not None and (mx is None or v > mx):
+                            mx = v
+                if mx is not None and mx > wl:
+                    win_dirs.append(os.path.join(self.events_root, f"epoch={e}"))
+        if win_dirs:
+            win_keys = (
+                self.spark.read.parquet(*win_dirs)
+                .filter(F.col(cfg.lsn_col) > F.lit(wl))
+                .select(*cfg.keys)
+                .dropDuplicates(list(cfg.keys))
+            )
+            ev_clean = ev_clean.join(win_keys, on=list(cfg.keys), how="left_anti")
+        ph["window_prune"] = (time.monotonic() - tp) * 1000
+
+        # --- dedup (+ per-key lineage stats riding the same agg) ---
+        stats_df = lww_dedup_stats(
+            ev_clean,
+            keys=list(cfg.keys),
+            order_cols=list(cfg.order_cols),
+            op_col=cfg.op_col,
+            delete_op=cfg.delete_op,
+            lsn_col=cfg.lsn_col,
+            content_col="content" if "content" in ev.columns else None,
+            salt_buckets=cfg.salt_buckets,
+        ).persist()
+        deduped = stats_df.drop(*STAT_COLS)
+        for fn in cfg.transforms:
+            deduped = fn(deduped)
+        try:
+            from datax_spark.lake.table import bucket_expr_for
+
+            bucket = bucket_expr_for(m, key_cols=list(cfg.keys))
+            tp = time.monotonic()
+            lineage = {
+                r["bucket"]: r.asDict()
+                for r in stats_df.groupBy(bucket.alias("bucket"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_keys"),
+                    F.sum(STAT_COLS[0]).alias("n_events"),
+                    F.sum(STAT_COLS[1]).alias("n_deletes"),
+                    F.min(STAT_COLS[2]).alias("min_lsn"),
+                    F.max(STAT_COLS[3]).alias("max_lsn"),
+                    F.sum(STAT_COLS[4]).alias("bytes_in"),
+                )
+                .collect()
+            }
+            ph["dedup"] = (time.monotonic() - tp) * 1000
+            n_dirty = self._resolve_dirty(label, obs, ev, ev_obs, dirty_pred, ph)
+            try:
+                n_total = int((obs.get or {}).get("n_total") or 0)
+            except Exception:
+                n_total = ev.count()
+            if "after_dedup" in failpoints:
+                raise ReplayCrash("after_dedup")
+
+            # --- order-guarded merge: spj when the layout allows (the
+            # current side never shuffles), shuffle when MoR deltas are
+            # pending (the spj tasks read raw base files only) ---
+            strat = "spj" if cfg.merge_strategy in ("spj", "mor", "spj_staged") else "shuffle"
+            if strat == "spj" and m.delta_files:
+                strat = "shuffle"
+            tp = time.monotonic()
+            pending = merge_into(
+                table,
+                deduped,
+                op_col=cfg.op_col,
+                delete_op=cfg.delete_op,
+                order_cols=list(cfg.order_cols),
+                affected_buckets=sorted(lineage) if strat == "shuffle" else None,
+                strategy=strat,
+            )
+            ph["merge_write"] = (time.monotonic() - tp) * 1000
+            if "after_write" in failpoints:
+                raise ReplayCrash("after_write")
+
+            apply_ms = (time.monotonic() - t0) * 1000.0
+            rows = []
+            for b in sorted(set(lineage) | set(pending.stats.bucket_rows_after)):
+                li = lineage.get(b, {})
+                rows.append(
+                    {
+                        "epoch": slot,
+                        "bucket": b,
+                        "n_events": li.get("n_events", 0),
+                        "n_deletes": li.get("n_deletes", 0),
+                        "min_lsn": li.get("min_lsn"),
+                        "max_lsn": li.get("max_lsn"),
+                        "bytes_in": li.get("bytes_in", 0),
+                        "n_keys_after_dedup": li.get("n_keys", 0),
+                        "rows_after_merge": pending.stats.bucket_rows_after.get(b, 0),
+                        "apply_ms": apply_ms,
+                    }
+                )
+            write_epoch_metrics(self.metrics_root, slot, rows)
+            tp = time.monotonic()
+            version = audit_gated_commit(
+                table, pending, slot,
+                {
+                    "last_epoch": m.last_epoch,  # chunk commits never move the tail
+                    "bootstrap_chunks": applied + [chunk_id],
+                },
+                cfg.audit_fn, failpoints,
+            )
+            ph["commit"] = (time.monotonic() - tp) * 1000
+            if "after_commit" in failpoints:
+                raise ReplayCrash("after_commit")
+            n_applied = sum(r["n_events"] for r in rows)
+        finally:
+            stats_df.unpersist()
+        rebucketed = maybe_rebucket(table, cfg)
+        self._refresh_views(table)
+        return ChunkResult(
+            chunk_id=chunk_id,
+            skipped=False,
+            n_rows=n_total,
+            n_applied=n_applied,
+            n_superseded=max(n_total - n_dirty - n_applied, 0),
+            n_dirty=n_dirty,
+            rows_after=pending.stats.rows_after,
+            version=version,
+            apply_ms=(time.monotonic() - t0) * 1000.0,
+            watermark_mode=watermark_mode,
+        )
+
     # ---------- run ----------
     def run(
         self,
@@ -729,7 +1012,7 @@ class ReplayEngine:
             import logging
 
             logging.getLogger(__name__).warning(
-                "epoch %d: dirty-count observation unreadable; "
+                "epoch %s: dirty-count observation unreadable; "
                 "falling back to two extra event scans", epoch,
             )
             tf = time.monotonic()

@@ -42,13 +42,28 @@ def _read_events(events_root: str, max_epoch: int | None = None) -> pd.DataFrame
     return out
 
 
-def sequential_apply(events_root: str, max_epoch: int | None = None) -> pd.DataFrame:
+def sequential_apply(
+    events_root: str,
+    max_epoch: int | None = None,
+    max_lsn: int | None = None,
+    min_lsn: int | None = None,
+) -> pd.DataFrame:
     """Replay all events up to ``max_epoch`` inclusive; return final state.
+
+    ``max_lsn`` / ``min_lsn`` cut the log by position instead of epoch
+    boundary (both inclusive): ``max_lsn`` yields "source state as
+    captured at log position P" (the incremental-bootstrap chunk
+    ground truth), ``min_lsn`` yields "state a tail starting mid-log
+    would build from nothing" (the retained-suffix ground truth).
 
     Output columns: repo, path, commit, lsn, lang, content,
     lang_variant, content_sha256 — sorted by (repo, path).
     """
     ev = _read_events(events_root, max_epoch)
+    if max_lsn is not None:
+        ev = ev[ev["lsn"] <= max_lsn]
+    if min_lsn is not None:
+        ev = ev[ev["lsn"] >= min_lsn]
     ev = ev.sort_values(["commit", "lsn"], kind="mergesort")
     state: dict[tuple[str, str], dict] = {}
     for row in ev.itertuples(index=False):
