@@ -190,6 +190,39 @@ def _q_cdc_replay_repo_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD Type-2 history target: the engine replays the SAME changelog
+    into a history table keeping EVERY version as a validity interval —
+    upserts close the key's open interval and open a new one, deletes
+    close without opening (lake/scd2.py; reference analog: DataX's
+    append-history landing recipe, mysqlwriter writeMode=insert). The
+    table is keyed (repo, path, lsn) but BUCKET-ROUTED on (repo, path)
+    (LakeTable bucket_cols), so each key's whole history co-locates and
+    every epoch's open-row read is bucket-pruned. Oracle: one window
+    SQL over the raw log — valid_to = LEAD(commit, lsn) per key in
+    (commit, lsn) order, delete events close but emit no row."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.scd2 import Scd2Config, Scd2Engine
+
+    troot = os.path.join(root, "table_scd2")
+    if not _REPLAY_CACHE.get("scd2"):
+        Scd2Engine(
+            spark,
+            events_root=os.path.join(root, "events"),
+            table_root=troot,
+            config=Scd2Config(num_buckets=16),
+        ).run()
+        _REPLAY_CACHE["scd2"] = troot
+    from datax_spark.lake.table import LakeTable
+
+    t = LakeTable.load(spark, troot)
+    return t.read().select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
+        "valid_to_commit", "valid_to_lsn", "is_current",
+    )
+
+
 def _q_cdc_bootstrap_handoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Initial-snapshot bootstrap -> binlog handoff (Debezium
     snapshot-mode / DMS full-load+CDC; reference analog: the
@@ -1290,6 +1323,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_lww_latest_state": _q_cdc_lww_latest_state,
         "cdc_replay_state": _q_cdc_replay_state,
         "cdc_replay_repo_table": _q_cdc_replay_repo_table,
+        "cdc_scd2_history": _q_cdc_scd2_history,
         "cdc_bootstrap_handoff": _q_cdc_bootstrap_handoff,
         "cdc_incremental_bootstrap": _q_cdc_incremental_bootstrap,
         "cdc_replay_mor_table": _q_cdc_replay_mor_table,
@@ -1530,6 +1564,27 @@ def oracle_sql() -> dict[str, str]:
             SELECT repo, path, commit, lsn, lang, lang_variant,
                    sha256(content) AS content_sha256
             FROM w WHERE rn = 1 AND op <> 'D'
+        """,
+        # SCD2 history: every version an interval; valid_to = the next
+        # event's position per key (deletes close, emit nothing)
+        "cdc_scd2_history": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *,
+                     lead(commit) OVER win AS valid_to_commit,
+                     lead(lsn) OVER win AS valid_to_lsn
+              FROM ev
+              WINDOW win AS (PARTITION BY repo, path ORDER BY commit, lsn)
+            )
+            SELECT repo, path, commit, lsn, lang, lang_variant,
+                   sha256(content) AS content_sha256,
+                   valid_to_commit, valid_to_lsn,
+                   (valid_to_lsn IS NULL) AS is_current
+            FROM w WHERE op <> 'D'
         """,
         # snapshot bootstrap + log-tail handoff: a table seeded from
         # the mid-log source state and tailed with lsn > watermark

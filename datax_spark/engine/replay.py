@@ -871,7 +871,11 @@ class ReplayEngine:
         try:
             from datax_spark.lake.table import bucket_expr_for
 
-            bucket = bucket_expr_for(m, key_cols=list(cfg.keys))
+            # honor a bucket_cols layout (subset routing) when present;
+            # otherwise route on cfg.keys (== the table's key_cols)
+            bucket = bucket_expr_for(
+                m, key_cols=list(m.bucket_cols) or list(cfg.keys)
+            )
             tp = time.monotonic()
             lineage = {
                 r["bucket"]: r.asDict()
@@ -1227,7 +1231,9 @@ class ReplayEngine:
         # resolves its bucket count from the manifest the same way
         from datax_spark.lake.table import bucket_expr_for
 
-        bucket = bucket_expr_for(m0, key_cols=list(cfg.keys))
+        bucket = bucket_expr_for(
+            m0, key_cols=list(m0.bucket_cols) or list(cfg.keys)
+        )
         ph: dict[str, float] = {}
 
         # --- dirty-data split: NULL in any key/order column means the

@@ -261,6 +261,15 @@ def merge_into(
                 f"{m.hash_fn!r}. Recreate with hash_fn='murmur3' or pass "
                 f"aligned=False."
             )
+        if m.bucket_cols and list(m.bucket_cols) != list(m.key_cols):
+            # the upstream dedup shuffle hashes the FULL key; a subset
+            # bucket routing no longer equals the partitioner, so the
+            # partition_id == bucket contract cannot hold
+            raise ValueError(
+                f"aligned merges need full-key bucket routing; this table "
+                f"buckets on subset {list(m.bucket_cols)} of keys "
+                f"{list(m.key_cols)}. Pass aligned=False."
+            )
     keys = m.key_cols
 
     incoming = updates.drop(op_col, *(stat_cols or ())).schema

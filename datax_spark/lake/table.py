@@ -155,6 +155,21 @@ class Manifest:
     # layout hash to match the engine's partitioner and whole shuffles
     # disappear. Absent in pre-hash_fn manifests -> xxhash64.
     hash_fn: str = "xxhash64"
+    # Optional bucket-routing columns: a PREFIX-style SUBSET of
+    # ``key_cols`` (the Iceberg partition-spec-narrower-than-identity
+    # analog). Empty (the default, and every pre-bucket_cols manifest)
+    # means bucket on the full key. Setting it routes buckets on the
+    # subset only, so rows sharing those columns CO-LOCATE even when
+    # the full identity key differs — the layout a HISTORY table wants:
+    # key (repo, path, valid_from_lsn) identifies one version interval,
+    # but bucketing on (repo, path) keeps a key's whole history in one
+    # bucket, making "open rows of these keys" a bucket-pruned read
+    # instead of a table scan. Correctness invariant preserved: bucket
+    # is a deterministic function of the key (subset ⊆ key), so every
+    # merge/change-feed/lookup co-location guarantee still holds.
+    # Exchange-aligned merges refuse bucket_cols tables (the dedup
+    # shuffle hashes the FULL key, which no longer equals the bucket).
+    bucket_cols: list[str] = field(default_factory=list)
 
     @property
     def schema(self) -> T.StructType:
@@ -178,6 +193,7 @@ class Manifest:
             "operation": self.operation,
             "shard_buckets": self.shard_buckets,
             "hash_fn": self.hash_fn,
+            "bucket_cols": self.bucket_cols,
         }
 
     def to_json(self) -> str:
@@ -297,7 +313,7 @@ def bucket_expr_for(
     historical default (better 64-bit dispersion, but opaque to the
     partitioner)."""
     nb = num_buckets or m.num_buckets
-    keys = key_cols or m.key_cols
+    keys = key_cols or m.bucket_cols or m.key_cols
     cols = [F.col(k) for k in keys]
     if m.hash_fn == "murmur3":
         return F.pmod(F.hash(*cols), F.lit(nb)).cast("int")
@@ -877,6 +893,7 @@ class LakeTable:
         bloom_cols: list[str] | None = None,
         shard_buckets: int | None = None,
         hash_fn: str = "xxhash64",
+        bucket_cols: list[str] | None = None,
     ) -> "LakeTable":
         """``resolve_order`` (e.g. ``["commit", "lsn"]``) opts the
         table into event-order MoR resolution: merged reads pick each
@@ -927,6 +944,17 @@ class LakeTable:
             raise ValueError(
                 f"hash_fn must be one of {BUCKET_HASH_FNS}, got {hash_fn!r}"
             )
+        if bucket_cols is not None:
+            if not bucket_cols:
+                raise ValueError("bucket_cols must be a non-empty subset of key_cols")
+            bad = [c for c in bucket_cols if c not in key_cols]
+            if bad:
+                raise ValueError(
+                    f"bucket_cols must be a subset of key_cols={list(key_cols)}; "
+                    f"not keys: {bad}"
+                )
+            if list(bucket_cols) == list(key_cols):
+                bucket_cols = None  # full-key routing is the default form
         m = Manifest(
             version=0,
             parent=None,
@@ -941,6 +969,7 @@ class LakeTable:
             bloom_cols=list(bloom_cols or ()),
             shard_buckets=shard_buckets,
             hash_fn=hash_fn,
+            bucket_cols=list(bucket_cols or ()),
         )
         t._write_manifest(m, expected_parent=None)
         return t
@@ -1532,6 +1561,7 @@ class LakeTable:
             operation=operation,
             shard_buckets=parent.shard_buckets,
             hash_fn=parent.hash_fn,
+            bucket_cols=parent.bucket_cols,
         )
         m._dirty_buckets = {int(b) for b in replaced_buckets} | {
             int(b) for b in new_files
@@ -1586,6 +1616,7 @@ class LakeTable:
             file_blooms=dict(parent.file_blooms),
             shard_buckets=parent.shard_buckets,
             hash_fn=parent.hash_fn,
+            bucket_cols=parent.bucket_cols,
         )
         m._dirty_buckets = {int(b) for b in new_delta_files}
         return self._write_manifest(m, expected_parent=parent.version)
@@ -1872,6 +1903,7 @@ class LakeTable:
             file_blooms=blooms,
             shard_buckets=m.shard_buckets,
             hash_fn=m.hash_fn,
+            bucket_cols=m.bucket_cols,
         )
         return self._write_manifest(nm, expected_parent=m.version)
 
@@ -2067,6 +2099,7 @@ class LakeTable:
             file_blooms=dict(t.file_blooms),
             shard_buckets=t.shard_buckets,
             hash_fn=t.hash_fn,
+            bucket_cols=t.bucket_cols,
         )
         return self._write_manifest(m, expected_parent=cur.version)
 

@@ -92,3 +92,57 @@ def sequential_apply(
         lambda c: hashlib.sha256(c.encode("utf-8")).hexdigest() if c is not None else None
     )
     return out.sort_values(["repo", "path"]).reset_index(drop=True)
+
+
+def sequential_scd2(
+    events_root: str, max_epoch: int | None = None
+) -> pd.DataFrame:
+    """Ground truth for the SCD2 history target (lake/scd2.py): replay
+    the log one event at a time in (commit, lsn) order, keeping EVERY
+    version as a validity interval. An upsert closes the key's open
+    interval (valid_to = the upsert's own position) and opens a new
+    one; a delete closes without opening; identical (key, commit, lsn)
+    re-deliveries collapse to one event.
+
+    Output: repo, path, commit, lsn, lang, content, lang_variant,
+    valid_to_commit, valid_to_lsn, is_current — sorted by
+    (repo, path, lsn).
+    """
+    ev = _read_events(events_root, max_epoch)
+    ev = ev.sort_values(["commit", "lsn"], kind="mergesort").drop_duplicates(
+        subset=["repo", "path", "commit", "lsn"]
+    )
+    hist: list[dict] = []
+    open_idx: dict[tuple, int] = {}
+    for row in ev.itertuples(index=False):
+        key = (row.repo, row.path)
+        i = open_idx.pop(key, None)
+        if i is not None:
+            hist[i]["valid_to_commit"] = row.commit
+            hist[i]["valid_to_lsn"] = row.lsn
+            hist[i]["is_current"] = False
+        if row.op != "D":
+            hist.append(
+                {
+                    "repo": row.repo,
+                    "path": row.path,
+                    "commit": row.commit,
+                    "lsn": row.lsn,
+                    "lang": row.lang,
+                    "content": row.content,
+                    "lang_variant": row.lang_variant,
+                    "valid_to_commit": None,
+                    "valid_to_lsn": None,
+                    "is_current": True,
+                }
+            )
+            open_idx[key] = len(hist) - 1
+    cols = [
+        "repo", "path", "commit", "lsn", "lang", "content", "lang_variant",
+        "valid_to_commit", "valid_to_lsn", "is_current",
+    ]
+    if not hist:
+        return pd.DataFrame(columns=cols)
+    out = pd.DataFrame(hist, columns=cols)
+    out["valid_to_lsn"] = out["valid_to_lsn"].astype("Int64")
+    return out.sort_values(["repo", "path", "lsn"]).reset_index(drop=True)

@@ -1,0 +1,201 @@
+"""SCD2 history target (lake/scd2.py) vs the sequential pandas oracle."""
+
+import hashlib
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+
+from datax_spark.fixtures import ChangelogSpec, write_events
+from datax_spark.lake.scd2 import (
+    Scd2Config,
+    Scd2Engine,
+    Scd2OrderError,
+    history_as_of,
+)
+from datax_spark.lake.table import LakeTable, bucket_expr_for
+from datax_spark.oracle import sequential_apply, sequential_scd2
+
+SPEC = ChangelogSpec(
+    n_events=6_000,
+    n_repos=12,
+    paths_per_repo=40,
+    events_per_epoch=2_000,
+    evolve_from_epoch=2,  # lang_variant appears mid-stream
+    seed=7,
+)
+
+
+@pytest.fixture(scope="module")
+def changelog(spark, tmp_path_factory):
+    root = str(tmp_path_factory.mktemp("scd2_events"))
+    write_events(spark, SPEC, root)
+    return root
+
+
+@pytest.fixture(scope="module")
+def engine(spark, changelog, tmp_path_factory):
+    troot = str(tmp_path_factory.mktemp("scd2_table") / "hist")
+    eng = Scd2Engine(spark, changelog, troot, Scd2Config(num_buckets=8))
+    results = eng.run()
+    assert [r.epoch for r in results] == [0, 1, 2]
+    assert not any(r.skipped for r in results)
+    return eng
+
+
+def _engine_frame(engine) -> pd.DataFrame:
+    pdf = engine.table().read().toPandas()
+    pdf["valid_to_lsn"] = pdf["valid_to_lsn"].astype("Int64")
+    cols = [
+        "repo", "path", "commit", "lsn", "lang", "content", "lang_variant",
+        "valid_to_commit", "valid_to_lsn", "is_current",
+    ]
+    return pdf[cols].sort_values(["repo", "path", "lsn"]).reset_index(drop=True)
+
+
+def test_full_history_equals_oracle(engine, changelog):
+    got = _engine_frame(engine)
+    want = sequential_scd2(changelog)
+    pd.testing.assert_frame_equal(got, want)
+    # per-row content sha256 (the BASELINE invariant) over the history
+    g = got["content"].map(
+        lambda c: hashlib.sha256(c.encode()).hexdigest() if c is not None else None
+    )
+    w = want["content"].map(
+        lambda c: hashlib.sha256(c.encode()).hexdigest() if c is not None else None
+    )
+    assert g.tolist() == w.tolist()
+
+
+def test_current_rows_equal_lww_state(engine, changelog):
+    """The open intervals ARE the LWW final state (minus deleted keys)."""
+    cur = (
+        engine.table()
+        .read(filters=[("is_current", "=", True)])
+        .select("repo", "path", "commit", "lsn", "lang", "content", "lang_variant")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    want = sequential_apply(changelog).drop(columns=["content_sha256"])
+    pd.testing.assert_frame_equal(cur, want)
+
+
+def test_exactly_once_and_order_gates(engine, spark, tmp_path):
+    # duplicate epoch: skipped, table state unchanged
+    v0 = engine.table().current_version()
+    r = engine.apply_epoch(1)
+    assert r.skipped and engine.table().current_version() == v0
+    # contiguity: an epoch past the watermark+1 is refused
+    import os
+
+    ev_root = str(tmp_path / "events")
+    cols = ["repo", "path", "commit", "lsn", "lang", "content", "op"]
+    for e in (0, 2):
+        spark.createDataFrame(
+            [("r1", f"f{e}.py", f"c{e:02d}", e * 10 + 1, "python", "x", "I")], cols
+        ).write.parquet(os.path.join(ev_root, f"epoch={e}"))
+    eng = Scd2Engine(spark, ev_root, str(tmp_path / "hist"), Scd2Config(num_buckets=4))
+    eng.apply_epoch(0)
+    with pytest.raises(ValueError, match="out-of-order"):
+        eng.apply_epoch(2)
+
+
+def test_history_colocates_per_key(engine):
+    """bucket_cols routing: every version of a key lives in ONE bucket,
+    even though the identity key (repo, path, lsn) differs per row."""
+    t = engine.table()
+    m = t.manifest()
+    assert m.bucket_cols == ["repo", "path"]
+    df = t.read().withColumn("__b", bucket_expr_for(m))
+    n_multi = (
+        df.groupBy("repo", "path")
+        .agg(F.countDistinct("__b").alias("nb"))
+        .filter(F.col("nb") > 1)
+        .count()
+    )
+    assert n_multi == 0
+
+
+def test_as_of_position_query(engine, changelog):
+    """history_as_of at a mid-log position == replaying the log cut at
+    that position (cut by (commit, lsn) order, the engine's clock)."""
+    hist = sequential_scd2(changelog)
+    closed = hist[~hist["is_current"]]
+    # a position strictly inside the log: some key's valid_to event
+    pos = closed.sort_values(["valid_to_commit", "valid_to_lsn"]).iloc[
+        len(closed) // 2
+    ]
+    pc, pl = pos["valid_to_commit"], int(pos["valid_to_lsn"])
+    got = (
+        history_as_of(engine.table(), pc, pl)
+        .select("repo", "path", "lsn", "content")
+        .toPandas()
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    # oracle as-of from the history frame itself: interval covers pos
+    k = hist
+    frm = list(zip(k["commit"], k["lsn"]))
+    to = list(zip(k["valid_to_commit"], k["valid_to_lsn"]))
+    mask = [
+        f <= (pc, pl) and (cur or (t > (pc, pl)))
+        for f, t, cur in zip(frm, to, k["is_current"])
+    ]
+    want = (
+        k[mask][["repo", "path", "lsn", "content"]]
+        .sort_values(["repo", "path"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_order_guard_refuses_history_rewrite(spark, tmp_path):
+    """An epoch carrying an event at/before a key's open row aborts
+    before the commit and leaves the table untouched."""
+    import os
+
+    ev_root = str(tmp_path / "events")
+    rows0 = [("r1", "a.py", "c05", 50, "python", "v1", "I")]
+    rows1 = [("r1", "a.py", "c01", 10, "python", "stale", "U")]  # BEFORE c05
+    cols = ["repo", "path", "commit", "lsn", "lang", "content", "op"]
+    for e, rows in ((0, rows0), (1, rows1)):
+        spark.createDataFrame(rows, cols).write.parquet(
+            os.path.join(ev_root, f"epoch={e}")
+        )
+    eng = Scd2Engine(spark, ev_root, str(tmp_path / "hist"), Scd2Config(num_buckets=4))
+    eng.apply_epoch(0)
+    v0 = eng.table().current_version()
+    with pytest.raises(Scd2OrderError, match="closed history"):
+        eng.apply_epoch(1)
+    assert eng.table().current_version() == v0
+    assert eng.table().last_epoch == 0
+
+
+def test_restart_resume(spark, changelog, tmp_path):
+    """run() after a partial run resumes at the watermark and converges
+    to the same history."""
+    troot = str(tmp_path / "hist")
+    eng = Scd2Engine(spark, changelog, troot, Scd2Config(num_buckets=8))
+    eng.apply_epoch(0)
+    results = Scd2Engine(spark, changelog, troot, Scd2Config(num_buckets=8)).run()
+    assert [r.skipped for r in results] == [True, False, False]
+    got = _engine_frame(eng)
+    pd.testing.assert_frame_equal(got, sequential_scd2(changelog))
+
+
+def test_bucket_cols_validation(spark, tmp_path):
+    from pyspark.sql import types as T
+
+    schema = T.StructType([T.StructField("k", T.StringType()),
+                           T.StructField("v", T.LongType())])
+    with pytest.raises(ValueError, match="subset of key_cols"):
+        LakeTable.create(spark, str(tmp_path / "t1"), schema, ["k"],
+                         bucket_cols=["v"])
+    with pytest.raises(ValueError, match="non-empty"):
+        LakeTable.create(spark, str(tmp_path / "t2"), schema, ["k"],
+                         bucket_cols=[])
+    # full-key bucket_cols normalizes to the default form
+    t = LakeTable.create(spark, str(tmp_path / "t3"), schema, ["k"],
+                         bucket_cols=["k"])
+    assert t.manifest().bucket_cols == []
