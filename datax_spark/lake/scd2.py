@@ -39,10 +39,16 @@ Epoch apply — the same exactly-once discipline as the LWW engine:
    (commit, lsn): ``valid_to = LEAD(commit, lsn)``; a delete event
    closes its predecessor and emits no row; the last non-delete
    version stays open (``is_current``);
-4. MERGE the rewritten + new interval rows (storage-partitioned spj
-   plan — the current side never shuffles). Closed history is
-   IMMUTABLE: the merge touches the one open row each key closes
-   plus the key's new intervals, nothing else;
+4. MERGE the rewritten + new interval rows. Default strategy is
+   MERGE-ON-READ (``Scd2Config.strategy="mor"``): a history table
+   GROWS monotonically, so a copy-on-write epoch would rewrite
+   ever-larger bucket files — O(table) per epoch. MoR instead
+   appends O(batch) delta files (closed history never conflicts;
+   the only per-key collision is the open row vs its own closed
+   rewrite, which later-delta-wins resolves correctly), and
+   ``compact_every`` folds the deltas on a cadence so read
+   amplification stays bounded. ``strategy="spj"`` remains for
+   small/cold tables where one file per bucket beats delta stacks;
 5. two-phase commit with the ``last_epoch`` manifest watermark —
    crash replay / duplicate epochs are no-ops, same gate as replay.
 
@@ -54,10 +60,12 @@ no extra scan) and aborts before the commit; the written txn files
 are orphans, exactly like any pre-commit crash.
 
 Scale: step 3's window shuffles O(epoch events + affected open rows)
-— batch-sized, never table-sized; step 4 is the same bucket-local
-merge the LWW path runs. At 10^10 events the table grows with
-TOTAL VERSIONS (that is what SCD2 stores), but every epoch's cost is
-O(batch + touched buckets) like the LWW engine's.
+— batch-sized, never table-sized; step 4's default MoR write is
+O(batch) regardless of table size, and the periodic compaction is
+the only table-sized job (amortized over ``compact_every`` epochs,
+the same trade merge-on-read ingest makes everywhere). At 10^10
+events the table grows with TOTAL VERSIONS (that is what SCD2
+stores), but an epoch never pays for history it didn't touch.
 """
 
 from __future__ import annotations
@@ -92,6 +100,12 @@ class Scd2Config:
     num_buckets: int = 32
     hash_fn: str = "murmur3"
     shard_manifest_buckets: int | None = None
+    # "mor" (default): O(batch) delta appends + periodic fold — the
+    # only write shape whose epoch cost does not grow with the
+    # monotonically-growing history. "spj": bucket-local CoW, one
+    # file per bucket — right for small/cold tables.
+    strategy: str = "mor"
+    compact_every: int | None = 8  # fold deltas every N epochs (mor)
 
     def __post_init__(self) -> None:
         if not self.keys or not self.order_cols:
@@ -99,6 +113,10 @@ class Scd2Config:
         overlap = set(self.keys) & set(self.order_cols)
         if overlap:
             raise ValueError(f"keys and order_cols overlap: {sorted(overlap)}")
+        if self.strategy not in ("mor", "spj"):
+            raise ValueError(f"strategy must be 'mor' or 'spj', got {self.strategy!r}")
+        if self.compact_every is not None and self.compact_every < 1:
+            raise ValueError(f"compact_every must be >= 1, got {self.compact_every}")
 
     @property
     def seq_col(self) -> str:
@@ -259,7 +277,7 @@ class Scd2Engine:
             rows,
             op_col=cfg.op_col,
             delete_op=cfg.delete_op,  # never present — pure upsert
-            strategy="spj",
+            strategy=cfg.strategy,
         )
         ph["stitch_merge"] = (time.monotonic() - tp) * 1000
 
@@ -274,13 +292,32 @@ class Scd2Engine:
             )
 
         tp = time.monotonic()
-        version = pending.commit(summary={"last_epoch": epoch})
+        pending.commit(summary={"last_epoch": epoch})
         ph["commit"] = (time.monotonic() - tp) * 1000
+
+        if (
+            cfg.strategy == "mor"
+            and cfg.compact_every
+            and (epoch + 1) % cfg.compact_every == 0
+            and self.table().manifest().delta_files
+        ):
+            # fold the delta stack on a cadence: the one table-sized
+            # job, amortized over compact_every O(batch) epochs
+            tp = time.monotonic()
+            self.table().compact()
+            ph["compact"] = (time.monotonic() - tp) * 1000
+
         ph["total"] = (time.monotonic() - t0) * 1000
+        # spj rewrites buckets (delta = net new interval rows); mor
+        # appends exactly the epoch's interval rows as deltas
+        written = (
+            pending.stats.rows_after
+            if pending.mode == "mor"
+            else pending.stats.rows_after - pending.stats.rows_before
+        )
         return Scd2EpochResult(
             epoch=epoch,
-            versions_written=pending.stats.rows_after
-            - pending.stats.rows_before,
+            versions_written=written,
             keys_touched=int(obs.get.get("n_rows") or 0),
             phase_ms=ph,
         )

@@ -33,10 +33,13 @@ def changelog(spark, tmp_path_factory):
     return root
 
 
-@pytest.fixture(scope="module")
-def engine(spark, changelog, tmp_path_factory):
+@pytest.fixture(scope="module", params=["mor", "spj"])
+def engine(spark, changelog, tmp_path_factory, request):
     troot = str(tmp_path_factory.mktemp("scd2_table") / "hist")
-    eng = Scd2Engine(spark, changelog, troot, Scd2Config(num_buckets=8))
+    eng = Scd2Engine(
+        spark, changelog, troot,
+        Scd2Config(num_buckets=8, strategy=request.param, compact_every=2),
+    )
     results = eng.run()
     assert [r.epoch for r in results] == [0, 1, 2]
     assert not any(r.skipped for r in results)
@@ -182,6 +185,31 @@ def test_restart_resume(spark, changelog, tmp_path):
     assert [r.skipped for r in results] == [True, False, False]
     got = _engine_frame(eng)
     pd.testing.assert_frame_equal(got, sequential_scd2(changelog))
+
+
+def test_mor_epochs_append_only(spark, changelog, tmp_path):
+    """MoR strategy: an epoch appends O(batch) delta files and never
+    rewrites base files (the property that keeps epoch cost flat as
+    the history grows); the fold cadence converges to the same frame."""
+    troot = str(tmp_path / "hist")
+    eng = Scd2Engine(
+        spark, changelog, troot,
+        Scd2Config(num_buckets=8, strategy="mor", compact_every=None),
+    )
+    eng.apply_epoch(0)
+    m0 = eng.table().manifest()
+    base0 = {b: tuple(fs) for b, fs in m0.files.items()}
+    eng.apply_epoch(1)
+    m1 = eng.table().manifest()
+    assert {b: tuple(fs) for b, fs in m1.files.items()} == base0
+    assert sum(len(v) for v in m1.delta_files.values()) > sum(
+        len(v) for v in m0.delta_files.values()
+    )
+    eng.apply_epoch(2)
+    eng.table().compact()
+    got = _engine_frame(eng)
+    pd.testing.assert_frame_equal(got, sequential_scd2(changelog))
+    assert not eng.table().manifest().delta_files
 
 
 def test_bucket_cols_validation(spark, tmp_path):
