@@ -45,6 +45,13 @@ Job kinds:
   idempotent). Views can also ride the replay job itself:
   ``"materialized_views": ["/path/to/view", ...]`` in the replay
   spec refreshes them after every committed epoch.
+* ``{"scd2": {...}}`` — SCD Type-2 history target (lake/scd2.py):
+  ``{"scd2": {"events_root": ..., "table_root": ..., "keys":
+  ["repo", "path"], "order_cols": ["commit", "lsn"], "num_buckets":
+  32, "strategy": "mor" | "spj", "compact_every": 8}}`` — replays
+  the changelog into a table keeping EVERY version as a validity
+  interval (exactly-once per epoch; re-run resumes at the committed
+  watermark, the scheduled-sync shape).
 * ``{"replicate": {...}}`` — lake-to-lake incremental replication:
   ``{"replicate": {"source_root": ..., "replica_root": ...,
   "to_version": null}}`` (idempotent; re-run = no-op at the same
@@ -325,6 +332,40 @@ def main(argv: list[str] | None = None) -> int:
             "synced_to": res.synced_to,
             "groups_changed": res.groups_changed,
             "groups_recomputed": res.groups_recomputed,
+        }))
+        return 0
+
+    if "scd2" in spec:
+        # SCD2 history replay as a job: resumes at the committed
+        # watermark, so a scheduled re-run applies only new epochs.
+        from datax_spark.lake.scd2 import Scd2Config, Scd2Engine
+
+        s = spec["scd2"]
+        eng = Scd2Engine(
+            spark,
+            events_root=s["events_root"],
+            table_root=s["table_root"],
+            config=Scd2Config(
+                keys=tuple(s.get("keys", ("repo", "path"))),
+                order_cols=tuple(s.get("order_cols", ("commit", "lsn"))),
+                num_buckets=int(s.get("num_buckets", 32)),
+                strategy=s.get("strategy", "mor"),
+                compact_every=s.get("compact_every", 8),
+            ),
+        )
+        if args.dry_run:
+            print(json.dumps({
+                "mode": "scd2",
+                "epochs": eng.discover_epochs(),
+                "next_epoch": eng.resume_epoch(),
+            }))
+            return 0
+        results = eng.run()
+        print(json.dumps({
+            "mode": "scd2",
+            "applied": [r.epoch for r in results if not r.skipped],
+            "skipped": [r.epoch for r in results if r.skipped],
+            "versions_written": sum(r.versions_written for r in results),
         }))
         return 0
 

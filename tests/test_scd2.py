@@ -212,6 +212,28 @@ def test_mor_epochs_append_only(spark, changelog, tmp_path):
     assert not eng.table().manifest().delta_files
 
 
+def test_cli_scd2_job(spark, changelog, tmp_path, capsys):
+    """CLI job kind {"scd2": ...}: applies all epochs, and a re-run is
+    an idempotent no-op (the scheduled-sync shape)."""
+    import json
+
+    from datax_spark.cli import main
+
+    troot = str(tmp_path / "hist")
+    spec = {"scd2": {"events_root": changelog, "table_root": troot,
+                     "num_buckets": 8}}
+    job = tmp_path / "job.json"
+    job.write_text(json.dumps(spec))
+    assert main(["--job", str(job)]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["mode"] == "scd2" and out["applied"] == [0, 1, 2]
+    frame = Scd2Engine(spark, changelog, troot).table().read().count()
+    assert frame == len(sequential_scd2(changelog))
+    assert main(["--job", str(job)]) == 0
+    out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out2["applied"] == [] and out2["skipped"] == [0, 1, 2]
+
+
 def test_bucket_cols_validation(spark, tmp_path):
     from pyspark.sql import types as T
 
