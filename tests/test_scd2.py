@@ -33,7 +33,7 @@ def changelog(spark, tmp_path_factory):
     return root
 
 
-@pytest.fixture(scope="module", params=["mor", "spj"])
+@pytest.fixture(scope="module", params=["tiered", "mor", "spj"])
 def engine(spark, changelog, tmp_path_factory, request):
     troot = str(tmp_path_factory.mktemp("scd2_table") / "hist")
     eng = Scd2Engine(
@@ -232,6 +232,53 @@ def test_cli_scd2_job(spark, changelog, tmp_path, capsys):
     assert main(["--job", str(job)]) == 0
     out2 = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out2["applied"] == [] and out2["skipped"] == [0, 1, 2]
+
+
+def test_tiered_closed_files_immutable(spark, changelog, tmp_path):
+    """Tiered layout: an epoch never touches a closed file — every
+    closed file written by epoch N is still listed, byte-identical, at
+    the end; only open files get replaced. This is the property that
+    keeps epoch cost flat while the history grows."""
+    import hashlib as hl
+    import os
+
+    troot = str(tmp_path / "hist")
+    eng = Scd2Engine(
+        spark, changelog, troot,
+        Scd2Config(num_buckets=8, strategy="tiered", compact_every=None),
+    )
+
+    def snapshot_closed():
+        m = eng.table().manifest()
+        out = {}
+        for fs in m.files.values():
+            for p in fs:
+                if "-closed" in os.path.basename(p):
+                    with open(os.path.join(troot, p), "rb") as fh:
+                        out[p] = hl.sha256(fh.read()).hexdigest()
+        return out
+
+    eng.apply_epoch(0)
+    c0 = snapshot_closed()
+    eng.apply_epoch(1)
+    c1 = snapshot_closed()
+    assert set(c0) <= set(c1) and all(c1[p] == h for p, h in c0.items())
+    eng.apply_epoch(2)
+    c2 = snapshot_closed()
+    assert set(c1) <= set(c2) and all(c2[p] == h for p, h in c1.items())
+
+    # compaction concatenates closed files without changing the frame
+    before = _engine_frame(eng)
+    from datax_spark.lake.scd2 import compact_closed
+
+    assert compact_closed(eng.table()) > 0
+    pd.testing.assert_frame_equal(_engine_frame(eng), before)
+    pd.testing.assert_frame_equal(before, sequential_scd2(changelog))
+
+    # current-state reads skip every closed file via is_current stats
+    kept, skipped = eng.table().plan_files([("is_current", "=", True)])
+    assert all("-open" in os.path.basename(p) for p in kept)
+    assert all("-closed" in os.path.basename(p) for p in skipped) and skipped
 
 
 def test_bucket_cols_validation(spark, tmp_path):
