@@ -261,6 +261,15 @@ class ReplayConfig:
     # (AggView.create against the table root); the engine only
     # advances them.
     materialized_views: tuple[str, ...] = ()
+    # Join-view maintenance (lake/joinview.py): (view_root, dim_root)
+    # pairs — each view is a fact ⋈ dim of THIS engine's table against
+    # the dimension LakeTable at dim_root, advanced to both tables'
+    # heads on the same cadence/heal contract as materialized_views.
+    # Create the views first (JoinView.create); the engine only
+    # advances them. The dim side is maintained by whoever owns it
+    # (another engine, a jobspec, manual merges) — its change feed is
+    # read here, never written.
+    join_views: tuple[tuple[str, str], ...] = ()
     # Refresh cadence for the attached views: refresh after every Nth
     # committed epoch (1 = every epoch). A view refresh costs roughly
     # one extra read of the epoch's touched buckets per diff side (the
@@ -466,7 +475,7 @@ class ReplayEngine:
         at the SAME synced version (the steady state when they all
         ride every epoch) share ONE persisted change-feed read instead
         of one per view."""
-        if not self.config.materialized_views:
+        if not self.config.materialized_views and not self.config.join_views:
             return
         if (
             epoch is not None
@@ -504,6 +513,19 @@ class ReplayEngine:
                     v.refresh(table, to_version=head, shared_cdf=cdf)
             finally:
                 cdf.unpersist()
+        if self.config.join_views:
+            from datax_spark.lake.joinview import JoinView
+
+            for vroot, droot in self.config.join_views:
+                view = self._views_cache.get(vroot)
+                if view is None:
+                    view = JoinView.load(self.spark, vroot)
+                    self._views_cache[vroot] = view
+                dim = self._views_cache.get(("dim", droot))
+                if dim is None:
+                    dim = LakeTable.load(self.spark, droot)
+                    self._views_cache[("dim", droot)] = dim
+                view.refresh(table, dim, left_to=head)
         if ph is not None:
             ph["views"] = (_time.monotonic() - tp) * 1000
 
@@ -993,7 +1015,9 @@ class ReplayEngine:
                     time.sleep(wait)
         # heal views a previous run crashed between an epoch commit
         # and its refresh (no-op when every epoch above refreshed)
-        if cfg.materialized_views and LakeTable.exists(self.table_root):
+        if (cfg.materialized_views or cfg.join_views) and LakeTable.exists(
+            self.table_root
+        ):
             self._refresh_views(self.table())
         return results
 

@@ -246,7 +246,7 @@ class StreamReplay:
         # view behind; the next refreshed batch (or the drain-end heal
         # in run_available_now) converges it, the feed window being
         # version-ranged
-        if cfg.materialized_views and (
+        if (cfg.materialized_views or cfg.join_views) and (
             cfg.view_refresh_every <= 1
             or (batch_id + 1) % cfg.view_refresh_every == 0
         ):
@@ -254,10 +254,15 @@ class StreamReplay:
         self.applied_batches.append(batch_id)
 
     def _refresh_views(self, table: LakeTable) -> None:
+        from datax_spark.lake.joinview import JoinView
         from datax_spark.lake.matview import AggView
 
         for vroot in self.config.materialized_views:
             AggView.load(self.spark, vroot).refresh(table)
+        for vroot, droot in self.config.join_views:
+            JoinView.load(self.spark, vroot).refresh(
+                table, LakeTable.load(self.spark, droot)
+            )
 
     def run_available_now(self) -> None:
         """Drain everything currently in the log, then stop (the batch
@@ -279,7 +284,9 @@ class StreamReplay:
         # drain-end heal (the streaming analog of the batch run()-end
         # heal): views skipped by the cadence — or stranded by a crash
         # between a batch commit and its refresh — converge to head
-        if self.config.materialized_views and LakeTable.exists(self.table_root):
+        if (
+            self.config.materialized_views or self.config.join_views
+        ) and LakeTable.exists(self.table_root):
             self._refresh_views(self.table())
 
     def table(self) -> LakeTable:
