@@ -597,6 +597,85 @@ def _q_cdc_matview_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incrementally-maintained JOIN view (lake/joinview.py): the
+    replayed repo table LEFT-joined to a lang-dimension LakeTable,
+    kept in sync from BOTH change feeds by the delta-join plan — fact
+    deltas re-join their post-images, dim deltas semi-join only the
+    fact rows referencing changed dim keys; never a full recompute.
+    The refresh windows interleave fact-only, dim-only and
+    both-changed syncs (dim updates AND a dim delete after the view
+    exists, so the null-out path fires). The reference's closest
+    shape is a full re-extract of a multi-table SELECT per run
+    (HiveReader.java:58-74); here each sync costs O(changed rows).
+    Oracle: the pure-SQL LWW replay LEFT JOIN the dim's final state
+    inlined as VALUES."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.joinview import JoinView, JoinViewSpec
+    from datax_spark.lake.table import LakeTable
+
+    fact = LakeTable.load(spark, os.path.join(root, "table"))
+    dim_root = os.path.join(root, "lang_dim")
+    view_root = os.path.join(root, "join_view")
+    if not _REPLAY_CACHE.get("join_view"):
+        from datax_spark.lake.merge import merge_into
+
+        dim_schema = T.StructType(
+            [
+                T.StructField("lang", T.StringType()),
+                T.StructField("family", T.StringType()),
+                T.StructField("rank", T.LongType()),
+            ]
+        )
+        dim = LakeTable.create(
+            spark, dim_root, dim_schema, key_cols=["lang"], num_buckets=2
+        )
+        view = JoinView.create(
+            spark, view_root, fact, dim,
+            JoinViewSpec(on=(("lang", "lang"),), how="left", right_prefix="lang_"),
+            num_buckets=8,
+        )
+        langs = ["python", "java", "go", "ts", "rs", "md"]
+
+        def _dim_batch(rows, deletes=()):
+            data = [(*r, "U") for r in rows] + [
+                (d, None, None, "D") for d in deletes
+            ]
+            return spark.createDataFrame(
+                data,
+                T.StructType(
+                    dim_schema.fields + [T.StructField("op", T.StringType())]
+                ),
+            )
+
+        # dim v1: every fixture lang; fact pinned mid-history so the
+        # final refresh exercises fact-delta and dim-delta together
+        merge_into(dim, _dim_batch(
+            [(x, f"fam_{x}", i) for i, x in enumerate(langs)]
+        )).commit()
+        fvs = [v for v in fact.versions() if v > 0]
+        mid = fvs[len(fvs) // 2]
+        r1 = view.refresh(fact, dim, left_to=mid)
+        assert r1.rows_upserted > 0
+        # dim v2: updates + a delete AFTER the view holds md rows —
+        # the left-join null-out retraction must fire
+        merge_into(dim, _dim_batch(
+            [("python", "script", 0), ("go", "native", 2)], deletes=["md"]
+        )).commit()
+        r2 = view.refresh(fact, dim)
+        assert r2.rows_upserted > 0
+        assert view.synced_versions() == (
+            fact.current_version(), dim.current_version()
+        )
+        _REPLAY_CACHE["join_view"] = "done"
+    view = JoinView.load(spark, view_root)
+    return view.read().select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
+        "lang_family", "lang_rank",
+    )
+
+
 def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (the Iceberg read-at-version surface):
     read the replay table AS OF the snapshot committed by epoch 1
@@ -1021,6 +1100,31 @@ def _q_event_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_event_asof_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of (temporal) join: every click event enriched with the
+    user's most recent purchase at-or-before it (operators/asof.py,
+    union+window formulation — one exchange on user_id + one sort,
+    whole-stage codegen, no range-join explosion). Oracle: DuckDB's
+    native ASOF LEFT JOIN."""
+    from datax_spark.operators.asof import asof_join
+
+    ev = spark.read.parquet(_p(sf_dir, "events"))
+    as_sec = F.col("ts").cast("timestamp").cast("long")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", as_sec.alias("ts_sec"), "value",
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", as_sec.alias("ts_sec"),
+        F.col("event_id").alias("purchase_event_id"),
+        F.col("value").alias("purchase_value"),
+    )
+    return asof_join(
+        clicks, purchases, on=["user_id"], left_ts="ts_sec",
+        right_cols=["purchase_event_id", "purchase_value"],
+        right_prefix="last_",
+    )
+
+
 def _q_event_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user inter-event deltas (lag): CDC-style ordering analysis."""
     from pyspark.sql.window import Window
@@ -1334,6 +1438,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_time_travel": _q_cdc_time_travel,
         "cdc_incremental_agg_view": _q_cdc_incremental_agg_view,
         "cdc_matview_rollup": _q_cdc_matview_rollup,
+        "cdc_join_view": _q_cdc_join_view,
         "cdc_snapshot_lineage": _q_cdc_snapshot_lineage,
         "cdc_recent_changes_scan": _q_cdc_recent_changes_scan,
         "cdc_change_feed": _q_cdc_change_feed,
@@ -1355,6 +1460,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "region_revenue": _q_region_revenue,
         "window_topk_orders": _q_window_topk_orders,
         "event_sessionization": _q_event_sessionization,
+        "event_asof_enrich": _q_event_asof_enrich,
         "event_lag_delta": _q_event_lag_delta,
         "orders_rollup": _q_orders_rollup,
         "orders_cube": _q_orders_cube,
@@ -1730,6 +1836,37 @@ def oracle_sql() -> dict[str, str]:
                    max(lsn) AS max_lsn
             FROM state GROUP BY repo, lang
         """,
+        # incremental join view: maintained from BOTH change feeds,
+        # must equal the LWW final state LEFT-joined to the dim's
+        # final state (the same literal epochs the Spark side commits)
+        "cdc_join_view": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            ),
+            fact AS (
+              SELECT repo, path, commit, lsn, lang, lang_variant,
+                     sha256(content) AS content_sha256
+              FROM w WHERE rn = 1 AND op <> 'D'
+            ),
+            dim AS (
+              SELECT * FROM (VALUES
+                ('python', 'script',   CAST(0 AS BIGINT)),
+                ('java',   'fam_java', CAST(1 AS BIGINT)),
+                ('go',     'native',   CAST(2 AS BIGINT)),
+                ('ts',     'fam_ts',   CAST(3 AS BIGINT)),
+                ('rs',     'fam_rs',   CAST(4 AS BIGINT))
+              ) AS t(lang, lang_family, lang_rank)
+            )
+            SELECT f.*, d.lang_family, d.lang_rank
+            FROM fact f LEFT JOIN dim d USING (lang)
+        """,
         # cascaded rollup: recompute BOTH aggregation levels from the
         # LWW final state; the maintained two-level cascade must match
         "cdc_matview_rollup": f"""
@@ -2100,6 +2237,25 @@ def oracle_sql() -> dict[str, str]:
                    max(event_id) AS last_event_id,
                    round(sum(value), 4) AS session_value
             FROM s GROUP BY user_id, session_id
+        """,
+        # as-of join: DuckDB's native ASOF LEFT JOIN is the oracle —
+        # largest purchase ts <= click ts per user, inclusive
+        "event_asof_enrich": """
+            WITH clicks AS (
+              SELECT event_id, user_id,
+                     CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec, value
+              FROM events WHERE event_type = 'click'
+            ),
+            purchases AS (
+              SELECT user_id, CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec,
+                     event_id AS last_purchase_event_id,
+                     value AS last_purchase_value
+              FROM events WHERE event_type = 'purchase'
+            )
+            SELECT c.event_id, c.user_id, c.ts_sec, c.value,
+                   p.last_purchase_event_id, p.last_purchase_value
+            FROM clicks c ASOF LEFT JOIN purchases p
+              ON c.user_id = p.user_id AND c.ts_sec >= p.ts_sec
         """,
         "event_lag_delta": """
             SELECT user_id, event_id,
