@@ -54,6 +54,7 @@ def main() -> None:
         "tpch_q1",                   # wide agg scan
         "region_revenue",            # broadcast star join
         "window_topk_orders",        # window topk
+        "event_asof_enrich",         # as-of join (union+window)
         "exact_dedup_docs",          # exact dedup
         # ngram_jaccard_pairs (all-pairs exact jaccard) is the O(n^2)
         # baseline kept for sf0.01 oracle checks only; at bench scale

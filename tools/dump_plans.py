@@ -293,6 +293,42 @@ def main() -> None:
         ["partial_sum", "partial_min", "partial_max", "hashpartitioning"],
     ))
 
+    # 10. As-of join: union+window — ONE exchange on the key, a sort,
+    # a Window; never the BroadcastNestedLoopJoin a naive non-equi
+    # range join plans into
+    from datax_spark.operators.asof import asof_join
+
+    ev10 = spark.read.parquet(f"{SF}/events.parquet")
+    clicks = ev10.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", F.col("ts").cast("timestamp").cast("long").alias("t"),
+    )
+    purch = ev10.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").cast("timestamp").cast("long").alias("t"),
+        F.col("value").alias("pv"),
+    )
+    aj = asof_join(clicks, purch, on=["user_id"], left_ts="t")
+    aj_plan = plan_of(aj)
+    n_aj_exchanges = len(re.findall(r"\(\d+\) Exchange", aj_plan))
+    sections.append((
+        "As-of join (operators.asof.asof_join)",
+        "The union+window formulation: both sides scan, union, ONE "
+        "exchange on the key columns, one in-partition sort, a Window "
+        "running last(payload, ignorenulls) — linear in |left|+|right| "
+        "per key and whole-stage-codegen'd around the window. The naive "
+        "range-join expression (equi key + non-equi ts residual) plans "
+        "as BroadcastNestedLoopJoin, quadratic per key group; it must "
+        "never appear.",
+        aj_plan,
+        ["Window", "!BroadcastNestedLoop", "!CartesianProduct"],
+    ))
+    if n_aj_exchanges != 1:
+        sections.append((
+            "ASOF exchange-count REGRESSION",
+            f"expected exactly 1 Exchange, found "
+            f"{n_aj_exchanges}",
+            aj_plan, ["__NEVER__"],
+        ))
+
     out = ["# Physical plans of the core operators\n",
            "Generated by `python tools/dump_plans.py` — the quoted plan\n"
            "properties are asserted, so regressions fail the script.\n"]
