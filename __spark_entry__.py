@@ -676,6 +676,35 @@ def _q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Row-level predicate delete (LakeTable.delete_where — the
+    DELETE FROM ... WHERE / retention-sweep / GDPR-erasure surface;
+    reference analog: the postSql DELETE statements rdbms writers run,
+    WriterUtil.java's templated SQL, but here a first-class snapshot
+    commit that rides the change feed and views). A replica of the
+    replayed table (exercising the replication seed path too) deletes
+    every lang='md' row; NULL-lang rows must survive (SQL equality).
+    Oracle: the pure-SQL LWW final state with the complement
+    predicate."""
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.replicate import sync
+    from datax_spark.lake.table import LakeTable
+
+    rep_root = os.path.join(root, "retention_replica")
+    if not _REPLAY_CACHE.get("retention"):
+        src = LakeTable.load(spark, os.path.join(root, "table"))
+        sync(src, rep_root)
+        rep = LakeTable.load(spark, rep_root)
+        n = rep.delete_where(filters=[("lang", "=", "md")])
+        assert n > 0, "fixture always contains md rows"
+        _REPLAY_CACHE["retention"] = "done"
+    rep = LakeTable.load(spark, rep_root)
+    return rep.read().select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
 def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (the Iceberg read-at-version surface):
     read the replay table AS OF the snapshot committed by epoch 1
@@ -1439,6 +1468,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_agg_view": _q_cdc_incremental_agg_view,
         "cdc_matview_rollup": _q_cdc_matview_rollup,
         "cdc_join_view": _q_cdc_join_view,
+        "cdc_retention_delete": _q_cdc_retention_delete,
         "cdc_snapshot_lineage": _q_cdc_snapshot_lineage,
         "cdc_recent_changes_scan": _q_cdc_recent_changes_scan,
         "cdc_change_feed": _q_cdc_change_feed,
@@ -1835,6 +1865,25 @@ def oracle_sql() -> dict[str, str]:
                    min(lsn) AS min_lsn,
                    max(lsn) AS max_lsn
             FROM state GROUP BY repo, lang
+        """,
+        # predicate delete on a replica: LWW final state minus the
+        # deleted predicate; NULL lang never matches '=' and survives
+        "cdc_retention_delete": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT repo, path, commit, lsn, lang, lang_variant,
+                   sha256(content) AS content_sha256
+            FROM w
+            WHERE rn = 1 AND op <> 'D'
+              AND (lang IS NULL OR lang <> 'md')
         """,
         # incremental join view: maintained from BOTH change feeds,
         # must equal the LWW final state LEFT-joined to the dim's

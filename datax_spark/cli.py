@@ -413,6 +413,16 @@ def main(argv: list[str] | None = None) -> int:
                         keep_last=int(p.get("keep_last", 1))
                     )
                 })
+            elif kind == "delete_where":
+                applied.append({
+                    "delete_where": t.delete_where(
+                        filters=[tuple(f) for f in p["filters"]]
+                        if p.get("filters")
+                        else None,
+                        condition=p.get("where"),
+                        strategy=p.get("strategy", "shuffle"),
+                    )
+                })
             elif kind == "vacuum":
                 applied.append({"vacuum": len(t.vacuum())})
             else:

@@ -2103,6 +2103,72 @@ class LakeTable:
         )
         return self._write_manifest(m, expected_parent=cur.version)
 
+    def delete_where(
+        self,
+        filters: list[tuple] | None = None,
+        condition=None,
+        strategy: str = "shuffle",
+    ) -> int:
+        """Row-level predicate delete (the Iceberg/Delta ``DELETE FROM
+        ... WHERE`` surface; retention sweeps, GDPR erasure). The
+        matching rows' KEYS are collected distributed-side and applied
+        as ordinary delete events through the engine's own MERGE, so
+        the deletion is a first-class snapshot commit: it appears in
+        the change feed as ``delete`` rows, incremental views retract,
+        replicas converge, and time travel before the commit still
+        sees the data (couple with ``expire_snapshots`` + ``vacuum``
+        for physical erasure).
+
+        ``filters`` takes the conjunct-tuple form of :meth:`read` —
+        per-file [min,max,null_count] stats and key blooms SKIP files
+        the predicate provably misses, so a retention sweep over a
+        stats-indexed column scans the matching tail, not the table.
+        ``condition`` accepts an arbitrary Column / SQL string instead
+        (full scan of every bucket's data, no pruning — the predicate
+        is opaque). Exactly one of the two.
+
+        ``strategy``: ``"shuffle"`` (CoW rewrite of affected buckets,
+        default) or ``"mor"`` — O(matched keys) tombstone deltas, the
+        right shape when a TTL sweep touches most buckets of a huge
+        table and the rewrite should be deferred to compaction.
+
+        Returns the number of rows deleted (0 = no commit made).
+        """
+        from datax_spark.lake.merge import merge_into
+
+        if (filters is None) == (condition is None):
+            raise ValueError("pass exactly one of filters= or condition=")
+        m = self.manifest()
+        if filters is not None:
+            matched = self.read(filters=filters)
+        else:
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            matched = self.read().filter(cond)
+        keys = matched.select(*m.key_cols)
+        n = keys.count()
+        if n == 0:
+            return 0
+        null_payload = [
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in m.schema.fields
+            if f.name not in m.key_cols
+        ]
+        up = keys.select(
+            *m.key_cols, *null_payload, F.lit("D").alias("__op")
+        )
+        pm = merge_into(
+            self, up, op_col="__op", delete_op="D", strategy=strategy
+        )
+        pm.commit(
+            summary={
+                "delete_where": str(
+                    filters if filters is not None else condition
+                ),
+                "rows_deleted": n,
+            }
+        )
+        return n
+
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Retire old snapshots (Iceberg's expire_snapshots): delete the
         manifest files of all but the newest ``keep_last`` versions (the
