@@ -423,6 +423,17 @@ def main(argv: list[str] | None = None) -> int:
                         strategy=p.get("strategy", "shuffle"),
                     )
                 })
+            elif kind == "update_where":
+                applied.append({
+                    "update_where": t.update_where(
+                        assignments=p["set"],
+                        filters=[tuple(f) for f in p["filters"]]
+                        if p.get("filters")
+                        else None,
+                        condition=p.get("where"),
+                        strategy=p.get("strategy", "shuffle"),
+                    )
+                })
             elif kind == "vacuum":
                 applied.append({"vacuum": len(t.vacuum())})
             else:

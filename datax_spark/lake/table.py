@@ -2144,30 +2144,115 @@ class LakeTable:
         else:
             cond = F.expr(condition) if isinstance(condition, str) else condition
             matched = self.read().filter(cond)
-        keys = matched.select(*m.key_cols)
-        n = keys.count()
-        if n == 0:
-            return 0
-        null_payload = [
-            F.lit(None).cast(f.dataType).alias(f.name)
-            for f in m.schema.fields
-            if f.name not in m.key_cols
-        ]
-        up = keys.select(
-            *m.key_cols, *null_payload, F.lit("D").alias("__op")
-        )
-        pm = merge_into(
-            self, up, op_col="__op", delete_op="D", strategy=strategy
-        )
-        pm.commit(
-            summary={
-                "delete_where": str(
-                    filters if filters is not None else condition
-                ),
-                "rows_deleted": n,
-            }
-        )
-        return n
+        keys = matched.select(*m.key_cols).persist()
+        try:
+            n = keys.count()
+            if n == 0:
+                return 0
+            null_payload = [
+                F.lit(None).cast(f.dataType).alias(f.name)
+                for f in m.schema.fields
+                if f.name not in m.key_cols
+            ]
+            up = keys.select(
+                *m.key_cols, *null_payload, F.lit("D").alias("__op")
+            )
+            pm = merge_into(
+                self, up, op_col="__op", delete_op="D", strategy=strategy
+            )
+            pm.commit(
+                summary={
+                    "delete_where": str(
+                        filters if filters is not None else condition
+                    ),
+                    "rows_deleted": n,
+                }
+            )
+            return n
+        finally:
+            keys.unpersist()
+
+    def update_where(
+        self,
+        assignments: dict[str, object],
+        filters: list[tuple] | None = None,
+        condition=None,
+        strategy: str = "shuffle",
+    ) -> int:
+        """Row-level predicate update (the Iceberg/Delta ``UPDATE ...
+        SET ... WHERE`` surface), the sibling of :meth:`delete_where`
+        and the same shape: matching rows are re-emitted as upsert
+        events through the engine's own MERGE, so the update is a
+        first-class snapshot commit the change feed reports as
+        ``update`` rows and downstream views/replicas absorb
+        incrementally.
+
+        ``assignments`` maps column name → new value (a Column, a SQL
+        expression string, or a literal); expressions see the row's
+        OLD values, SQL UPDATE semantics (``{"lsn": "lsn + 1"}``).
+        Key columns cannot be assigned — a key change is a delete +
+        insert, which is a statement about identity the caller must
+        make explicitly. Predicate forms and ``strategy`` as in
+        :meth:`delete_where`. Returns rows updated (0 = no commit).
+        """
+        from pyspark.sql import Column
+
+        from datax_spark.lake.merge import merge_into
+
+        if (filters is None) == (condition is None):
+            raise ValueError("pass exactly one of filters= or condition=")
+        m = self.manifest()
+        bad = set(assignments) & set(m.key_cols)
+        if bad:
+            raise ValueError(
+                f"cannot assign key column(s) {sorted(bad)} — delete and "
+                "re-insert to change a row's identity"
+            )
+        unknown = set(assignments) - {f.name for f in m.schema.fields}
+        if unknown:
+            raise ValueError(f"unknown column(s) {sorted(unknown)}")
+        if filters is not None:
+            matched = self.read(filters=filters)
+        else:
+            cond = F.expr(condition) if isinstance(condition, str) else condition
+            matched = self.read().filter(cond)
+        types = {f.name: f.dataType for f in m.schema.fields}
+
+        def value_of(c: str):
+            v = assignments[c]
+            if isinstance(v, Column):
+                return v.cast(types[c])
+            if isinstance(v, str):
+                return F.expr(v).cast(types[c])
+            return F.lit(v).cast(types[c])
+
+        up = matched.select(
+            *[
+                value_of(f.name).alias(f.name)
+                if f.name in assignments
+                else F.col(f.name)
+                for f in m.schema.fields
+            ],
+            F.lit("U").alias("__op"),
+        ).persist()
+        try:
+            n = up.count()
+            if n == 0:
+                return 0
+            pm = merge_into(
+                self, up, op_col="__op", delete_op="D", strategy=strategy
+            )
+            pm.commit(
+                summary={
+                    "update_where": str(
+                        filters if filters is not None else condition
+                    ),
+                    "rows_updated": n,
+                }
+            )
+            return n
+        finally:
+            up.unpersist()
 
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:
         """Retire old snapshots (Iceberg's expire_snapshots): delete the

@@ -121,6 +121,47 @@ def test_delete_where_cli_kind(spark, tmp_path, capsys):
         }
     }))
     assert main(["--job", str(spec)]) == 0
-    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
-    acts = out["applied"] if "applied" in out else out.get("actions")
     assert _keys(t) == [("r1", "b"), ("r2", "c"), ("r2", "d")]
+
+
+def test_update_where_sql_semantics(spark, tmp_path):
+    """assignments see OLD values; key columns refuse; change feed
+    reports updates; no-match -> no commit."""
+    t = _mk(spark, tmp_path / "t")
+    v0 = t.current_version()
+    n = t.update_where(
+        {"lsn": "lsn + 100", "lang": F.upper(F.col("lang"))},
+        filters=[("repo", "=", "r1")],
+    )
+    assert n == 2
+    got = {(r["repo"], r["path"]): (r["lsn"], r["lang"])
+           for r in t.read().collect()}
+    assert got[("r1", "a")] == (101, "PY")
+    assert got[("r1", "b")] == (102, "RS")
+    assert got[("r2", "c")] == (3, "py")  # untouched
+    cf = t.changes(v0, t.current_version())
+    assert sorted(
+        (r["repo"], r["path"], r["_change_type"]) for r in cf.collect()
+    ) == [("r1", "a", "update"), ("r1", "b", "update")]
+    assert t.update_where({"lsn": 0}, condition="lsn > 10000") == 0
+    with pytest.raises(ValueError, match="key column"):
+        t.update_where({"repo": "x"}, condition="lsn = 1")
+    with pytest.raises(ValueError, match="unknown column"):
+        t.update_where({"nope": 1}, condition="lsn = 1")
+
+
+def test_update_where_cli_kind(spark, tmp_path, capsys):
+    t = _mk(spark, tmp_path / "t")
+    spec = tmp_path / "job.json"
+    spec.write_text(json.dumps({
+        "maintenance": {
+            "table_root": str(tmp_path / "t"),
+            "actions": [
+                {"update_where": {"set": {"lsn": "lsn * 10"},
+                                  "filters": [["lang", "=", "go"]]}},
+            ],
+        }
+    }))
+    assert main(["--job", str(spec)]) == 0
+    got = {(r["repo"], r["path"]): r["lsn"] for r in t.read().collect()}
+    assert got[("r3", "e")] == 50
