@@ -676,6 +676,41 @@ def _q_cdc_join_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_scd2_asof_identity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time enrichment against the replayed SCD2 history
+    (operators/asof.asof_enrich_scd2 over lake/scd2.py output), pinned
+    by an end-to-end identity: joining the RAW LOG back to the history
+    at each event's own (commit, lsn) must return the event's own
+    version — inserts/updates match themselves (their version's
+    validity interval opens exactly at their timestamp), and DELETE
+    events match NOTHING (the delete closed the prior interval
+    right-open at its own timestamp and opened none). Exercises
+    lexicographic (commit, lsn) as-of ordering + interval containment
+    against real engine output. Oracle: one CASE over the raw log."""
+    _q_cdc_scd2_history(spark, sf_dir)  # materializes + caches the history
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.table import LakeTable
+    from datax_spark.operators.asof import asof_enrich_scd2
+
+    hist = LakeTable.load(spark, os.path.join(root, "table_scd2")).read().select(
+        "repo", "path", "commit", "lsn",
+        F.sha2("content", 256).alias("hist_sha"),
+        "valid_to_commit", "valid_to_lsn",
+    )
+    ev = (
+        spark.read.option("mergeSchema", "true")
+        .parquet(os.path.join(root, "events"))
+        .select("repo", "path", "commit", "lsn", "op",
+                F.sha2("content", 256).alias("event_sha"))
+    )
+    return asof_enrich_scd2(
+        ev, hist, on=["repo", "path"], fact_ts=["commit", "lsn"],
+        valid_from=["commit", "lsn"],
+        valid_to=["valid_to_commit", "valid_to_lsn"],
+        right_cols=["hist_sha"],
+    )
+
+
 def _q_cdc_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Row-level predicate delete (LakeTable.delete_where — the
     DELETE FROM ... WHERE / retention-sweep / GDPR-erasure surface;
@@ -697,9 +732,32 @@ def _q_cdc_retention_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         rep = LakeTable.load(spark, rep_root)
         n = rep.delete_where(filters=[("lang", "=", "md")])
         assert n > 0, "fixture always contains md rows"
-        _REPLAY_CACHE["retention"] = "done"
+        _REPLAY_CACHE["retention"] = rep.current_version()
     rep = LakeTable.load(spark, rep_root)
-    return rep.read().select(
+    return rep.read(version=_REPLAY_CACHE["retention"]).select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
+    )
+
+
+def _q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Predicate UPDATE (LakeTable.update_where) on the retention
+    replica, after the delete: every surviving lang='go' row gets
+    lsn += 10**9 (expressions see OLD values, SQL UPDATE semantics)
+    as a first-class snapshot commit. Oracle: the complement-predicate
+    LWW state with the same CASE applied."""
+    _q_cdc_retention_delete(spark, sf_dir)  # replica exists, md deleted
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.table import LakeTable
+
+    rep = LakeTable.load(spark, os.path.join(root, "retention_replica"))
+    if not _REPLAY_CACHE.get("update_where"):
+        n = rep.update_where(
+            {"lsn": "lsn + 1000000000"}, filters=[("lang", "=", "go")]
+        )
+        assert n > 0, "fixture always contains go rows"
+        _REPLAY_CACHE["update_where"] = rep.current_version()
+    return rep.read(version=_REPLAY_CACHE["update_where"]).select(
         "repo", "path", "commit", "lsn", "lang", "lang_variant",
         F.sha2("content", 256).alias("content_sha256"),
     )
@@ -1469,6 +1527,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_matview_rollup": _q_cdc_matview_rollup,
         "cdc_join_view": _q_cdc_join_view,
         "cdc_retention_delete": _q_cdc_retention_delete,
+        "cdc_scd2_asof_identity": _q_cdc_scd2_asof_identity,
+        "cdc_update_where": _q_cdc_update_where,
         "cdc_snapshot_lineage": _q_cdc_snapshot_lineage,
         "cdc_recent_changes_scan": _q_cdc_recent_changes_scan,
         "cdc_change_feed": _q_cdc_change_feed,
@@ -1866,6 +1926,19 @@ def oracle_sql() -> dict[str, str]:
                    max(lsn) AS max_lsn
             FROM state GROUP BY repo, lang
         """,
+        # scd2 as-of identity: every non-delete event matches its own
+        # version's sha; deletes match nothing (right-open intervals)
+        "cdc_scd2_asof_identity": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            )
+            SELECT repo, path, commit, lsn, op,
+                   sha256(content) AS event_sha,
+                   CASE WHEN op <> 'D' THEN sha256(content) END AS hist_sha
+            FROM ev
+        """,
         # predicate delete on a replica: LWW final state minus the
         # deleted predicate; NULL lang never matches '=' and survives
         "cdc_retention_delete": f"""
@@ -1880,6 +1953,28 @@ def oracle_sql() -> dict[str, str]:
               FROM ev
             )
             SELECT repo, path, commit, lsn, lang, lang_variant,
+                   sha256(content) AS content_sha256
+            FROM w
+            WHERE rn = 1 AND op <> 'D'
+              AND (lang IS NULL OR lang <> 'md')
+        """,
+        # predicate update after the delete: same LWW state, lsn
+        # bumped where lang='go'
+        "cdc_update_where": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            )
+            SELECT repo, path, commit,
+                   CASE WHEN lang = 'go' THEN lsn + 1000000000
+                        ELSE lsn END AS lsn,
+                   lang, lang_variant,
                    sha256(content) AS content_sha256
             FROM w
             WHERE rn = 1 AND op <> 'D'
