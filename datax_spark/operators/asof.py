@@ -60,6 +60,7 @@ def asof_join(
     how: str = "left",
     direction: str = "backward",
     tolerance: Column | None = None,
+    inclusive: bool = True,
 ) -> DataFrame:
     """Enrich ``left`` with the as-of matching row of ``right``.
 
@@ -77,6 +78,8 @@ def asof_join(
     ts column, as a Column/literal (e.g. ``F.expr("INTERVAL 1
     HOUR")`` or a number for numeric ts); matches outside it are
     treated as misses. Only single-column ts supports tolerance.
+    ``inclusive``: whether an equal-timestamp right row matches
+    (pandas ``allow_exact_matches``); False = strictly before/after.
     """
     lts = [left_ts] if isinstance(left_ts, str) else list(left_ts)
     rts_in = right_ts if right_ts is not None else lts
@@ -110,11 +113,14 @@ def asof_join(
         *[F.col(c).alias(f"__ts_{i}") for i, c in enumerate(rts)],
         *[F.col(c).alias(n) for c, n in zip(right_cols, out_names)],
     )
+    # side ordering at EQUAL ts decides exact-match semantics: the
+    # running last-non-null sees only rows sorting at-or-before the
+    # left row, so right rows sort before left (0 < 1) iff inclusive
     r = right.select(
         *on,
         *[F.col(rc).alias(lc) for lc, rc in zip(lts, rts)],
         pay.alias(_PAY),
-        F.lit(0).alias(_SIDE),
+        F.lit(0 if inclusive else 2).alias(_SIDE),
     )
     l_tag = left.select(
         "*", F.lit(None).cast(r.schema[_PAY].dataType).alias(_PAY),

@@ -171,3 +171,25 @@ def test_asof_enrich_scd2_interval_containment(spark, how):
         }
         for x in got:
             assert x["d_attr"] == want[(x["k"], x["ts"])]
+
+
+@pytest.mark.parametrize("direction", ["backward", "forward"])
+def test_asof_exclusive_matches_pandas(spark, direction):
+    """inclusive=False == pandas allow_exact_matches=False: the
+    equal-ts right row (a@10/r1@10) must be skipped."""
+    l, r = _dfs(spark)
+    got = (
+        asof_join(l, r, on=["k"], left_ts="ts", direction=direction,
+                  inclusive=False)
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    lp = pd.DataFrame(LEFT, columns=["k", "ts", "lv"]).sort_values("ts")
+    rp = pd.DataFrame(RIGHT, columns=["k", "ts", "rv"]).sort_values("ts")
+    want = (
+        pd.merge_asof(lp, rp, on="ts", by="k", direction=direction,
+                      allow_exact_matches=False, suffixes=("", "_r"))
+        .sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "ts", "lv", "rv"]], want[["k", "ts", "lv", "rv"]]
+    )

@@ -501,3 +501,105 @@ def test_bloom_encode_separates_types(v):
     assert _bloom_encode(v) != _bloom_encode(str(v))
     assert _bloom_encode(None) is None
     assert _bloom_encode(bool(v % 2)) is None  # bools never bloomed
+
+
+# ---------------------------------------------------------------------------
+# Incremental join-view maintenance == recompute, for arbitrary churn
+# on BOTH sides (lake/joinview.py): random fact upsert/delete batches
+# (fk changes, NULL fks, deletes) interleaved with dim
+# upsert/delete batches — the maintained left-join view must equal a
+# pure-pandas join of the surviving states after every refresh window.
+
+jv_batches_strategy = st.lists(
+    st.tuples(
+        # fact batch: (key id, op, fk dim id or None, value)
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=7),
+                st.sampled_from(["U", "U", "U", "D"]),
+                st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+                st.integers(min_value=-50, max_value=50),
+            ),
+            min_size=0, max_size=8,
+        ),
+        # dim batch: (dim id, op, attr)
+        st.lists(
+            st.tuples(
+                st.integers(min_value=0, max_value=3),
+                st.sampled_from(["U", "U", "D"]),
+                st.integers(min_value=0, max_value=99),
+            ),
+            min_size=0, max_size=4,
+        ),
+    ),
+    min_size=1,
+    max_size=3,
+)
+
+
+@settings(max_examples=8, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(batches=jv_batches_strategy)
+def test_joinview_equals_recompute_under_arbitrary_churn(
+    spark, tmp_path_factory, batches
+):
+    from pyspark.sql import types as TT
+
+    from datax_spark.lake import LakeTable, merge_into
+    from datax_spark.lake.joinview import JoinView, JoinViewSpec
+
+    tmp = tmp_path_factory.mktemp("jv_prop")
+    fschema = TT.StructType([
+        TT.StructField("k", TT.StringType()),
+        TT.StructField("fk", TT.StringType()),
+        TT.StructField("v", TT.LongType()),
+    ])
+    dschema = TT.StructType([
+        TT.StructField("dk", TT.StringType()),
+        TT.StructField("attr", TT.LongType()),
+    ])
+    fact = LakeTable.create(spark, str(tmp / "f"), fschema, ["k"], num_buckets=4)
+    dim = LakeTable.create(spark, str(tmp / "d"), dschema, ["dk"], num_buckets=2)
+    view = JoinView.create(
+        spark, str(tmp / "v"), fact, dim,
+        JoinViewSpec(on=(("fk", "dk"),), how="left", right_prefix="d_"),
+        num_buckets=4,
+    )
+    fstate: dict[str, tuple] = {}
+    dstate: dict[str, int] = {}
+    for fbatch, dbatch in batches:
+        frows, drows = {}, {}
+        for kid, op, fk, v in fbatch:  # one row per key per batch
+            frows[f"k{kid}"] = (op, None if fk is None else f"d{fk}", v)
+        for did, op, attr in dbatch:
+            drows[f"d{did}"] = (op, attr)
+        if frows:
+            merge_into(fact, spark.createDataFrame(
+                [(k, fk, v, op) for k, (op, fk, v) in frows.items()],
+                TT.StructType(fschema.fields + [TT.StructField("op", TT.StringType())]),
+            )).commit()
+        if drows:
+            merge_into(dim, spark.createDataFrame(
+                [(dk, attr, op) for dk, (op, attr) in drows.items()],
+                TT.StructType(dschema.fields + [TT.StructField("op", TT.StringType())]),
+            )).commit()
+        view.refresh(fact, dim)
+        for k, (op, fk, v) in frows.items():
+            if op == "D":
+                fstate.pop(k, None)
+            else:
+                fstate[k] = (fk, v)
+        for dk, (op, attr) in drows.items():
+            if op == "D":
+                dstate.pop(dk, None)
+            else:
+                dstate[dk] = attr
+        expected = {
+            k: (fk, v, dstate.get(fk) if fk is not None else None)
+            for k, (fk, v) in fstate.items()
+        }
+        got = {
+            r["k"]: (r["fk"], r["v"], r["d_attr"])
+            for r in view.read().collect()
+        }
+        assert got == expected, f"diverged after batch: {got} != {expected}"
