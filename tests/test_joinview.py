@@ -361,3 +361,62 @@ def test_joinview_engine_attached_refresh_and_crash_heal(spark, tmp_path):
         fact.current_version(), dim.current_version()
     )
     pd.testing.assert_frame_equal(got(), recompute(), check_dtype=False)
+
+
+def test_joinview_composes_two_dims(spark, tmp_path):
+    """A JoinView's output is itself a LakeTable, so a second view can
+    join it to ANOTHER dimension — multi-dim star enrichment as
+    stacked single-dim views, each maintained incrementally (the same
+    closure-under-composition the matview cascade has)."""
+    owner_schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("owner", T.StringType()),
+    ])
+    fact = _fact(spark, str(tmp_path / "fact"))
+    dim_lang = _dim(spark, str(tmp_path / "dl"))
+    dim_owner = LakeTable.create(
+        spark, str(tmp_path / "do"), owner_schema, key_cols=["repo"],
+        num_buckets=2,
+    )
+    v1 = _mkview(spark, tmp_path / "v1", fact, dim_lang, "left")
+    _apply(fact, spark, FACT_SCHEMA, FACTS0, del_width=2)
+    _apply(dim_lang, spark, DIM_SCHEMA, DIMS0)
+    _apply(dim_owner, spark, owner_schema,
+           [("r1", "alice"), ("r2", "bob")])
+    v1.refresh(fact, dim_lang)
+    v2 = JoinView.create(
+        spark, str(tmp_path / "v2"), v1.table, dim_owner,
+        JoinViewSpec(on=(("repo", "repo"),), how="left", right_prefix="o_"),
+        num_buckets=4,
+    )
+    v2.refresh(v1.table, dim_owner)
+
+    def check():
+        got = {
+            (r["repo"], r["path"]): (r["d_family"], r["o_owner"])
+            for r in v2.read().collect()
+        }
+        d = {k: f for k, f, _ in DIMS_NOW}
+        o = dict(OWNERS_NOW)
+        want = {
+            (rp, p): (d.get(lg), o.get(rp))
+            for (rp, p, lg, _sz) in FACTS_NOW
+        }
+        assert got == want, (got, want)
+
+    global DIMS_NOW, OWNERS_NOW, FACTS_NOW
+    DIMS_NOW = [("py", "script", 1), ("rs", "compiled", 2)]
+    OWNERS_NOW = [("r1", "alice"), ("r2", "bob")]
+    FACTS_NOW = list(FACTS0)
+    check()
+
+    # churn every level: fact fk change, lang dim update, owner insert
+    _apply(fact, spark, FACT_SCHEMA, [("r3", "e.rs", "rs", 50)], del_width=2)
+    _apply(dim_lang, spark, DIM_SCHEMA, [("py", "scripting", 1)])
+    _apply(dim_owner, spark, owner_schema, [("r3", "carol")])
+    v1.refresh(fact, dim_lang)
+    v2.refresh(v1.table, dim_owner)
+    DIMS_NOW = [("py", "scripting", 1), ("rs", "compiled", 2)]
+    OWNERS_NOW = [("r1", "alice"), ("r2", "bob"), ("r3", "carol")]
+    FACTS_NOW = FACTS0 + [("r3", "e.rs", "rs", 50)]
+    check()
