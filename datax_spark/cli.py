@@ -44,7 +44,9 @@ Job kinds:
   through the preimage change feed (the scheduled-sync shape;
   idempotent). Views can also ride the replay job itself:
   ``"materialized_views": ["/path/to/view", ...]`` in the replay
-  spec refreshes them after every committed epoch.
+  spec refreshes them after every committed epoch, and
+  ``"join_views": [["/path/to/view", "/path/to/dim"], ...]`` does the
+  same for fact ⋈ dim join views (lake/joinview.py).
 * ``{"scd2": {...}}`` — SCD Type-2 history target (lake/scd2.py):
   ``{"scd2": {"events_root": ..., "table_root": ..., "keys":
   ["repo", "path"], "order_cols": ["commit", "lsn"], "num_buckets":
@@ -121,6 +123,10 @@ def main(argv: list[str] | None = None) -> int:
             bloom_cols=tuple(r.get("bloom_cols", ())),
             # derived tables the engine advances after each epoch
             materialized_views=tuple(r.get("materialized_views", ())),
+            # join views: [[view_root, dim_root], ...]
+            join_views=tuple(
+                (v, d) for v, d in r.get("join_views", ())
+            ),
             view_refresh_every=int(r.get("view_refresh_every", 1)),
         )
         if "tail" in spec:

@@ -420,3 +420,50 @@ def test_joinview_composes_two_dims(spark, tmp_path):
     OWNERS_NOW = [("r1", "alice"), ("r2", "bob"), ("r3", "carol")]
     FACTS_NOW = FACTS0 + [("r3", "e.rs", "rs", 50)]
     check()
+
+
+def test_joinview_cli_replay_spec(spark, tmp_path, capsys):
+    """The CLI replay spec's join_views entry attaches (view_root,
+    dim_root) pairs exactly like ReplayConfig.join_views."""
+    import json as _json
+
+    from datax_spark.cli import main
+    from datax_spark.engine.replay import ReplayConfig, ReplayEngine
+    from datax_spark.fixtures.changelog import LANGS, ChangelogSpec, write_events
+
+    ev = str(tmp_path / "events")
+    write_events(
+        spark,
+        ChangelogSpec(n_events=6000, events_per_epoch=2000, seed=3,
+                      evolve_from_epoch=None),
+        ev,
+    )
+    roots = dict(
+        events_root=ev, table_root=str(tmp_path / "t"),
+        metrics_root=str(tmp_path / "m"),
+    )
+    ReplayEngine(spark, **roots, config=ReplayConfig(num_buckets=8)).run(
+        through_epoch=0
+    )
+    fact = LakeTable.load(spark, roots["table_root"])
+    dim = _dim(spark, str(tmp_path / "dim"))
+    _apply(dim, spark, DIM_SCHEMA,
+           [(x, f"fam_{x}", i) for i, x in enumerate(LANGS)])
+    view = JoinView.create(
+        spark, str(tmp_path / "view"), fact, dim,
+        JoinViewSpec(on=(("lang", "lang"),), how="left", right_prefix="d_"),
+        num_buckets=4,
+    )
+    spec = tmp_path / "job.json"
+    spec.write_text(_json.dumps({
+        "replay": {
+            **roots,
+            "num_buckets": 8,
+            "join_views": [[str(tmp_path / "view"), str(tmp_path / "dim")]],
+        }
+    }))
+    assert main(["--job", str(spec)]) == 0
+    assert view.synced_versions() == (
+        fact.current_version(), dim.current_version()
+    )
+    assert fact.current_version() > 1  # the CLI actually applied epochs
