@@ -1442,6 +1442,54 @@ def _q_text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_pii_scrub_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII redaction (functions/text.scrub_pii): emails/IPs/cards/
+    phones replaced by typed placeholders in one chained
+    regexp_replace projection (codegen, no Python). PII is injected
+    deterministically per doc so every pattern actually fires; the
+    oracle replays the same chain in DuckDB (patterns live in the
+    Java∩RE2 subset; 'g' flag = Spark's replace-all)."""
+    from datax_spark.functions.text import scrub_pii
+
+    docs = _docs(spark, sf_dir)
+    salted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"), F.lit(" contact u"), F.col("doc_id"),
+            F.lit("@example.com at 10.2.3.4 or +1 415-555-01"),
+            (F.col("doc_id") % 100).cast("string"),
+        ).alias("t"),
+    )
+    scrubbed = salted.select("doc_id", scrub_pii("t").alias("s"))
+    n_of = lambda tok: (  # noqa: E731
+        (F.length(F.col("s")) - F.length(F.replace(F.col("s"), F.lit(tok), F.lit(""))))
+        / len(tok)
+    ).cast("long")
+    return scrubbed.select(
+        "doc_id",
+        F.sha2("s", 256).alias("scrubbed_sha"),
+        n_of("<EMAIL>").alias("n_email"),
+        n_of("<IP>").alias("n_ip"),
+        n_of("<PHONE>").alias("n_phone"),
+    )
+
+
+def _q_doc_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition quality signals: duplicate-line and
+    duplicate-word fractions as pure array expressions
+    (split → array_distinct → size arithmetic, codegen'd end to end).
+    Raw doubles emitted — both engines compute the identical IEEE
+    division of the same integers."""
+    from datax_spark.functions.text import dup_line_fraction, dup_word_fraction
+
+    docs = _docs(spark, sf_dir)
+    return docs.select(
+        "doc_id",
+        dup_line_fraction("text").alias("dup_line_frac"),
+        dup_word_fraction("text").alias("dup_word_frac"),
+    )
+
+
 def _q_lang_id_markers(spark: SparkSession, sf_dir: str) -> DataFrame:
     from datax_spark.functions.text import lang_id_en, stopword_hits
 
@@ -1566,6 +1614,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_near_dup": _q_embedding_near_dup,
         "embedding_near_dup_lsh": _q_embedding_near_dup_lsh,
         "text_quality": _q_text_quality,
+        "pii_scrub_docs": _q_pii_scrub_docs,
+        "doc_repetition_stats": _q_doc_repetition_stats,
         "lang_id_markers": _q_lang_id_markers,
         "token_count_bpeish": _q_token_count_bpeish,
         "multimodal_features": _q_multimodal_features,
@@ -2515,6 +2565,49 @@ def oracle_sql() -> dict[str, str]:
                      + least(hits / greatest(n_tokens, 1)::DOUBLE * 10.0, 1.0)
                    ) / 3.0, 6) AS quality
             FROM t
+        """,
+        # PII scrub: same regex chain (Java-and-RE2 subset), 'g' flag =
+        # Spark's replace-all; placeholder counts by length arithmetic
+        "pii_scrub_docs": r"""
+            WITH s AS (
+              SELECT doc_id,
+                regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+                  text || ' contact u' || doc_id
+                       || '@example.com at 10.2.3.4 or +1 415-555-01'
+                       || CAST(doc_id % 100 AS VARCHAR),
+                  '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                  '<EMAIL>', 'g'),
+                  '\b(?:\d{1,3}\.){3}\d{1,3}\b', '<IP>', 'g'),
+                  '\b\d(?:[ -]?\d){12,15}\b', '<CARD>', 'g'),
+                  '\+?\d(?:[ ()-]?\d){6,11}\b', '<PHONE>', 'g') AS s
+              FROM documents
+            )
+            SELECT doc_id, sha256(s) AS scrubbed_sha,
+              CAST((length(s) - length(replace(s, '<EMAIL>', ''))) / 7
+                   AS BIGINT) AS n_email,
+              CAST((length(s) - length(replace(s, '<IP>', ''))) / 4
+                   AS BIGINT) AS n_ip,
+              CAST((length(s) - length(replace(s, '<PHONE>', ''))) / 7
+                   AS BIGINT) AS n_phone
+            FROM s
+        """,
+        # repetition stats: identical integer inputs -> identical IEEE
+        # doubles in both engines, no rounding needed
+        "doc_repetition_stats": r"""
+            SELECT doc_id,
+              CASE WHEN len(string_split(text, chr(10))) <= 1 THEN 0.0
+                   ELSE (len(string_split(text, chr(10)))
+                         - len(list_distinct(string_split(text, chr(10)))))
+                        * 1.0 / len(string_split(text, chr(10)))
+              END AS dup_line_frac,
+              CASE WHEN len(string_split_regex(trim(text), '\s+')) <= 1
+                   THEN 0.0
+                   ELSE (len(string_split_regex(trim(text), '\s+'))
+                         - len(list_distinct(
+                               string_split_regex(trim(text), '\s+'))))
+                        * 1.0 / len(string_split_regex(trim(text), '\s+'))
+              END AS dup_word_frac
+              FROM documents
         """,
         "lang_id_markers": f"""
             SELECT doc_id, lang,

@@ -68,3 +68,73 @@ def lang_id_en(col: Column | str, min_hits: int = 2) -> Column:
     else 'other'. (A real model is out of scope; the plumbing — cheap
     JVM-side classification feeding a partition column — is the point.)"""
     return F.when(stopword_hits(col) >= min_hits, F.lit("en")).otherwise(F.lit("other"))
+
+
+# --- PII scrubbing (training-data hygiene) ---------------------------------
+
+# patterns restricted to the regex subset Java (Spark) and RE2/DuckDB
+# agree on: no backrefs, no lookaround. Order matters: emails before
+# the generic number patterns so 'a@b.com' never half-matches.
+PII_PATTERNS: list[tuple[str, str]] = [
+    (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
+    # CARD (13-16 digits) before PHONE so long digit runs do not
+    # half-match as phones
+    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
+    (r"\+?\d(?:[ ()-]?\d){6,11}\b", "<PHONE>"),
+]
+
+
+def scrub_pii(col: Column | str, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """Replace common PII shapes (emails, IPs, phone/card numbers)
+    with typed placeholder tokens — the standard pre-training
+    redaction pass, chained ``regexp_replace`` so the whole scrub is
+    one codegen'd projection (no Python in the scan). Patterns are
+    deliberately in the Java∩RE2 regex subset so the same strings run
+    in the DuckDB oracle."""
+    c = F.col(col) if isinstance(col, str) else col
+    for pat, repl in patterns or PII_PATTERNS:
+        c = F.regexp_replace(c, pat, repl)
+    return c
+
+
+def pii_hits(col: Column | str, patterns: list[tuple[str, str]] | None = None) -> Column:
+    """How many PII placeholder substitutions :func:`scrub_pii` made —
+    cheap audit metric: length delta per pattern is not countable
+    post-hoc, so count matches by scrub-and-diff on the placeholder."""
+    c = F.col(col) if isinstance(col, str) else col
+    total = None
+    for pat, repl in patterns or PII_PATTERNS:
+        scrubbed = F.regexp_replace(c, pat, repl)
+        # occurrences = (len(scrubbed) - len(remove placeholder)) / len(placeholder)
+        occ = (
+            F.length(scrubbed)
+            - F.length(F.replace(scrubbed, F.lit(repl), F.lit("")))
+        ) / len(repl)
+        c = scrubbed
+        total = occ if total is None else total + occ
+    return total.cast("long")
+
+
+# --- Repetition stats (Gopher-style quality signals) -----------------------
+
+
+def dup_line_fraction(col: Column | str) -> Column:
+    """Fraction of lines that are duplicates of an earlier line
+    (0 for texts of <= 1 line) — the classic boilerplate/spam signal.
+    Pure array expressions: split → array_distinct → size arithmetic,
+    fully codegen'd and SQL-expressible."""
+    c = F.col(col) if isinstance(col, str) else col
+    lines = F.split(c, "\n")
+    n = F.size(lines)
+    uniq = F.size(F.array_distinct(lines))
+    return F.when(n <= 1, F.lit(0.0)).otherwise((n - uniq) / n)
+
+
+def dup_word_fraction(col: Column | str) -> Column:
+    """Fraction of whitespace tokens that repeat an earlier token."""
+    c = F.col(col) if isinstance(col, str) else col
+    toks = F.split(F.trim(c), r"\s+")
+    n = F.size(toks)
+    uniq = F.size(F.array_distinct(toks))
+    return F.when(n <= 1, F.lit(0.0)).otherwise((n - uniq) / n)

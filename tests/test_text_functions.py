@@ -162,3 +162,53 @@ def test_ivf_topk_recall(spark):
     ]
     assert some, "partial probe returned nothing"
     assert set(some) & set(top50), "probe results outside global top-50"
+
+
+def test_scrub_pii_and_hits(spark):
+    from datax_spark.functions.text import pii_hits, scrub_pii
+
+    rows = [
+        ("d1", "mail me at jo.doe+x@ex-ample.co.uk or 10.0.0.1 now"),
+        ("d2", "call +1 415-555-0123 card 4111 1111 1111 1111 ok"),
+        ("d3", "clean text, nothing to scrub here at all"),
+        ("d4", None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: (r["s"], r["n"])
+        for r in df.select(
+            "doc_id",
+            scrub_pii("text").alias("s"),
+            pii_hits("text").alias("n"),
+        ).collect()
+    }
+    assert out["d1"][0] == "mail me at <EMAIL> or <IP> now"
+    assert out["d1"][1] == 2
+    assert out["d2"][0] == "call <PHONE> card <CARD> ok"
+    assert out["d2"][1] == 2
+    assert out["d3"] == ("clean text, nothing to scrub here at all", 0)
+    assert out["d4"] == (None, None)
+
+
+def test_repetition_fractions(spark):
+    from datax_spark.functions.text import dup_line_fraction, dup_word_fraction
+
+    rows = [
+        ("a", "x\ny\nx\nz"),          # 1 dup line of 4
+        ("b", "one two one one two"),  # 3 dup words of 5
+        ("c", "single"),
+        ("d", ""),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: (r["dl"], r["dw"])
+        for r in df.select(
+            "doc_id",
+            dup_line_fraction("text").alias("dl"),
+            dup_word_fraction("text").alias("dw"),
+        ).collect()
+    }
+    assert out["a"][0] == 0.25
+    assert out["b"][1] == 0.6
+    assert out["c"] == (0.0, 0.0)
+    assert out["d"] == (0.0, 0.0)
