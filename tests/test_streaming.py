@@ -652,3 +652,71 @@ def test_stream_view_cadence_heals_at_drain_end(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_stream_join_view_follows_batches(spark, tmp_path):
+    """ReplayConfig.join_views in the STREAMING sink: the fact ⋈ dim
+    view advances with every applied micro-batch (and to the dim's
+    head) and equals a recompute after the drain."""
+    from dataclasses import replace
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as TT
+
+    from datax_spark.lake.joinview import JoinView, JoinViewSpec
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+
+    ev = str(tmp_path / "events")
+    _one_file(spark, ev, [
+        ("r1", "a.py", "U", "c01", 1, "py", "v1"),
+        ("r2", "c.go", "U", "c02", 2, "go", "x1"),
+    ])
+    sr = StreamReplay(
+        spark, ev, str(tmp_path / "table"), str(tmp_path / "ckpt"), config=CFG,
+    )
+    sr.run_available_now()  # table exists; build dim + view
+
+    dschema = TT.StructType([
+        TT.StructField("lang", TT.StringType()),
+        TT.StructField("family", TT.StringType()),
+    ])
+    dim = LakeTable.create(
+        spark, str(tmp_path / "dim"), dschema, key_cols=["lang"], num_buckets=2
+    )
+    merge_into(dim, spark.createDataFrame(
+        [("py", "script", "U"), ("go", "native", "U")],
+        TT.StructType(dschema.fields + [TT.StructField("op", TT.StringType())]),
+    )).commit()
+    vroot = str(tmp_path / "view")
+    view = JoinView.create(
+        spark, vroot, sr.table(), dim,
+        JoinViewSpec(on=(("lang", "lang"),), how="left", right_prefix="d_"),
+        num_buckets=4,
+    )
+    cfg = replace(CFG, join_views=((vroot, str(tmp_path / "dim")),))
+
+    _one_file(spark, ev, [
+        ("r1", "a.py", "U", "c04", 4, "go", "v2"),  # fk change
+        ("r3", "d.rs", "U", "c05", 5, "rs", "y1"),  # dim miss -> nulls
+    ])
+    sr2 = StreamReplay(
+        spark, ev, str(tmp_path / "table"), str(tmp_path / "ckpt"), config=cfg,
+    )
+    sr2.run_available_now()
+
+    assert view.synced_versions() == (
+        sr2.table().current_version(), dim.current_version()
+    )
+    d = dim.read().select(
+        F.col("lang").alias("__dl"), F.col("family").alias("d_family")
+    )
+    cols = [f.name for f in view.table.manifest().schema.fields]
+    want = sorted(
+        tuple(r)
+        for r in sr2.table().read()
+        .join(d, on=F.col("lang") == F.col("__dl"), how="left")
+        .select(*cols).collect()
+    )
+    got = sorted(tuple(r) for r in view.read().collect())
+    assert got == want
