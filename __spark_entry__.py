@@ -763,6 +763,74 @@ def _q_cdc_update_where(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _q_cdc_join_view_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Composed join views (multi-dim star enrichment): a SECOND
+    JoinView joins the FIRST one's table to a repo-owner dimension —
+    a view's output is itself a LakeTable, so delta-join maintenance
+    is closed under composition (the join sibling of the matview
+    cascade). The owner dim gets churn AFTER level 2 exists (owner
+    update for repos ending '3', delete for repos ending '7' —
+    null-fill under the left join), so the level-2 refresh exercises
+    its dim-delta path against real level-1 output. Oracle: the LWW
+    state LEFT JOIN the lang dim LEFT JOIN the owner dim's final
+    state, all expressed inline."""
+    _q_cdc_join_view(spark, sf_dir)  # level 1 exists + synced
+    root = _replay_run_root(spark, sf_dir)
+    from datax_spark.lake.joinview import JoinView, JoinViewSpec
+    from datax_spark.lake.merge import merge_into
+    from datax_spark.lake.table import LakeTable
+
+    v1 = JoinView.load(spark, os.path.join(root, "join_view"))
+    dim_root = os.path.join(root, "owner_dim")
+    v2_root = os.path.join(root, "join_view_rollup")
+    if not _REPLAY_CACHE.get("join_view_rollup"):
+        dim_schema = T.StructType(
+            [
+                T.StructField("repo", T.StringType()),
+                T.StructField("owner", T.StringType()),
+            ]
+        )
+        dim = LakeTable.create(
+            spark, dim_root, dim_schema, key_cols=["repo"], num_buckets=2
+        )
+        seed = (
+            v1.table.read().select("repo").distinct()
+            .select(
+                "repo",
+                F.concat(F.lit("team-"), F.col("repo")).alias("owner"),
+                F.lit("U").alias("op"),
+            )
+        )
+        merge_into(dim, seed).commit()
+        v2 = JoinView.create(
+            spark, v2_root, v1.table, dim,
+            JoinViewSpec(on=(("repo", "repo"),), how="left", right_prefix="o_"),
+            num_buckets=8,
+        )
+        r1 = v2.refresh(v1.table, dim)
+        assert r1.rows_upserted > 0
+        churn = (
+            dim.read().filter(F.col("repo").endswith("3"))
+            .select("repo", F.concat(F.lit("lead-"), F.col("repo")).alias("owner"),
+                    F.lit("U").alias("op"))
+            .unionByName(
+                dim.read().filter(F.col("repo").endswith("7"))
+                .select("repo", F.lit(None).cast("string").alias("owner"),
+                        F.lit("D").alias("op"))
+            )
+        )
+        merge_into(dim, churn).commit()
+        r2 = v2.refresh(v1.table, dim)
+        assert r2.rows_upserted > 0
+        _REPLAY_CACHE["join_view_rollup"] = "done"
+    v2 = JoinView.load(spark, v2_root)
+    return v2.read().select(
+        "repo", "path", "commit", "lsn", "lang", "lang_variant",
+        F.sha2("content", 256).alias("content_sha256"),
+        "lang_family", "lang_rank", "o_owner",
+    )
+
+
 def _q_cdc_time_travel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Snapshot time travel (the Iceberg read-at-version surface):
     read the replay table AS OF the snapshot committed by epoch 1
@@ -1574,6 +1642,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cdc_incremental_agg_view": _q_cdc_incremental_agg_view,
         "cdc_matview_rollup": _q_cdc_matview_rollup,
         "cdc_join_view": _q_cdc_join_view,
+        "cdc_join_view_rollup": _q_cdc_join_view_rollup,
         "cdc_retention_delete": _q_cdc_retention_delete,
         "cdc_scd2_asof_identity": _q_cdc_scd2_asof_identity,
         "cdc_update_where": _q_cdc_update_where,
@@ -2059,6 +2128,39 @@ def oracle_sql() -> dict[str, str]:
               ) AS t(lang, lang_family, lang_rank)
             )
             SELECT f.*, d.lang_family, d.lang_rank
+            FROM fact f LEFT JOIN dim d USING (lang)
+        """,
+        # composed join views: LWW state LEFT JOIN lang dim LEFT JOIN
+        # the owner dim's final state (update %3, delete %7 -> NULL)
+        "cdc_join_view_rollup": f"""
+            WITH ev AS (
+              SELECT * FROM read_parquet(
+                  '{_REPLAY_ROOT}/events/epoch=*/*.parquet',
+                  union_by_name = true)
+            ),
+            w AS (
+              SELECT *, row_number() OVER (
+                  PARTITION BY repo, path ORDER BY commit DESC, lsn DESC) AS rn
+              FROM ev
+            ),
+            fact AS (
+              SELECT repo, path, commit, lsn, lang, lang_variant,
+                     sha256(content) AS content_sha256
+              FROM w WHERE rn = 1 AND op <> 'D'
+            ),
+            dim AS (
+              SELECT * FROM (VALUES
+                ('python', 'script',   CAST(0 AS BIGINT)),
+                ('java',   'fam_java', CAST(1 AS BIGINT)),
+                ('go',     'native',   CAST(2 AS BIGINT)),
+                ('ts',     'fam_ts',   CAST(3 AS BIGINT)),
+                ('rs',     'fam_rs',   CAST(4 AS BIGINT))
+              ) AS t(lang, lang_family, lang_rank)
+            )
+            SELECT f.*, d.lang_family, d.lang_rank,
+                   CASE WHEN f.repo LIKE '%7' THEN NULL
+                        WHEN f.repo LIKE '%3' THEN 'lead-' || f.repo
+                        ELSE 'team-' || f.repo END AS o_owner
             FROM fact f LEFT JOIN dim d USING (lang)
         """,
         # cascaded rollup: recompute BOTH aggregation levels from the
