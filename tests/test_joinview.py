@@ -467,3 +467,52 @@ def test_joinview_cli_replay_spec(spark, tmp_path, capsys):
         fact.current_version(), dim.current_version()
     )
     assert fact.current_version() > 1  # the CLI actually applied epochs
+
+
+def test_aggview_over_joinview_enriched_rollup(spark, tmp_path):
+    """Cross-type view composition: an AggView maintained over a
+    JoinView's table — group the enriched fact by a DIM attribute
+    (per-family size stats). Fact churn, dim churn (which MOVES fact
+    rows between groups without touching the fact!), and deletes all
+    flow through both incremental maintenance layers."""
+    from pyspark.sql import functions as F
+
+    from datax_spark.lake.matview import AggView, AggViewSpec
+
+    fact = _fact(spark, str(tmp_path / "fact"))
+    dim = _dim(spark, str(tmp_path / "dim"))
+    v1 = _mkview(spark, tmp_path / "v1", fact, dim, "left")
+    _apply(fact, spark, FACT_SCHEMA, FACTS0, del_width=2)
+    _apply(dim, spark, DIM_SCHEMA, DIMS0)
+    v1.refresh(fact, dim)
+    v2 = AggView.create(
+        spark, str(tmp_path / "v2"), v1.table,
+        AggViewSpec(group_cols=("d_family",), sum_cols=("size",),
+                    max_cols=("size",), group_fill=(("d_family", "@miss"),)),
+        num_buckets=2,
+    )
+    v2.refresh(v1.table)
+
+    def check():
+        got = sorted(tuple(r) for r in v2.read().collect())
+        want = sorted(
+            tuple(r)
+            for r in v1.table.read()
+            .withColumn("d_family", F.coalesce("d_family", F.lit("@miss")))
+            .groupBy("d_family")
+            .agg(F.count(F.lit(1)).alias("n_rows"),
+                 F.sum("size").alias("sum_size"),
+                 F.max("size").alias("max_size"))
+            .collect()
+        )
+        assert got == want, (got, want)
+
+    check()
+    # dim-side churn MOVES fact rows between rollup groups: py rows
+    # leave 'script' for 'scripting'; rs dim dies -> rows go to @miss
+    _apply(dim, spark, DIM_SCHEMA, [("py", "scripting", 1)], deletes=["rs"])
+    _apply(fact, spark, FACT_SCHEMA, [("r9", "z.py", "py", 70)],
+           deletes=[("r2", "d.go")], del_width=2)
+    v1.refresh(fact, dim)
+    v2.refresh(v1.table)
+    check()
