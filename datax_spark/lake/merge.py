@@ -187,7 +187,10 @@ class PendingMerge:
                     f"recompute the merge"
                 )
         try:
-            self.schema = evolve_schema(cur.schema, self.schema)
+            self.schema = evolve_schema(
+                cur.schema, self.schema,
+                frozen_cols=set(cur.key_cols) | set(cur.bucket_cols or ()),
+            )
         except SchemaEvolutionError as e:
             raise CommitConflictError(
                 f"concurrent schema change is incompatible: {e}"
@@ -273,7 +276,10 @@ def merge_into(
     keys = m.key_cols
 
     incoming = updates.drop(op_col, *(stat_cols or ())).schema
-    evolved = evolve_schema(m.schema, incoming)
+    evolved = evolve_schema(
+        m.schema, incoming,
+        frozen_cols=set(m.key_cols) | set(m.bucket_cols or ()),
+    )
 
     bucket = bucket_expr_for(m)
     upd = updates.withColumn("__b", bucket)

@@ -193,7 +193,10 @@ def _tiered_merge(
     root = table.root
     keys = list(cfg.keys)
     incoming = rows.drop(cfg.op_col).schema
-    evolved = evolve_schema(m.schema, incoming)
+    evolved = evolve_schema(
+        m.schema, incoming,
+        frozen_cols=set(m.key_cols) | set(m.bucket_cols or ()),
+    )
     evolved_pa = to_arrow_schema(evolved)
     out_cols = [f.name for f in evolved.fields]
 

@@ -1,12 +1,25 @@
-"""Additive schema evolution: union-by-name with null-fill.
+"""Schema evolution: additive columns + safe type widening.
 
 New columns may appear mid-stream in the change log (north_star: "new
-columns like lang variants appear mid-stream"). Policy is additive-only
-— the Iceberg ``ALTER TABLE ADD COLUMN`` model: existing rows get NULL
-for new columns, column drops/renames are rejected, and a column's type
-must stay stable. The reference has no schema evolution at all (writer
-errors on column-count mismatch, ``CommonRdbmsWriter.java:281-290``);
-this is one of the engine's genuinely new capabilities.
+columns like lang variants appear mid-stream") and an upstream ``ALTER
+COLUMN`` may widen a numeric type. Policy is the Iceberg model:
+
+* ``ADD COLUMN`` — existing rows get NULL for new columns;
+* safe type promotion — byte → short → int → long and float → double
+  (the Iceberg-allowed widenings; Spark 4's parquet reader natively
+  reads old narrow files under the widened schema, so no rewrite).
+  A batch whose column is NARROWER than the table's casts up on write
+  and the schema stays put;
+* column drops/renames and any other type change are rejected;
+* ``frozen_cols`` (the table's key and bucket-routing columns) reject
+  EVERY type change including safe widening: the bucket layout hashes
+  those columns' raw values, and Spark's murmur3/xxhash64 hash an int
+  and a long to different values — a widened key would silently
+  re-route every row to a different bucket.
+
+The reference has no schema evolution at all (writer errors on
+column-count mismatch, ``CommonRdbmsWriter.java:281-290``); this is
+one of the engine's genuinely new capabilities.
 """
 
 from __future__ import annotations
@@ -20,21 +33,61 @@ class SchemaEvolutionError(ValueError):
     pass
 
 
-def evolve_schema(current: T.StructType, incoming: T.StructType) -> T.StructType:
-    """Return ``current`` plus any new fields from ``incoming``.
+_INT_RANK = {T.ByteType: 0, T.ShortType: 1, T.IntegerType: 2, T.LongType: 3}
+_FLOAT_RANK = {T.FloatType: 0, T.DoubleType: 1}
 
-    Raises on type conflicts (non-additive change). Field order:
-    current fields first, new fields appended in incoming order — so
-    old data files remain readable under the evolved schema.
+
+def widened_type(a: T.DataType, b: T.DataType) -> T.DataType | None:
+    """The wider of two types along a SAFE promotion chain, or None
+    when no such chain exists (incompatible change)."""
+    if a == b:
+        return a
+    ta, tb = type(a), type(b)
+    if ta in _INT_RANK and tb in _INT_RANK:
+        return a if _INT_RANK[ta] >= _INT_RANK[tb] else b
+    if ta in _FLOAT_RANK and tb in _FLOAT_RANK:
+        return a if _FLOAT_RANK[ta] >= _FLOAT_RANK[tb] else b
+    return None
+
+
+def evolve_schema(
+    current: T.StructType,
+    incoming: T.StructType,
+    frozen_cols: set[str] | None = None,
+) -> T.StructType:
+    """Return ``current`` evolved by ``incoming``: new fields appended
+    (in incoming order, after all current fields — old data files stay
+    readable), shared fields widened along the safe promotion chains.
+
+    Raises on any non-additive, non-widening change — and on ANY type
+    change for ``frozen_cols`` (key/bucket-routing columns, whose
+    hashes must stay byte-stable across the table's life).
     """
+    frozen = frozen_cols or set()
     cur = {f.name: f for f in current.fields}
     out = list(current.fields)
     for f in incoming.fields:
         if f.name in cur:
-            if cur[f.name].dataType != f.dataType:
+            if cur[f.name].dataType == f.dataType:
+                continue
+            if f.name in frozen:
+                raise SchemaEvolutionError(
+                    f"type change for key/bucket column '{f.name}' "
+                    f"({cur[f.name].dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()}): routing hashes are "
+                    "type-sensitive; cast the batch to the table's key "
+                    "type instead"
+                )
+            w = widened_type(cur[f.name].dataType, f.dataType)
+            if w is None:
                 raise SchemaEvolutionError(
                     f"type change for column '{f.name}': "
-                    f"{cur[f.name].dataType.simpleString()} -> {f.dataType.simpleString()}"
+                    f"{cur[f.name].dataType.simpleString()} -> "
+                    f"{f.dataType.simpleString()} is not a safe widening"
+                )
+            if w != cur[f.name].dataType:
+                out[[x.name for x in out].index(f.name)] = T.StructField(
+                    f.name, w, nullable=True
                 )
         else:
             out.append(T.StructField(f.name, f.dataType, nullable=True))
