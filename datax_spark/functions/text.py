@@ -99,19 +99,17 @@ def scrub_pii(col: Column | str, patterns: list[tuple[str, str]] | None = None) 
 
 
 def pii_hits(col: Column | str, patterns: list[tuple[str, str]] | None = None) -> Column:
-    """How many PII placeholder substitutions :func:`scrub_pii` made —
-    cheap audit metric: length delta per pattern is not countable
-    post-hoc, so count matches by scrub-and-diff on the placeholder."""
+    """How many substitutions :func:`scrub_pii` would make — the
+    audit metric. Counts actual pattern MATCHES (``regexp_count`` on
+    the progressively-scrubbed text, mirroring the sequential replace
+    chain), so placeholder tokens already present in the source text
+    are never miscounted as redactions (re-scrubbing already-scrubbed
+    data reports 0)."""
     c = F.col(col) if isinstance(col, str) else col
     total = None
     for pat, repl in patterns or PII_PATTERNS:
-        scrubbed = F.regexp_replace(c, pat, repl)
-        # occurrences = (len(scrubbed) - len(remove placeholder)) / len(placeholder)
-        occ = (
-            F.length(scrubbed)
-            - F.length(F.replace(scrubbed, F.lit(repl), F.lit("")))
-        ) / len(repl)
-        c = scrubbed
+        occ = F.regexp_count(c, F.lit(pat))
+        c = F.regexp_replace(c, pat, repl)
         total = occ if total is None else total + occ
     return total.cast("long")
 

@@ -2144,7 +2144,13 @@ class LakeTable:
         else:
             cond = F.expr(condition) if isinstance(condition, str) else condition
             matched = self.read().filter(cond)
-        keys = matched.select(*m.key_cols).persist()
+        # tombstones must carry the matched row's OWN resolve-order
+        # column values: a MoR read resolves LWW winners by those
+        # columns (NULLs sort last and would lose to the very base row
+        # being deleted — a silent no-op delete); at equal order the
+        # delta's higher sequence breaks the tie toward the tombstone
+        carry = list(m.resolve_order or ())
+        keys = matched.select(*m.key_cols, *carry).persist()
         try:
             n = keys.count()
             if n == 0:
@@ -2152,10 +2158,10 @@ class LakeTable:
             null_payload = [
                 F.lit(None).cast(f.dataType).alias(f.name)
                 for f in m.schema.fields
-                if f.name not in m.key_cols
+                if f.name not in m.key_cols and f.name not in carry
             ]
             up = keys.select(
-                *m.key_cols, *null_payload, F.lit("D").alias("__op")
+                *m.key_cols, *carry, *null_payload, F.lit("D").alias("__op")
             )
             pm = merge_into(
                 self, up, op_col="__op", delete_op="D", strategy=strategy
@@ -2187,9 +2193,13 @@ class LakeTable:
         ``update`` rows and downstream views/replicas absorb
         incrementally.
 
-        ``assignments`` maps column name → new value (a Column, a SQL
-        expression string, or a literal); expressions see the row's
-        OLD values, SQL UPDATE semantics (``{"lsn": "lsn + 1"}``).
+        ``assignments`` maps column name → new value: a Column, a SQL
+        expression string, or a non-string literal. A plain string is
+        ALWAYS parsed as a SQL expression (``{"lsn": "lsn + 1"}`` —
+        expressions see the row's OLD values, SQL UPDATE semantics);
+        to assign a string literal pass ``F.lit("archived")``. An
+        expression string naming no known column fails analysis
+        loudly rather than guessing.
         Key columns cannot be assigned — a key change is a delete +
         insert, which is a statement about identity the caller must
         make explicitly. Predicate forms and ``strategy`` as in

@@ -61,6 +61,7 @@ def asof_join(
     direction: str = "backward",
     tolerance: Column | None = None,
     inclusive: bool = True,
+    _keep_matched: bool = False,
 ) -> DataFrame:
     """Enrich ``left`` with the as-of matching row of ``right``.
 
@@ -116,7 +117,15 @@ def asof_join(
     # side ordering at EQUAL ts decides exact-match semantics: the
     # running last-non-null sees only rows sorting at-or-before the
     # left row, so right rows sort before left (0 < 1) iff inclusive
-    r = right.select(
+    # a NULL timestamp never participates in an as-of match (DuckDB
+    # ASOF / pandas merge_asof semantics): NULL-ts right rows are
+    # dropped (under ASC NULLS FIRST they would otherwise match
+    # "before everything" in the backward direction), and NULL-ts
+    # left rows are forced to a miss below
+    r_nonnull = right
+    for c in rts:
+        r_nonnull = r_nonnull.filter(F.col(c).isNotNull())
+    r = r_nonnull.select(
         *on,
         *[F.col(rc).alias(lc) for lc, rc in zip(lts, rts)],
         pay.alias(_PAY),
@@ -139,6 +148,8 @@ def asof_join(
     )
     m = F.last(_PAY, ignorenulls=True).over(w)
     matched = m.isNotNull()
+    for c in lts:
+        matched = matched & F.col(c).isNotNull()
     if tolerance is not None:
         gap = (
             (F.col(lts[0]) - m.getField("__ts_0"))
@@ -158,7 +169,7 @@ def asof_join(
     )
     if how == "inner":
         out = out.filter(F.col(_MATCHED))
-    return out.drop(_MATCHED)
+    return out if _keep_matched else out.drop(_MATCHED)
 
 
 def asof_enrich_scd2(
@@ -201,23 +212,25 @@ def asof_enrich_scd2(
         right_prefix=right_prefix,
         how="left",
         direction="backward",
+        _keep_matched=True,
     )
     vt_out = [right_prefix + c for c in vt]
     # lexicographic "fact_ts < valid_to": open intervals (NULL
-    # valid_to) always contain; closed ones need ts strictly below
+    # valid_to) always contain; closed ones need ts strictly below.
+    # Matchedness comes from the join's own flag, never from payload
+    # nullability — a matched version whose attribute IS NULL is still
+    # a match, and an unmatched row's NULL valid_to is not "open".
     open_iv = F.col(vt_out[0]).isNull()
     lt = F.lit(False)
     for i in reversed(range(len(vt_out))):
         f_c, t_c = F.col(fts[i]), F.col(vt_out[i])
         lt = (f_c < t_c) | ((f_c == t_c) & lt)
-    keep = open_iv | lt
+    keep = F.col(_MATCHED) & (open_iv | lt)
     out_names = [right_prefix + c for c in right_cols]
     proj = [
         F.when(keep, F.col(n)).alias(n) if n in out_names else F.col(n)
         for n in list(fact.columns) + out_names
     ]
-    out = j.select(*proj)
     if how == "inner":
-        cond = keep & F.col(out_names[0]).isNotNull() if out_names else keep
-        out = j.filter(cond).select(*proj)
-    return out
+        return j.filter(keep).select(*proj)
+    return j.select(*proj)

@@ -193,3 +193,50 @@ def test_asof_exclusive_matches_pandas(spark, direction):
     pd.testing.assert_frame_equal(
         got[["k", "ts", "lv", "rv"]], want[["k", "ts", "lv", "rv"]]
     )
+
+
+def test_asof_null_timestamps_never_match(spark):
+    """Review finding: NULL-ts right rows must not match 'before
+    everything' backward (and both directions must agree); NULL-ts
+    left rows are always misses."""
+    l = spark.createDataFrame(
+        [("a", 5, "l5"), ("a", None, "lN")], "k string, ts long, lv string"
+    )
+    r = spark.createDataFrame(
+        [("a", None, "rN"), ("a", 10, "r10")], "k string, ts long, rv string"
+    )
+    for direction in ("backward", "forward"):
+        got = {
+            x["lv"]: x["rv"]
+            for x in asof_join(
+                l, r, on=["k"], left_ts="ts", direction=direction
+            ).collect()
+        }
+        want_l5 = None if direction == "backward" else "r10"
+        assert got == {"l5": want_l5, "lN": None}, (direction, got)
+
+
+def test_asof_enrich_scd2_inner_with_null_attr(spark):
+    """Review finding: inner matchedness comes from the join flag, not
+    payload nullability — a matched version with a NULL attribute
+    stays; an unmatched fact drops even with right_cols=[]."""
+    fact = spark.createDataFrame([("a", 15), ("z", 1)], "k string, ts long")
+    hist = spark.createDataFrame(
+        [("a", 10, None, None)],
+        T.StructType([
+            T.StructField("k", T.StringType()),
+            T.StructField("vf", T.LongType()),
+            T.StructField("vt", T.LongType()),
+            T.StructField("attr", T.StringType()),
+        ]),
+    )
+    got = asof_enrich_scd2(
+        fact, hist, on=["k"], fact_ts="ts", valid_from="vf", valid_to="vt",
+        right_prefix="d_", how="inner",
+    ).collect()
+    assert [(x["k"], x["ts"], x["d_attr"]) for x in got] == [("a", 15, None)]
+    got2 = asof_enrich_scd2(
+        fact, hist, on=["k"], fact_ts="ts", valid_from="vf", valid_to="vt",
+        right_cols=[], how="inner",
+    ).collect()
+    assert [x["k"] for x in got2] == ["a"]

@@ -165,3 +165,22 @@ def test_update_where_cli_kind(spark, tmp_path, capsys):
     assert main(["--job", str(spec)]) == 0
     got = {(r["repo"], r["path"]): r["lsn"] for r in t.read().collect()}
     assert got[("r3", "e")] == 50
+
+
+def test_delete_where_mor_on_resolve_order_table(spark, tmp_path):
+    """Review finding: tombstones on a resolve_order table must carry
+    the matched row's own order values, or the MoR LWW read resolves
+    the live base row as the winner and the delete silently no-ops."""
+    t = LakeTable.create(
+        spark, str(tmp_path / "t"), SCHEMA, ["repo", "path"],
+        num_buckets=2, resolve_order=["lsn"],
+    )
+    ev = T.StructType([*SCHEMA.fields, T.StructField("op", T.StringType())])
+    merge_into(
+        t, spark.createDataFrame([(*r, "U") for r in ROWS], ev)
+    ).commit()
+    n = t.delete_where(filters=[("lang", "=", "py")], strategy="mor")
+    assert n == 2
+    assert _keys(t) == [("r1", "b"), ("r2", "d"), ("r3", "e")]
+    t.compact()
+    assert _keys(t) == [("r1", "b"), ("r2", "d"), ("r3", "e")]

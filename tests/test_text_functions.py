@@ -212,3 +212,21 @@ def test_repetition_fractions(spark):
     assert out["b"][1] == 0.6
     assert out["c"] == (0.0, 0.0)
     assert out["d"] == (0.0, 0.0)
+
+
+def test_pii_hits_ignores_preexisting_placeholders(spark):
+    """Review finding: placeholder tokens already in the source text
+    are not redactions; re-scrubbing scrubbed text reports 0 hits."""
+    from datax_spark.functions.text import pii_hits, scrub_pii
+
+    df = spark.createDataFrame(
+        [("d1", "already has <EMAIL> and <IP> tokens"),
+         ("d2", "mail a@b.co plus literal <EMAIL>")],
+        "doc_id string, text string",
+    )
+    out = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", pii_hits("text").alias("n")).collect()}
+    assert out == {"d1": 0, "d2": 1}
+    rescrub = df.select(scrub_pii("text").alias("s")).select(
+        pii_hits("s").alias("n")).collect()
+    assert [r["n"] for r in rescrub] == [0, 0]
