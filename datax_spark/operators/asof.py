@@ -73,8 +73,10 @@ def asof_join(
     ``right_cols``: right payload to carry (default: everything
     except ``on`` + ``right_ts``), emitted as ``right_prefix + name``.
     ``how``: ``"left"`` (unmatched rows null-filled) or ``"inner"``.
-    ``direction``: ``"backward"`` (latest at-or-before) or
-    ``"forward"`` (earliest at-or-after); both inclusive.
+    ``direction``: ``"backward"`` (latest at-or-before), ``"forward"``
+    (earliest at-or-after) or ``"nearest"`` (smaller |gap| of the two,
+    ties to backward — pandas parity; single-column ts only); all
+    inclusive by default.
     ``tolerance``: max allowed ``|left_ts - match_ts|`` on the FIRST
     ts column, as a Column/literal (e.g. ``F.expr("INTERVAL 1
     HOUR")`` or a number for numeric ts); matches outside it are
@@ -89,12 +91,18 @@ def asof_join(
         raise ValueError(f"ts tuple arity differs: {lts} vs {rts}")
     if how not in ("left", "inner"):
         raise ValueError(f"how must be 'left' or 'inner', got {how!r}")
-    if direction not in ("backward", "forward"):
+    if direction not in ("backward", "forward", "nearest"):
         raise ValueError(
-            f"direction must be 'backward' or 'forward', got {direction!r}"
+            f"direction must be 'backward', 'forward' or 'nearest', "
+            f"got {direction!r}"
         )
     if tolerance is not None and len(lts) > 1:
         raise ValueError("tolerance requires a single-column ts")
+    if direction == "nearest" and len(lts) > 1:
+        raise ValueError(
+            "direction='nearest' requires a single-column ts (a gap "
+            "between lexicographic tuples has no magnitude)"
+        )
     for c in on:
         if c not in left.columns or c not in right.columns:
             raise ValueError(f"key column {c!r} missing from a side")
@@ -137,26 +145,39 @@ def asof_join(
     ).select(*left.columns, _PAY, _SIDE)
     u = l_tag.unionByName(r.select(*on, *lts, _PAY, _SIDE), allowMissingColumns=True)
 
-    ts_order = [
-        F.col(c).desc() if direction == "forward" else F.col(c).asc()
-        for c in lts
-    ]
-    w = (
-        Window.partitionBy(*on)
-        .orderBy(*ts_order, F.col(_SIDE).asc())
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    m = F.last(_PAY, ignorenulls=True).over(w)
+    def running_last(desc: bool):
+        order = [F.col(c).desc() if desc else F.col(c).asc() for c in lts]
+        w = (
+            Window.partitionBy(*on)
+            .orderBy(*order, F.col(_SIDE).asc())
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return F.last(_PAY, ignorenulls=True).over(w)
+
+    if direction == "nearest":
+        # both one-sided matches over the SAME exchange (two in-
+        # partition sorts, no second shuffle); pick the smaller |gap|,
+        # ties to backward (pandas merge_asof direction='nearest')
+        mb, mf = running_last(False), running_last(True)
+        gb = F.col(lts[0]) - mb.getField("__ts_0")
+        gf = mf.getField("__ts_0") - F.col(lts[0])
+        vb, vf = mb.isNotNull(), mf.isNotNull()
+        if tolerance is not None:
+            vb = vb & (gb <= tolerance)
+            vf = vf & (gf <= tolerance)
+        m = F.when(vb & (~vf | (gb <= gf)), mb).when(vf, mf)
+    else:
+        m = running_last(desc=direction == "forward")
+        if tolerance is not None:
+            gap = (
+                (F.col(lts[0]) - m.getField("__ts_0"))
+                if direction == "backward"
+                else (m.getField("__ts_0") - F.col(lts[0]))
+            )
+            m = F.when(gap <= tolerance, m)
     matched = m.isNotNull()
     for c in lts:
         matched = matched & F.col(c).isNotNull()
-    if tolerance is not None:
-        gap = (
-            (F.col(lts[0]) - m.getField("__ts_0"))
-            if direction == "backward"
-            else (m.getField("__ts_0") - F.col(lts[0]))
-        )
-        matched = matched & (gap <= tolerance)
     out = (
         u.withColumn(_MATCHED, matched)
         .withColumn(_PAY, F.when(F.col(_MATCHED), m))

@@ -111,7 +111,9 @@ def test_asof_validation_and_projection(spark):
             l, r, on=["k"], left_ts=["ts", "ts"], tolerance=F.lit(1)
         )
     with pytest.raises(ValueError, match="direction"):
-        asof_join(l, r, on=["k"], left_ts="ts", direction="nearest")
+        asof_join(l, r, on=["k"], left_ts="ts", direction="sideways")
+    with pytest.raises(ValueError, match="nearest"):
+        asof_join(l, r, on=["k"], left_ts=["ts", "ts"], direction="nearest")
     got = asof_join(
         l, r, on=["k"], left_ts="ts", right_prefix="m_",
         right_cols=["rv", "ts"], right_ts="ts",
@@ -240,3 +242,29 @@ def test_asof_enrich_scd2_inner_with_null_attr(spark):
         right_cols=[], how="inner",
     ).collect()
     assert [x["k"] for x in got2] == ["a"]
+
+
+@pytest.mark.parametrize("inclusive,tol", [(True, None), (False, None), (True, 7)])
+def test_asof_nearest_matches_pandas(spark, inclusive, tol):
+    """direction='nearest' == pandas merge_asof nearest (ties to the
+    backward side), incl. allow_exact_matches=False and tolerance."""
+    l, r = _dfs(spark)
+    got = (
+        asof_join(
+            l, r, on=["k"], left_ts="ts", direction="nearest",
+            inclusive=inclusive,
+            tolerance=None if tol is None else F.lit(tol),
+        )
+        .toPandas().sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    lp = pd.DataFrame(LEFT, columns=["k", "ts", "lv"]).sort_values("ts")
+    rp = pd.DataFrame(RIGHT, columns=["k", "ts", "rv"]).sort_values("ts")
+    want = (
+        pd.merge_asof(lp, rp, on="ts", by="k", direction="nearest",
+                      allow_exact_matches=inclusive, tolerance=tol,
+                      suffixes=("", "_r"))
+        .sort_values(["k", "ts"]).reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(
+        got[["k", "ts", "lv", "rv"]], want[["k", "ts", "lv", "rv"]]
+    )
