@@ -33,8 +33,14 @@ Job kinds:
   ..., "actions": [{"compact": {"zorder_cols": [...]}}, {"rebucket":
   {"num_buckets": 256}}, {"tag": {"name": "nightly"}},
   {"rollback": {"version": "nightly"}}, {"expire_snapshots":
-  {"keep_last": 3}}, {"vacuum": {}}]}}`` — actions run in order, each
-  committing its own snapshot.
+  {"keep_last": 3}}, {"delete_where": {"where": "lang = 'tcl'"}} (or
+  ``"filters": [["lang", "=", "tcl"]]``), {"update_where": {"set":
+  {"lang": "'archived'"}, "where": ...}}, {"vacuum": {}}]}}`` —
+  actions run in order, each committing its own snapshot. In
+  ``update_where.set`` a plain string is ALWAYS parsed as a SQL
+  expression evaluated over the row's old values (SQL UPDATE
+  semantics) — quote string literals (``"'archived'"``), and pass
+  numbers as JSON numbers.
 * ``{"matview": {...}}`` — incrementally-maintained aggregate view:
   ``{"matview": {"source_root": ..., "view_root": ..., "spec":
   {"group_cols": [...], "sum_cols": [...], "min_cols": [...],

@@ -78,10 +78,14 @@ def lang_id_en(col: Column | str, min_hits: int = 2) -> Column:
 PII_PATTERNS: list[tuple[str, str]] = [
     (r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
     (r"\b(?:\d{1,3}\.){3}\d{1,3}\b", "<IP>"),
-    # CARD (13-16 digits) before PHONE so long digit runs do not
-    # half-match as phones
-    (r"\b\d(?:[ -]?\d){12,15}\b", "<CARD>"),
-    (r"\+?\d(?:[ ()-]?\d){6,11}\b", "<PHONE>"),
+    # CARD (13-19 digits — covers Maestro's 19) before PHONE so long
+    # digit runs do not half-match as phones; PHONE requires a leading
+    # '+' or word boundary so it can never bite the TAIL of a longer
+    # digit run (RE2 has no lookbehind, so \b|\+ is the portable
+    # anchor). Residual risk, by construction: a 20+-digit run matches
+    # neither pattern and is left unredacted rather than half-redacted.
+    (r"\b\d(?:[ -]?\d){12,18}\b", "<CARD>"),
+    (r"(?:\+|\b)\d(?:[ ()-]?\d){6,11}\b", "<PHONE>"),
 ]
 
 

@@ -2231,10 +2231,26 @@ class LakeTable:
         def value_of(c: str):
             v = assignments[c]
             if isinstance(v, Column):
-                return v.cast(types[c])
-            if isinstance(v, str):
-                return F.expr(v).cast(types[c])
-            return F.lit(v).cast(types[c])
+                raw = v
+            elif isinstance(v, str):
+                raw = F.expr(v)
+            else:
+                raw = F.lit(v)
+            # SQL UPDATE semantics: an assignment value that cannot be
+            # represented in the column's type FAILS the statement —
+            # try_cast + assert, so a typo'd expression can never
+            # silently NULL the column across every matched row
+            # (plain .cast() does exactly that under non-ANSI Spark)
+            casted = raw.try_cast(types[c])
+            ok = raw.isNull() | casted.isNotNull()
+            return F.when(ok, casted).otherwise(
+                F.raise_error(
+                    F.lit(
+                        f"update_where: assignment for column '{c}' does "
+                        f"not cast to {types[c].simpleString()}"
+                    )
+                )
+            )
 
         up = matched.select(
             *[

@@ -106,6 +106,24 @@ def asof_join(
     for c in on:
         if c not in left.columns or c not in right.columns:
             raise ValueError(f"key column {c!r} missing from a side")
+    # ts columns must be comparable: the union + window sort silently
+    # coerces mismatched types (int vs string sorts lexically!) into
+    # wrong matches, so refuse upfront unless exact or safe-widening
+    # (JoinView.create does the same for its join pair)
+    from datax_spark.operators.schema_evolution import widened_type
+
+    for lc, rc in zip(lts, rts):
+        if lc not in left.columns:
+            raise ValueError(f"left ts column {lc!r} missing")
+        if rc not in right.columns:
+            raise ValueError(f"right ts column {rc!r} missing")
+        ldt, rdt = left.schema[lc].dataType, right.schema[rc].dataType
+        if ldt != rdt and widened_type(ldt, rdt) is None:
+            raise ValueError(
+                f"as-of ts columns {lc!r}/{rc!r} are not comparable: "
+                f"{ldt.simpleString()} vs {rdt.simpleString()} — cast "
+                "one side explicitly"
+            )
     if right_cols is None:
         drop = set(on) | set(rts)
         right_cols = [c for c in right.columns if c not in drop]

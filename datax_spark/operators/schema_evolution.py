@@ -86,8 +86,11 @@ def evolve_schema(
                     f"{f.dataType.simpleString()} is not a safe widening"
                 )
             if w != cur[f.name].dataType:
+                # widening changes the TYPE only — a non-nullable
+                # column stays non-nullable unless the incoming field
+                # is itself nullable
                 out[[x.name for x in out].index(f.name)] = T.StructField(
-                    f.name, w, nullable=True
+                    f.name, w, nullable=cur[f.name].nullable or f.nullable
                 )
         else:
             out.append(T.StructField(f.name, f.dataType, nullable=True))

@@ -268,3 +268,18 @@ def test_asof_nearest_matches_pandas(spark, inclusive, tol):
     pd.testing.assert_frame_equal(
         got[["k", "ts", "lv", "rv"]], want[["k", "ts", "lv", "rv"]]
     )
+
+
+def test_asof_ts_type_mismatch_raises(spark):
+    """r3 ADVICE: incomparable ts types (int vs string) must fail
+    upfront — unionByName + window sort would silently coerce into
+    wrong matches. Safe widenings (int vs bigint) stay allowed."""
+    left = spark.createDataFrame([("a", 5)], "k string, ts int")
+    right_bad = spark.createDataFrame(
+        [("a", "3", 9)], "k string, ts string, v int")
+    with pytest.raises(ValueError, match="not comparable"):
+        asof_join(left, right_bad, on=["k"], left_ts="ts")
+    right_ok = spark.createDataFrame(
+        [("a", 3, 9)], "k string, ts bigint, v int")
+    out = asof_join(left, right_ok, on=["k"], left_ts="ts").collect()
+    assert len(out) == 1 and out[0]["v"] == 9

@@ -184,3 +184,18 @@ def test_delete_where_mor_on_resolve_order_table(spark, tmp_path):
     assert _keys(t) == [("r1", "b"), ("r2", "d"), ("r3", "e")]
     t.compact()
     assert _keys(t) == [("r1", "b"), ("r2", "d"), ("r3", "e")]
+
+
+def test_update_where_bad_cast_fails_loudly(spark, tmp_path):
+    """r3 ADVICE: an assignment whose value cannot be represented in
+    the column's type fails the statement (SQL UPDATE semantics) —
+    never a silent NULL across every matched row."""
+    t = _mk(spark, tmp_path / "t")
+    with pytest.raises(Exception) as ei:
+        t.update_where({"lsn": "'not-a-number'"}, filters=[("repo", "=", "r1")])
+    assert "does not cast to bigint" in str(ei.value)
+    # nothing committed, table unchanged
+    assert _keys(t) == sorted((r[0], r[1]) for r in ROWS)
+    # NULL-producing expressions on a nullable column are still fine
+    assert t.update_where({"lang": "NULL"}, filters=[("repo", "=", "r3")]) == 1
+    assert [r["lang"] for r in t.read(filters=[("repo", "=", "r3")]).collect()] == [None]

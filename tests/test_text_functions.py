@@ -230,3 +230,32 @@ def test_pii_hits_ignores_preexisting_placeholders(spark):
     rescrub = df.select(scrub_pii("text").alias("s")).select(
         pii_hits("s").alias("n")).collect()
     assert [r["n"] for r in rescrub] == [0, 0]
+
+
+def test_pii_long_digit_runs(spark):
+    """r3 ADVICE: 17-19-digit PANs (e.g. Maestro) must redact as one
+    <CARD>, never half-match as <PHONE> leaking the leading digits;
+    PHONE's leading boundary must stop it biting the tail of longer
+    runs. 20+-digit runs match neither (documented residual) — intact
+    beats a partial redaction that implies coverage."""
+    from datax_spark.functions.text import pii_hits, scrub_pii
+
+    rows = [
+        ("maestro19", "pan 6759 1234 5678 9012 345 end"),
+        ("pan17", "pan 12345678901234567 end"),
+        ("run25", "id 1234567890123456789012345 end"),
+        ("phone", "tel 4155550123 end"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id string, text string")
+    out = {
+        r["doc_id"]: (r["s"], r["n"])
+        for r in df.select(
+            "doc_id",
+            scrub_pii("text").alias("s"),
+            pii_hits("text").alias("n"),
+        ).collect()
+    }
+    assert out["maestro19"] == ("pan <CARD> end", 1)
+    assert out["pan17"] == ("pan <CARD> end", 1)
+    assert out["run25"] == ("id 1234567890123456789012345 end", 0)
+    assert out["phone"] == ("tel <PHONE> end", 1)

@@ -137,3 +137,17 @@ def test_widened_table_change_feed_and_view(spark, tmp_path):
     view.refresh(t)
     got = {r["repo"]: r["sum_size"] for r in view.read().collect()}
     assert got == {"r1": 12}
+
+
+def test_widening_preserves_nonnull_constraint():
+    """r3 ADVICE: widening changes the TYPE only — a non-nullable
+    column must stay non-nullable unless the incoming field is itself
+    nullable."""
+    cur = S([T.StructField("k", T.StringType()),
+             T.StructField("v", T.IntegerType(), nullable=False)])
+    inc_nn = S([T.StructField("v", T.LongType(), nullable=False)])
+    out = evolve_schema(cur, inc_nn)
+    assert out["v"].dataType == T.LongType()
+    assert out["v"].nullable is False
+    inc_n = S([T.StructField("v", T.LongType(), nullable=True)])
+    assert evolve_schema(cur, inc_n)["v"].nullable is True
