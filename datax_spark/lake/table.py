@@ -57,6 +57,8 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from datax_spark.lake import io as lake_io
+
 
 class CommitConflictError(RuntimeError):
     pass
@@ -845,28 +847,63 @@ def zorder_expr(cols: list[str], bounds: dict[str, tuple], bits: int = 16):
 
 
 # Per-table commit locks: _write_manifest's parent check + pointer
-# rename must be one atomic compare-and-swap or two same-process
-# writers could both pass the check and the loser's rename would
-# silently clobber the winner (lost update). In-process, a lock per
-# table root provides the CAS; ACROSS processes the single-writer
-# contract stands (a shared deployment needs an atomic catalog CAS,
-# exactly as Iceberg requires of its catalog).
+# rename must be one atomic compare-and-swap or two writers could both
+# pass the check and the loser's rename would silently clobber the
+# winner (lost update). Two layers make the CAS physical:
+#   1. an in-process reentrant lock per table root (cheap, fair);
+#   2. the storage backend's CROSS-PROCESS commit lock underneath it
+#      (lake/io.py: flock / O_EXCL lockfile on LocalFS; a deployment
+#      on an object store swaps in a conditional-put backend — exactly
+#      the catalog CAS Iceberg requires).
+# Two engine processes (a replay job ‖ a nightly compaction) therefore
+# serialize at the pointer swap; the loser re-reads the head and
+# rebases (PendingMerge.commit(rebase=True)) or raises
+# CommitConflictError — never a silent lost update.
+class _TableCommitLock:
+    def __init__(self, root: str):
+        self._rlock = threading.RLock()
+        self._root = root
+        self._depth = 0
+        self._cm = None
+
+    def __enter__(self):
+        self._rlock.acquire()
+        try:
+            if self._depth == 0:
+                self._cm = lake_io.get_backend().commit_lock(self._root)
+                self._cm.__enter__()
+            self._depth += 1
+        except BaseException:
+            self._rlock.release()
+            raise
+        return self
+
+    def __exit__(self, exc_type, exc, tb):
+        try:
+            self._depth -= 1
+            if self._depth == 0 and self._cm is not None:
+                cm, self._cm = self._cm, None
+                cm.__exit__(exc_type, exc, tb)
+        finally:
+            self._rlock.release()
+        return False
+
+
 _COMMIT_LOCKS_GUARD = threading.Lock()
-_COMMIT_LOCKS: dict[str, threading.RLock] = defaultdict(threading.RLock)
+_COMMIT_LOCKS: dict[str, _TableCommitLock] = {}
 
 
-def _commit_lock(root: str) -> threading.RLock:
+def _commit_lock(root: str) -> _TableCommitLock:
+    key = os.path.realpath(root)
     with _COMMIT_LOCKS_GUARD:
-        return _COMMIT_LOCKS[os.path.realpath(root)]
+        lk = _COMMIT_LOCKS.get(key)
+        if lk is None:
+            lk = _COMMIT_LOCKS[key] = _TableCommitLock(key)
+        return lk
 
 
 def _atomic_write(path: str, data: str) -> None:
-    tmp = f"{path}.tmp.{uuid.uuid4().hex}"
-    with open(tmp, "w") as fh:
-        fh.write(data)
-        fh.flush()
-        os.fsync(fh.fileno())
-    os.rename(tmp, path)  # atomic on POSIX / HDFS rename semantics
+    lake_io.get_backend().atomic_write(path, data)
 
 
 class LakeTable:
