@@ -148,6 +148,20 @@ def _candidates_from_mins(
     shuffle) so downstream stages can estimate similarity without a
     second scan of the corpus — cheaper than re-deriving the
     signatures, which would repeat the full shingle+hash pass."""
+    from pyspark import StorageLevel
+
+    # The self-join references ``mins`` twice, and without
+    # materialization Spark plans TWO complete scan→explode→hash→
+    # min-agg subtrees (exchange reuse cannot fire once one side
+    # becomes a BroadcastExchange) — two full shingle+hash passes over
+    # the corpus where one suffices. Persist the signature frame: one
+    # narrow ~8·num_hashes-byte row per doc, so at corpus scale it is
+    # O(docs) not O(text); MEMORY_AND_DISK spills rather than
+    # recomputes, and Spark's ContextCleaner reclaims the cache once
+    # the result frame is garbage-collected. The corpus is shingled
+    # and hashed exactly ONCE (asserted in tools/dump_plans.py: a
+    # single documents scan in the candidates plan).
+    mins = mins.persist(StorageLevel.MEMORY_AND_DISK)
     rows = num_hashes // bands
     band_structs = F.array(
         *[

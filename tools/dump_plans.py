@@ -90,14 +90,33 @@ def main() -> None:
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     cands = minhash_lsh_candidates(docs, "text", "doc_id")
+    mh_plan = plan_of(cands)
+    # the band self-join must read the PERSISTED signature frame on
+    # BOTH sides (InMemoryTableScan x2 over one shared InMemoryRelation)
+    # — the corpus is shingled+hashed exactly once; without the persist
+    # the plan regresses to two complete scan→explode→min-agg subtrees
+    import re as _re
+
+    n_imts = len(_re.findall(r"InMemoryTableScan", mh_plan))
     sections.append((
         "MinHash LSH candidates (functions.dedup_text)",
         "The signature stage is partial_min over xxhash64 of the "
         "exploded shingle hashes — string-hashed once, map-side combined; "
-        "band bucket join exchanges only on (band, bh).",
-        plan_of(cands),
-        ["partial_min", "explode("],
+        "band bucket join exchanges only on (band, bh). The signature "
+        "frame is persisted (MEMORY_AND_DISK, one narrow row per doc) so "
+        f"both sides of the self-join read the cache (InMemoryTableScan "
+        f"counted: {n_imts}, asserted >= 2) and the corpus is scanned "
+        "ONCE — previously the join recomputed the whole shingle+hash "
+        "pipeline on each side.",
+        mh_plan,
+        ["partial_min", "explode(", "InMemoryTableScan"],
     ))
+    if n_imts < 2:
+        sections.append((
+            "MINHASH cache-reuse REGRESSION",
+            f"expected both self-join sides on InMemoryTableScan, found {n_imts}",
+            mh_plan, ["__NEVER__"],
+        ))
 
     # 5. Cosine top-k: TakeOrderedAndProject (per-partition top-k)
     from datax_spark.functions.similarity import cosine_topk
