@@ -23,12 +23,24 @@ kafkawriter/.../KafkaWriter.java):
   16384) before flushing.
 
 Transport: the reference links the Apache Kafka client; this module
-speaks the versioned request/response protocol directly — Metadata
-v1, ListOffsets v1, Fetch v2, Produce v2 with magic-1 MessageSets
-(CRC32-checked, the format every broker since 0.10 still serves).
-Compression attributes are refused loudly (no codec negotiation).
-SASL is not implemented and fails loudly. Drivable by an in-process
-fake speaking the same frames in tests.
+speaks the versioned request/response protocol directly. Two message
+formats are supported end-to-end:
+
+* magic-1 MessageSets (CRC32) over Fetch v2 / Produce v2 — the
+  pre-0.11 format, kept for compatibility;
+* **record batches v2** (KIP-98: varint records, CRC32C/Castagnoli
+  over the batch, offset/timestamp deltas, headers) over Fetch v4 /
+  Produce v3 — the on-disk format of every broker since 0.11/2017,
+  REQUIRED by brokers that no longer down-convert (Kafka 4.0 removed
+  pre-v4 Fetch). gzip-compressed batches decode (pure zlib); snappy/
+  lz4/zstd are refused loudly (no pure-stdlib codec); control batches
+  (transaction markers) are skipped like a read_committed consumer
+  skips them.
+
+The fetch decoder dispatches per entry on the magic byte, so a log
+whose old segments are magic-1 and new segments are v2 reads
+seamlessly. SASL is not implemented and fails loudly. Drivable by an
+in-process fake speaking the same frames in tests.
 
 Spark-first shape: the driver plans (partition → leader, offset
 range) from Metadata/ListOffsets only; executors fetch their
@@ -179,6 +191,190 @@ def decode_message_set(buf: bytes):
     return out
 
 
+# --------------------------------------------------- record batches (v2)
+
+# CRC32C (Castagnoli, reflected poly 0x82F63B78) — the checksum KIP-98
+# batches carry. Table-based pure python: plenty for the control-plane
+# volumes this transport moves; the scale path for bulk ingest remains
+# `transport: spark` (the built-in kafka source).
+_CRC32C_TABLE = []
+
+
+def _crc32c_table():
+    if not _CRC32C_TABLE:
+        for n in range(256):
+            c = n
+            for _ in range(8):
+                c = (c >> 1) ^ 0x82F63B78 if c & 1 else c >> 1
+            _CRC32C_TABLE.append(c)
+    return _CRC32C_TABLE
+
+
+def crc32c(data: bytes) -> int:
+    tbl = _crc32c_table()
+    c = 0xFFFFFFFF
+    for b in data:
+        c = tbl[(c ^ b) & 0xFF] ^ (c >> 8)
+    return c ^ 0xFFFFFFFF
+
+
+def _uvarint(v: int) -> bytes:
+    out = bytearray()
+    while True:
+        b = v & 0x7F
+        v >>= 7
+        if v:
+            out.append(b | 0x80)
+        else:
+            out.append(b)
+            return bytes(out)
+
+
+def _zigzag(v: int) -> bytes:
+    return _uvarint((v << 1) ^ (v >> 63))
+
+
+def _read_uvarint(buf: bytes, i: int) -> tuple[int, int]:
+    v = shift = 0
+    while True:
+        b = buf[i]
+        i += 1
+        v |= (b & 0x7F) << shift
+        if not b & 0x80:
+            return v, i
+        shift += 7
+
+
+def _read_zigzag(buf: bytes, i: int) -> tuple[int, int]:
+    v, i = _read_uvarint(buf, i)
+    return (v >> 1) ^ -(v & 1), i
+
+
+_V2_CODECS = {1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
+
+
+def encode_record_batch_v2(
+    messages, base_offset: int = 0, compression: str | None = None
+) -> bytes:
+    """[(timestamp_ms, key|None, value)] -> one v2 record batch
+    (KIP-98 wire layout; producer-side offsets are deltas the broker
+    rebases). ``compression='gzip'`` wraps the records section."""
+    if not messages:
+        return b""
+    base_ts = messages[0][0]
+    max_ts = max(m[0] for m in messages)
+    recs = bytearray()
+    for delta, (ts, key, value) in enumerate(messages):
+        body = bytearray()
+        body += b"\x00"  # record attributes (unused)
+        body += _zigzag(ts - base_ts)
+        body += _zigzag(delta)
+        if key is None:
+            body += _zigzag(-1)
+        else:
+            body += _zigzag(len(key)) + key
+        if value is None:
+            body += _zigzag(-1)
+        else:
+            body += _zigzag(len(value)) + value
+        body += _zigzag(0)  # headers
+        recs += _zigzag(len(body)) + bytes(body)
+    attrs = 0
+    recs = bytes(recs)
+    if compression == "gzip":
+        attrs |= 1
+        co = zlib.compressobj(wbits=31)  # gzip wrapper
+        recs = co.compress(recs) + co.flush()
+    elif compression is not None:
+        raise NotImplementedError(
+            f"producer compression {compression!r} not supported (gzip only)"
+        )
+    payload = (
+        struct.pack(
+            ">hiqqqhii",
+            attrs,
+            len(messages) - 1,  # last_offset_delta
+            base_ts,
+            max_ts,
+            -1,  # producer_id (non-transactional)
+            -1,  # producer_epoch
+            -1,  # base_sequence
+            len(messages),
+        )
+        + recs
+    )
+    head = struct.pack(">ibI", 0, 2, crc32c(payload))  # leader_epoch, magic, crc
+    batch = head + payload
+    return struct.pack(">qi", base_offset, len(batch)) + batch
+
+
+def _decode_record_batch_v2(seg: bytes):
+    """One v2 batch -> [(offset, timestamp_ms, key|None, value)]."""
+    base_offset, _blen, _ple = struct.unpack_from(">qii", seg, 0)
+    (crc,) = struct.unpack_from(">I", seg, 17)
+    payload = seg[21:]
+    if crc32c(payload) != crc:
+        raise KafkaError(2, f"record batch at offset {base_offset} (crc32c)")
+    attrs, _lod, base_ts, _max_ts, _pid, _pep, _bseq, count = struct.unpack_from(
+        ">hiqqqhii", payload, 0
+    )
+    if attrs & 0x20:  # control batch (txn markers): skip, like read_committed
+        return []
+    recs = payload[40:]
+    codec = attrs & 0x07
+    if codec == 1:
+        recs = zlib.decompress(recs, wbits=31)
+    elif codec:
+        raise NotImplementedError(
+            f"compressed record batch (codec "
+            f"{_V2_CODECS.get(codec, codec)}) not supported — gzip only"
+        )
+    out = []
+    i = 0
+    for _ in range(count):
+        rlen, i = _read_zigzag(recs, i)
+        end = i + rlen
+        i += 1  # record attributes
+        ts_delta, i = _read_zigzag(recs, i)
+        off_delta, i = _read_zigzag(recs, i)
+        klen, i = _read_zigzag(recs, i)
+        key = None
+        if klen >= 0:
+            key = recs[i : i + klen]
+            i += klen
+        vlen, i = _read_zigzag(recs, i)
+        value = b""
+        if vlen >= 0:
+            value = recs[i : i + vlen]
+            i += vlen
+        out.append((base_offset + off_delta, base_ts + ts_delta, key, value))
+        i = end  # skip headers
+    return out
+
+
+def decode_records(buf: bytes):
+    """Fetch-response record bytes -> [(offset, ts, key, value)],
+    dispatching per entry on the magic byte (offset 16 in BOTH the
+    magic<=1 entry ``offset+size+message{crc,magic,...}`` and the v2
+    entry ``base_offset+batch_len+leader_epoch+magic``, with identical
+    ``12+size`` entry arithmetic) — a topic whose old segments are
+    magic-1 and new segments are v2 decodes seamlessly. Stops cleanly
+    at a truncated trailing entry (brokers cut at max_bytes)."""
+    out = []
+    i = 0
+    while i + 17 <= len(buf):
+        _off, size = struct.unpack_from(">qi", buf, i)
+        if size < 5 or i + 12 + size > len(buf):
+            break  # truncated trailer — refetch from next offset
+        seg = buf[i : i + 12 + size]
+        if seg[16] >= 2:
+            out.extend(_decode_record_batch_v2(seg))
+        else:
+            out.extend(decode_message_set(seg))
+        i += 12 + size
+    return out
+
+
 # ------------------------------------------------------------ connection
 
 class KafkaConnection:
@@ -281,17 +477,33 @@ class KafkaConnection:
                 return off
         raise IOError(f"list_offsets returned nothing for {topic}/{partition}")
 
-    # ---- Fetch v2
+    # ---- Fetch v2 (magic<=1 era) / Fetch v4 (record batches v2)
 
     def fetch(self, topic: str, partition: int, offset: int,
-              max_bytes: int = 1 << 20, max_wait_ms: int = 500):
-        """-> (messages [(offset, ts, key, value)], high_watermark)"""
-        body = (
-            struct.pack(">iii", -1, max_wait_ms, 1)  # replica, wait, min_bytes
-            + struct.pack(">i", 1) + _str(topic)
-            + struct.pack(">i", 1) + struct.pack(">iqi", partition, offset, max_bytes)
-        )
-        r = self._request(API_FETCH, 2, body)
+              max_bytes: int = 1 << 20, max_wait_ms: int = 500,
+              fmt: str = "v1"):
+        """-> (messages [(offset, ts, key, value)], high_watermark).
+        ``fmt='v2'`` speaks Fetch v4 (isolation_level READ_UNCOMMITTED,
+        v2 batches arrive un-down-converted — required by brokers that
+        dropped pre-v4 Fetch); both paths decode mixed-magic logs."""
+        if fmt == "v2":
+            body = (
+                struct.pack(">iiiib", -1, max_wait_ms, 1, max_bytes, 0)
+                + struct.pack(">i", 1) + _str(topic)
+                + struct.pack(">i", 1)
+                + struct.pack(">iqi", partition, offset, max_bytes)
+            )
+            r = self._request(API_FETCH, 4, body)
+        elif fmt == "v1":
+            body = (
+                struct.pack(">iii", -1, max_wait_ms, 1)  # replica, wait, min
+                + struct.pack(">i", 1) + _str(topic)
+                + struct.pack(">i", 1)
+                + struct.pack(">iqi", partition, offset, max_bytes)
+            )
+            r = self._request(API_FETCH, 2, body)
+        else:
+            raise ValueError(f"messageFormat must be 'v1' or 'v2', got {fmt!r}")
         r.i32()  # throttle_time_ms
         for _ in range(r.i32()):
             r.string()
@@ -299,26 +511,52 @@ class KafkaConnection:
                 pid = r.i32()
                 err = r.i16()
                 hw = r.i64()
+                if fmt == "v2":
+                    r.i64()  # last_stable_offset
+                    n_ab = r.i32()  # aborted_transactions (nullable array)
+                    for _ in range(max(n_ab, 0)):
+                        r.i64(), r.i64()
                 n = r.i32()
                 raw = r.raw(n)
                 if err:
                     raise KafkaError(err, f"fetch {topic}/{pid}")
-                return decode_message_set(raw), hw
+                return decode_records(raw), hw
         raise IOError(f"fetch returned nothing for {topic}/{partition}")
 
-    # ---- Produce v2 (acks=-1 'all', the reference's setting)
+    # ---- Produce v2 / v3 (acks=-1 'all', the reference's setting)
 
     def produce(self, topic: str, partition: int, messages,
-                acks: int = -1, timeout_ms: int = 30000) -> int:
-        """messages: [(timestamp_ms, key|None, value)] -> base offset."""
-        ms = encode_message_set(messages)
-        body = (
-            struct.pack(">hi", acks, timeout_ms)
-            + struct.pack(">i", 1) + _str(topic)
-            + struct.pack(">i", 1) + struct.pack(">i", partition)
-            + struct.pack(">i", len(ms)) + ms
-        )
-        r = self._request(API_PRODUCE, 2, body)
+                acks: int = -1, timeout_ms: int = 30000,
+                fmt: str = "v1", compression: str | None = None) -> int:
+        """messages: [(timestamp_ms, key|None, value)] -> base offset.
+        ``fmt='v2'`` sends a KIP-98 record batch over Produce v3 (the
+        version that introduced batches; transactional_id null),
+        optionally gzip-compressed."""
+        if fmt == "v2":
+            ms = encode_record_batch_v2(messages, compression=compression)
+            body = (
+                _nullable_str(None)  # transactional_id
+                + struct.pack(">hi", acks, timeout_ms)
+                + struct.pack(">i", 1) + _str(topic)
+                + struct.pack(">i", 1) + struct.pack(">i", partition)
+                + struct.pack(">i", len(ms)) + ms
+            )
+            r = self._request(API_PRODUCE, 3, body)
+        elif fmt == "v1":
+            if compression is not None:
+                raise NotImplementedError(
+                    "compression requires messageFormat 'v2'"
+                )
+            ms = encode_message_set(messages)
+            body = (
+                struct.pack(">hi", acks, timeout_ms)
+                + struct.pack(">i", 1) + _str(topic)
+                + struct.pack(">i", 1) + struct.pack(">i", partition)
+                + struct.pack(">i", len(ms)) + ms
+            )
+            r = self._request(API_PRODUCE, 2, body)
+        else:
+            raise ValueError(f"messageFormat must be 'v1' or 'v2', got {fmt!r}")
         base = -1
         for _ in range(r.i32()):
             r.string()
@@ -382,6 +620,7 @@ def kafka_read(spark: SparkSession, p: dict) -> DataFrame:
     # useful batch default, matching the existing spark-kafka path
     reset = str(p.get("autoOffsetReset", p.get("startingOffsets", "earliest")))
     max_bytes = int(p.get("fetchMaxBytes", 1 << 20))
+    fmt = str(p.get("messageFormat", "v1"))  # 'v2' = Fetch v4 + KIP-98 batches
 
     host, port = _parse_bootstrap(servers)
     conn = KafkaConnection(host, port)
@@ -418,7 +657,7 @@ def kafka_read(spark: SparkSession, p: dict) -> DataFrame:
                     off = int(t.start)
                     while off < t.end:
                         msgs, _hw = c.fetch(topic, int(t.partition), off,
-                                            max_bytes=max_bytes)
+                                            max_bytes=max_bytes, fmt=fmt)
                         if not msgs:
                             raise IOError(
                                 f"fetch at {off} returned no messages below "
@@ -473,6 +712,8 @@ def kafka_write(df: DataFrame, p: dict) -> dict:
     if not column_map:
         raise ValueError("kafkawriter requires a column list")
     batch_bytes = int(p.get("batchSize", 16384))  # producer batch.size analog
+    fmt = str(p.get("messageFormat", "v1"))  # 'v2' = Produce v3 + KIP-98 batches
+    compression = p.get("compression")  # 'gzip' (v2 only)
 
     host, port = _parse_bootstrap(servers)
     conn = KafkaConnection(host, port)
@@ -505,7 +746,8 @@ def kafka_write(df: DataFrame, p: dict) -> dict:
             if pid not in conns:
                 _, h, prt = next(t for t in targets if t[0] == pid)
                 conns[pid] = KafkaConnection(h, int(prt))
-            conns[pid].produce(topic, pid, bufs[pid])
+            conns[pid].produce(topic, pid, bufs[pid], fmt=fmt,
+                               compression=compression)
             written += len(bufs[pid])
             bufs[pid].clear()
             sizes[pid] = 0

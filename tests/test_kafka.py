@@ -1,6 +1,7 @@
 """Kafka wire-protocol transport tests against an in-process fake
 broker speaking the real versioned frames (Metadata v1, ListOffsets
-v1, Fetch v2, Produce v2, magic-1 MessageSets)."""
+v1, Fetch v2/v4, Produce v2/v3, magic-1 MessageSets AND KIP-98 v2
+record batches incl. gzip)."""
 
 from __future__ import annotations
 
@@ -18,8 +19,11 @@ from datax_spark.sources.kafka import (
     LATEST,
     KafkaConnection,
     KafkaError,
+    crc32c,
     decode_message_set,
+    decode_records,
     encode_message_set,
+    encode_record_batch_v2,
     kafka_read,
     kafka_write,
     project_json_value,
@@ -70,8 +74,12 @@ class FakeKafkaHandler(socketserver.BaseRequestHandler):
             return self._list_offsets(srv, body)
         if api_key == 1 and api_version == 2:
             return self._fetch(srv, body)
+        if api_key == 1 and api_version == 4:
+            return self._fetch_v4(srv, body)
         if api_key == 0 and api_version == 2:
             return self._produce(srv, body)
+        if api_key == 0 and api_version == 3:
+            return self._produce_v3(srv, body)
         raise AssertionError(f"unexpected api {api_key} v{api_version}")
 
     @staticmethod
@@ -146,6 +154,70 @@ class FakeKafkaHandler(socketserver.BaseRequestHandler):
         out += struct.pack(">i", 1) + self._str(topic) + struct.pack(">i", 1)
         out += struct.pack(">ihq", pid, 0, len(log.messages))
         out += struct.pack(">i", len(ms)) + ms
+        return out
+
+    def _fetch_v4(self, srv, body):
+        # replica(4) max_wait(4) min_bytes(4) max_bytes(4) isolation(1)
+        i = 17
+        (ntop,) = struct.unpack_from(">i", body, i)
+        i += 4
+        assert ntop == 1
+        (tlen,) = struct.unpack_from(">h", body, i)
+        topic = body[i + 2 : i + 2 + tlen].decode()
+        i += 2 + tlen
+        i += 4  # one partition
+        pid, offset, max_bytes = struct.unpack_from(">iqi", body, i)
+        log = srv.logs[(topic, pid)]
+        msgs = [
+            (off, ts, key, val)
+            for off, (ts, key, val) in enumerate(log.messages)
+            if off >= offset
+        ]
+        # serve v2 batches of up to 3 records each (exercises the
+        # delta decoding); optionally gzip-compressed
+        ms = b""
+        comp = "gzip" if getattr(srv, "serve_gzip", False) else None
+        for j in range(0, len(msgs), 3):
+            chunk = msgs[j : j + 3]
+            ms += encode_record_batch_v2(
+                [(ts, key, val) for _off, ts, key, val in chunk],
+                base_offset=chunk[0][0], compression=comp,
+            )
+            if len(ms) >= max_bytes:
+                ms = ms[: max_bytes + 9]  # cut mid-batch like a broker
+                break
+        out = struct.pack(">i", 0)  # throttle
+        out += struct.pack(">i", 1) + self._str(topic) + struct.pack(">i", 1)
+        out += struct.pack(">ihqq", pid, 0, len(log.messages), len(log.messages))
+        out += struct.pack(">i", -1)  # aborted_transactions: null array
+        out += struct.pack(">i", len(ms)) + ms
+        return out
+
+    def _produce_v3(self, srv, body):
+        (tid_len,) = struct.unpack_from(">h", body, 0)  # transactional_id
+        i = 2 + max(tid_len, 0)
+        acks, _timeout = struct.unpack_from(">hi", body, i)
+        i += 6
+        (ntop,) = struct.unpack_from(">i", body, i)
+        i += 4
+        assert ntop == 1 and acks == -1
+        (tlen,) = struct.unpack_from(">h", body, i)
+        topic = body[i + 2 : i + 2 + tlen].decode()
+        i += 2 + tlen
+        i += 4  # one partition entry
+        (pid,) = struct.unpack_from(">i", body, i)
+        i += 4
+        (n,) = struct.unpack_from(">i", body, i)
+        i += 4
+        ms = body[i : i + n]
+        with srv.lock:
+            log = srv.logs[(topic, pid)]
+            base = len(log.messages)
+            for _off, ts, key, val in decode_records(ms):
+                log.messages.append((ts, key, val))
+        out = struct.pack(">i", 1) + self._str(topic) + struct.pack(">i", 1)
+        out += struct.pack(">ihqq", pid, 0, base, -1)
+        out += struct.pack(">i", 0)  # throttle
         return out
 
     def _produce(self, srv, body):
@@ -406,3 +478,181 @@ def test_jobspec_dispatch_wire_transport(broker, spark):
         "transport": "wire",
     })
     assert res["written"] == 1
+
+
+# ----------------------------------------------- v2 record batches (KIP-98)
+
+
+def test_crc32c_known_vectors():
+    # RFC 3720 / Castagnoli check value
+    assert crc32c(b"123456789") == 0xE3069283
+    assert crc32c(b"") == 0
+    assert crc32c(b"\x00" * 32) == 0x8A9136AA
+
+
+def test_record_batch_v2_roundtrip():
+    msgs = [
+        (1000, b"k0", b"v0"),
+        (1005, None, b"v1"),
+        (990, b"k2", b""),
+    ]
+    buf = encode_record_batch_v2(msgs, base_offset=7)
+    out = decode_records(buf)
+    assert out == [
+        (7, 1000, b"k0", b"v0"),
+        (8, 1005, None, b"v1"),
+        (9, 990, b"k2", b""),
+    ]
+
+
+def test_record_batch_v2_gzip_roundtrip():
+    msgs = [(i, None, f"value-{i}".encode() * 20) for i in range(50)]
+    buf = encode_record_batch_v2(msgs, base_offset=0, compression="gzip")
+    plain = encode_record_batch_v2(msgs, base_offset=0)
+    assert len(buf) < len(plain)  # actually compressed
+    out = decode_records(buf)
+    assert [(o, v) for o, _ts, _k, v in out] == [
+        (i, f"value-{i}".encode() * 20) for i in range(50)
+    ]
+
+
+def test_record_batch_v2_bad_crc_rejected():
+    buf = bytearray(encode_record_batch_v2([(0, None, b"x")]))
+    buf[-1] ^= 0xFF  # flip a payload byte after the crc
+    with pytest.raises(KafkaError) as ei:
+        decode_records(bytes(buf))
+    assert ei.value.code == 2
+
+
+def test_record_batch_v2_unsupported_codec_refused():
+    buf = bytearray(encode_record_batch_v2([(0, None, b"x")]))
+    # attributes live at offset 21 (after base_offset, batch_len,
+    # leader_epoch, magic, crc); set codec bits to snappy(2) and
+    # re-stamp the crc so the codec check is what fires
+    payload = bytearray(buf[21:])
+    payload[1] = (payload[1] & ~0x07) | 2
+    struct.pack_into(">I", buf, 17, crc32c(bytes(payload)))
+    buf[21:] = payload
+    with pytest.raises(NotImplementedError, match="snappy"):
+        decode_records(bytes(buf))
+
+
+def test_record_batch_v2_control_batch_skipped():
+    buf = bytearray(encode_record_batch_v2([(0, None, b"marker")]))
+    payload = bytearray(buf[21:])
+    # attributes is int16 big-endian at payload[0:2]; bit 5 (0x20)
+    payload[1] |= 0x20
+    struct.pack_into(">I", buf, 17, crc32c(bytes(payload)))
+    buf[21:] = payload
+    assert decode_records(bytes(buf)) == []
+
+
+def test_decode_records_mixed_magic_log():
+    """Old magic-1 segment followed by a v2 segment in one fetch
+    response — dispatch on the magic byte decodes both."""
+    old = encode_message_set([(100, b"k", b"old")], base_offset=0)
+    new = encode_record_batch_v2([(200, None, b"new")], base_offset=1)
+    out = decode_records(old + new)
+    assert out == [(0, 100, b"k", b"old"), (1, 200, None, b"new")]
+
+
+def test_decode_records_truncated_v2_trailer():
+    full = encode_record_batch_v2([(0, None, b"a" * 50)], base_offset=0)
+    nxt = encode_record_batch_v2([(1, None, b"b" * 50)], base_offset=1)
+    cut = (full + nxt)[: len(full) + 9]
+    assert [v for _o, _t, _k, v in decode_records(cut)] == [b"a" * 50]
+
+
+def test_client_produce_fetch_v2(broker):
+    c = KafkaConnection(*broker.server_address)
+    try:
+        base = c.produce(
+            "events", 0,
+            [(10, b"k1", b"hello"), (11, None, b"world")], fmt="v2",
+        )
+        assert base == 0
+        c.produce("events", 0, [(12, None, b"gz" * 100)], fmt="v2",
+                  compression="gzip")
+        msgs, hw = c.fetch("events", 0, 0, fmt="v2")
+        assert hw == 3
+        assert [(o, k, v) for o, _t, k, v in msgs] == [
+            (0, b"k1", b"hello"), (1, None, b"world"), (2, None, b"gz" * 100),
+        ]
+    finally:
+        c.close()
+
+
+def test_kafka_read_v2_format(broker, spark):
+    """End-to-end v2: produce KIP-98 batches (one gzip'd), read with
+    messageFormat v2 over Fetch v4 (fake serves multi-record batches)."""
+    c = KafkaConnection(*broker.server_address)
+    try:
+        for pid, vals in {
+            0: ['{"id": 1}', '{"id": 2}', '{"id": 3}', '{"id": 4}'],
+            1: ['{"id": 5}'],
+            2: [],
+        }.items():
+            if vals:
+                c.produce("events", pid,
+                          [(0, None, v.encode()) for v in vals], fmt="v2")
+    finally:
+        c.close()
+    df = kafka_read(spark, {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": ["id"],
+        "isList": 0,
+        "messageFormat": "v2",
+    })
+    assert sorted(int(r["id"]) for r in df.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_kafka_read_v2_gzip_served(broker, spark):
+    broker.serve_gzip = True
+    _preload(broker, "events", {0: ['{"id": %d}' % i for i in range(10)]})
+    df = kafka_read(spark, {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": ["id"],
+        "isList": 0,
+        "messageFormat": "v2",
+    })
+    assert sorted(int(r["id"]) for r in df.collect()) == list(range(10))
+
+
+def test_kafka_write_read_round_trip_v2(broker, spark):
+    df = spark.createDataFrame(
+        [(i, f"n{i}") for i in range(25)], "id long, name string"
+    )
+    kafka_write(df, {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": [
+            {"columnName": "id", "columnType": "Long"},
+            {"columnName": "name", "columnType": "String"},
+        ],
+        "messageFormat": "v2",
+        "compression": "gzip",
+    })
+    back = kafka_read(spark, {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": ["id", "name"],
+        "isList": 0,
+        "messageFormat": "v2",
+    })
+    got = sorted((int(r["id"]), r["name"]) for r in back.collect())
+    assert got == [(i, f"n{i}") for i in range(25)]
+
+
+def test_kafka_read_v2_pages_through_small_max_bytes(broker, spark):
+    _preload(broker, "events", {0: ['{"id": %d}' % i for i in range(30)]})
+    df = kafka_read(spark, {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": ["id"],
+        "isList": 0,
+        "messageFormat": "v2",
+        "fetchMaxBytes": 150,  # forces many fetches + truncated trailers
+    })
+    assert sorted(int(r["id"]) for r in df.collect()) == list(range(30))
