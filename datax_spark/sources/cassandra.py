@@ -23,9 +23,12 @@ speaks the versioned frame protocol directly — STARTUP→READY
 handshake, QUERY frames with paging (page size + paging state), BATCH
 frames (kind 0 = query strings), RESULT Rows decoding from the
 server-sent column metadata (option ids → Spark types, so the
-DataFrame schema comes from the cluster, not hand config). SCRAM/
-password auth (AUTHENTICATE) fails loudly. Drivable by an in-process
-fake speaking the same frames in tests.
+DataFrame schema comes from the cluster, not hand config). Password
+auth: the AUTHENTICATE→AUTH_RESPONSE→AUTH_SUCCESS exchange with the
+single-step SASL PLAIN token (\\0user\\0password) that
+PasswordAuthenticator expects; multi-step SASL challenges fail
+loudly. Drivable by an in-process fake speaking the same frames in
+tests.
 
 Spark-first shape: the driver plans token slices from ring metadata
 only; executors each page their slice's rows inside ``mapInPandas``
@@ -52,6 +55,9 @@ OP_AUTHENTICATE = 0x03
 OP_QUERY = 0x07
 OP_RESULT = 0x08
 OP_BATCH = 0x0D
+OP_AUTH_CHALLENGE = 0x0E
+OP_AUTH_RESPONSE = 0x0F
+OP_AUTH_SUCCESS = 0x10
 CONSISTENCY_ONE = 0x0001
 RESULT_VOID = 0x0001
 RESULT_ROWS = 0x0002
@@ -94,17 +100,36 @@ class CqlConnection:
     """One native-protocol connection: STARTUP handshake then QUERY/
     BATCH request-response frames."""
 
-    def __init__(self, host: str, port: int, timeout: float = 30.0):
+    def __init__(self, host: str, port: int, timeout: float = 30.0,
+                 username: str | None = None, password: str | None = None):
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._stream = 0
         self._lock = threading.Lock()
         op, body = self._request(OP_STARTUP, _startup_body())
         if op == OP_AUTHENTICATE:
-            raise NotImplementedError(
-                "password/SASL auth is not implemented in this transport"
+            # body = [string] authenticator class; PasswordAuthenticator
+            # speaks single-step SASL PLAIN: \0user\0password in one
+            # AUTH_RESPONSE, answered by AUTH_SUCCESS (protocol v4 §4.2.2)
+            n = struct.unpack_from(">H", body, 0)[0]
+            authenticator = body[2 : 2 + n].decode("utf-8")
+            if username is None or password is None:
+                raise ValueError(
+                    f"server requires authentication ({authenticator}) but "
+                    "no username/password configured"
+                )
+            token = b"\x00" + username.encode() + b"\x00" + password.encode()
+            op, body = self._request(
+                OP_AUTH_RESPONSE, struct.pack(">i", len(token)) + token
             )
-        if op != OP_READY:
+            if op == OP_AUTH_CHALLENGE:
+                raise NotImplementedError(
+                    f"multi-step SASL challenge from {authenticator} not "
+                    "supported (PLAIN only)"
+                )
+            if op != OP_AUTH_SUCCESS:
+                raise IOError(f"unexpected auth opcode 0x{op:02x}")
+        elif op != OP_READY:
             raise IOError(f"unexpected handshake opcode 0x{op:02x}")
 
     def close(self):
@@ -310,8 +335,7 @@ def cassandra_read(spark: SparkSession, p: dict) -> DataFrame:
     host = p.get("host")
     if not host:
         raise ValueError("cassandrareader requires host")
-    if p.get("username") or p.get("password"):
-        raise NotImplementedError("auth not implemented in this transport")
+    user, pwd = p.get("username"), p.get("password")
     port = int(p.get("port", 9042))
     ks = p["keyspace"]
     table = p["table"]
@@ -323,7 +347,7 @@ def cassandra_read(spark: SparkSession, p: dict) -> DataFrame:
     page_size = int(p.get("pageSize", 1000))
     full_table = f"{ks}.{table}"
 
-    conn = CqlConnection(host, port)
+    conn = CqlConnection(host, port, username=user, password=pwd)
     try:
         partitioner, pks = _cluster_metadata(conn, ks, table)
         # a user where already carrying token() disables splitting
@@ -367,7 +391,7 @@ def cassandra_read(spark: SparkSession, p: dict) -> DataFrame:
                 hi = int(trow["hi"]) if trow["hi"] != "" else None
                 cql = build_select(full_table, columns, pks, lo, hi, where,
                                    allow_filtering=allow_filtering)
-                c = CqlConnection(host, port)
+                c = CqlConnection(host, port, username=user, password=pwd)
                 try:
                     out = []
                     for cols, row in c.query_all(cql, page_size=page_size):
@@ -410,8 +434,7 @@ def cassandra_write(df: DataFrame, p: dict) -> dict:
     host = p.get("host")
     if not host:
         raise ValueError("cassandrawriter requires host")
-    if p.get("username") or p.get("password"):
-        raise NotImplementedError("auth not implemented in this transport")
+    user, pwd = p.get("username"), p.get("password")
     port = int(p.get("port", 9042))
     full_table = f"{p['keyspace']}.{p['table']}"
     columns = list(p.get("column") or df.columns)
@@ -421,7 +444,7 @@ def cassandra_write(df: DataFrame, p: dict) -> dict:
     def put_partition(batches):
         import pandas as pd
 
-        conn = CqlConnection(host, port)
+        conn = CqlConnection(host, port, username=user, password=pwd)
         written = 0
         dirty = 0
         buf: list[str] = []

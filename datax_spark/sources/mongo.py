@@ -29,8 +29,12 @@ implementation speaks the documented wire format directly — one
 OP_MSG (flagBits=0, one kind-0 section carrying a command BSON doc)
 per command, ``find``/``getMore`` cursor paging, ``insert``/
 ``update`` writes — so it is drivable by an in-process fake mongod in
-tests. Auth (SCRAM) is out of scope here and fails loudly if
-configured. The BSON codec covers the types the reference maps:
+tests. Auth: SCRAM-SHA-256 (RFC 7677 over ``saslStart``/
+``saslContinue``, hashlib/hmac only, server signature verified;
+passwords are used as-is — full SASLprep normalization of non-ASCII
+passwords is out of scope and such passwords are refused loudly).
+SCRAM-SHA-1 is not offered (FIPS-deprecated; the server advertises
+256 since 4.0). The BSON codec covers the types the reference maps:
 double, string, document, array, binary, ObjectId, bool, UTC
 datetime, null, int32/int64.
 
@@ -231,6 +235,76 @@ class MongoWire:
             raise MongoCommandError(doc.get("errmsg", str(doc)), code)
         return doc
 
+    def authenticate(self, username: str, password: str,
+                     auth_db: str = "admin") -> None:
+        """SCRAM-SHA-256 (RFC 7677) over saslStart/saslContinue.
+        hashlib/hmac only; verifies the SERVER signature too, so a
+        spoofed endpoint that merely says ok cannot pass. Passwords
+        are used as-is (SASLprep is the identity for ASCII); non-ASCII
+        passwords are refused rather than silently mis-normalized."""
+        import base64
+        import hashlib
+        import hmac as _hmac
+        import os as _os
+
+        try:
+            pwd = password.encode("ascii")
+        except UnicodeEncodeError:
+            raise NotImplementedError(
+                "non-ASCII SCRAM passwords need SASLprep normalization, "
+                "which this transport does not implement"
+            )
+        user = username.replace("=", "=3D").replace(",", "=2C")
+        cnonce = base64.b64encode(_os.urandom(18)).decode()
+        first_bare = f"n={user},r={cnonce}"
+        res = self.ok_command(auth_db, {
+            "saslStart": 1,
+            "mechanism": "SCRAM-SHA-256",
+            "payload": ("n,," + first_bare).encode(),
+            "autoAuthorize": 1,
+        })
+        server_first = bytes(res["payload"]).decode()
+        attrs = dict(kv.split("=", 1) for kv in server_first.split(","))
+        nonce = attrs["r"]
+        if not nonce.startswith(cnonce):
+            raise IOError("SCRAM: server nonce does not extend client nonce")
+        salt = base64.b64decode(attrs["s"])
+        iterations = int(attrs["i"])
+        if iterations < 4096:
+            raise IOError(f"SCRAM: iteration count {iterations} below RFC minimum")
+        salted = hashlib.pbkdf2_hmac("sha256", pwd, salt, iterations)
+        client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = f"c=biws,r={nonce}"
+        auth_msg = f"{first_bare},{server_first},{without_proof}".encode()
+        client_sig = _hmac.new(stored_key, auth_msg, hashlib.sha256).digest()
+        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
+        res = self.ok_command(auth_db, {
+            "saslContinue": 1,
+            "conversationId": res["conversationId"],
+            "payload": (
+                f"{without_proof},p={base64.b64encode(proof).decode()}"
+            ).encode(),
+        })
+        final = dict(
+            kv.split("=", 1)
+            for kv in bytes(res["payload"]).decode().split(",")
+            if kv
+        )
+        server_key = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
+        server_sig = _hmac.new(server_key, auth_msg, hashlib.sha256).digest()
+        if base64.b64decode(final.get("v", "")) != server_sig:
+            raise IOError(
+                "SCRAM: server signature verification failed — the peer "
+                "does not know this user's credentials"
+            )
+        while not res.get("done"):
+            res = self.ok_command(auth_db, {
+                "saslContinue": 1,
+                "conversationId": res["conversationId"],
+                "payload": b"",
+            })
+
     def find_iter(self, db: str, coll: str, flt: dict, batch_size: int = 1000,
                   sort: dict | None = None, limit: int | None = None,
                   skip: int | None = None, projection: dict | None = None):
@@ -268,12 +342,30 @@ def _parse_address(p: dict) -> tuple[str, int]:
     if not addr:
         raise ValueError("mongodb address is required")
     host, _, port = str(addr).partition(":")
-    if p.get("userName") or p.get("userPassword"):
-        raise NotImplementedError(
-            "SCRAM auth is not implemented in this transport; connect "
-            "unauthenticated or front with a proxy"
-        )
     return host, int(port or 27017)
+
+
+def _creds(p: dict) -> tuple[str, str, str] | None:
+    """(user, password, auth_db) from the reference's config keys
+    (userName/userPassword + optional authDb), or None."""
+    user, pwd = p.get("userName"), p.get("userPassword")
+    if not user and not pwd:
+        return None
+    if not (user and pwd):
+        raise ValueError("mongodb auth needs BOTH userName and userPassword")
+    return str(user), str(pwd), str(p.get("authDb", "admin"))
+
+
+def _open_wire(host: str, port: int,
+               creds: tuple[str, str, str] | None) -> MongoWire:
+    w = MongoWire(host, port)
+    try:
+        if creds is not None:
+            w.authenticate(creds[0], creds[1], auth_db=creds[2])
+    except BaseException:
+        w.close()
+        raise
+    return w
 
 
 # ------------------------------------------------------------------ split
@@ -410,6 +502,7 @@ def mongo_read(spark: SparkSession, p: dict) -> DataFrame:
     """mongodbreader: splitVector-planned ranges → one wire cursor per
     range inside ``mapInPandas``."""
     host, port = _parse_address(p)
+    creds = _creds(p)
     db = p["dbName"]
     coll = p["collectionName"]
     columns = list(p.get("column") or [])
@@ -419,7 +512,7 @@ def mongo_read(spark: SparkSession, p: dict) -> DataFrame:
     batch_size = int(p.get("batchSize", 1000))
     user_query = p.get("query")
 
-    wire = MongoWire(host, port)
+    wire = _open_wire(host, port, creds)
     try:
         ranges, is_oid = mongo_split_ranges(wire, db, coll, advice)
     finally:
@@ -457,7 +550,7 @@ def mongo_read(spark: SparkSession, p: dict) -> DataFrame:
                 if user_query:
                     q = json.loads(user_query)
                     flt = {"$and": [flt, q]} if flt else q
-                w = MongoWire(host, port)
+                w = _open_wire(host, port, creds)
                 try:
                     out = []
                     for item in w.find_iter(db, coll, flt, batch_size=batch_size):
@@ -479,6 +572,7 @@ def mongo_write(df: DataFrame, p: dict) -> dict:
     """mongodbwriter: batched inserts, or ReplaceOne-upsert bulk when
     ``writeMode.isReplace`` with ``replaceKey``/``uniqueKey``."""
     host, port = _parse_address(p)
+    creds = _creds(p)
     db = p["dbName"]
     coll = p["collectionName"]
     columns = list(p.get("column") or [])
@@ -524,7 +618,7 @@ def mongo_write(df: DataFrame, p: dict) -> dict:
     def put_partition(batches):
         import pandas as pd
 
-        w = MongoWire(host, port)
+        w = _open_wire(host, port, creds)
         written = 0
         dirty = 0
         buf: list[dict] = []

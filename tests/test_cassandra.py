@@ -60,9 +60,10 @@ def _token64(values: tuple) -> int:
 
 
 class FakeCassandra:
-    def __init__(self):
+    def __init__(self, users: dict[str, str] | None = None):
         # (ks, table) -> {"pks": [...], "cols": {name: type_id}, "rows": [dict]}
         self.tables: dict[tuple, dict] = {}
+        self.users = users or {}
         self.lock = threading.Lock()
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
@@ -96,6 +97,7 @@ class FakeCassandra:
         return buf
 
     def _serve(self, conn):
+        state: dict = {}  # per-connection auth state
         with conn:
             while True:
                 try:
@@ -105,7 +107,7 @@ class FakeCassandra:
                 ver, _, stream, opcode, blen = struct.unpack(">BBhBi", hdr)
                 body = self._recv_exact(conn, blen) if blen else b""
                 try:
-                    rop, rbody = self.handle(opcode, body)
+                    rop, rbody = self.handle(opcode, body, state)
                 except Exception as e:  # surface as a server ERROR frame
                     rop = 0x00
                     msg = str(e).encode()
@@ -116,9 +118,28 @@ class FakeCassandra:
 
     # ---- frame handlers
 
-    def handle(self, opcode, body):
+    def handle(self, opcode, body, state=None):
+        state = {"authed": True} if state is None else state
         if opcode == 0x01:  # STARTUP
+            if self.users:
+                auth = "org.apache.cassandra.auth.PasswordAuthenticator"
+                b = auth.encode()
+                return 0x03, struct.pack(">H", len(b)) + b  # AUTHENTICATE
+            state["authed"] = True
             return 0x02, b""
+        if opcode == 0x0F:  # AUTH_RESPONSE: SASL PLAIN \0user\0password
+            n = struct.unpack_from(">i", body, 0)[0]
+            token = body[4 : 4 + max(n, 0)]
+            parts = token.split(b"\x00")
+            if (
+                len(parts) == 3
+                and self.users.get(parts[1].decode()) == parts[2].decode()
+            ):
+                state["authed"] = True
+                return 0x10, struct.pack(">i", -1)  # AUTH_SUCCESS, null token
+            raise ValueError("Provided username/password are incorrect")
+        if self.users and not state.get("authed"):
+            raise ValueError("You have not logged in")
         if opcode == 0x07:  # QUERY
             n = struct.unpack_from(">i", body, 0)[0]
             cql = body[4 : 4 + n].decode("utf-8")
@@ -410,10 +431,63 @@ def test_string_escaping_roundtrip(spark, cass):
 
 
 def test_guards(spark, cass):
-    with pytest.raises(NotImplementedError, match="auth"):
-        cassandra_read(spark, _conf(cass, username="u", password="p"))
+    # credentials against a server that never asks for auth are simply
+    # unused (mirrors the real driver); missing host still fails
+    assert cassandra_read(
+        spark, _conf(cass, username="u", password="p")).count() == 0
     with pytest.raises(ValueError, match="host"):
         cassandra_write(
             spark.createDataFrame([("x",)], "a string"),
             {"keyspace": "k", "table": "t"},
         )
+
+
+# --------------------------------------------------- PLAIN password auth
+
+
+@pytest.fixture()
+def authed_cass():
+    srv = FakeCassandra(users={"app": "s3cret"})
+    srv.create_table(
+        "code", "repos",
+        pks=["repo"],
+        cols={"repo": 0x0D, "path": 0x0D, "stars": 0x02, "score": 0x07,
+              "active": 0x04, "updated": 0x0B},
+    )
+    yield srv
+    srv.close()
+
+
+def test_auth_read_end_to_end(spark, authed_cass):
+    """AUTHENTICATE→AUTH_RESPONSE(SASL PLAIN)→AUTH_SUCCESS on the
+    planner AND every executor connection; token-sliced read complete."""
+    _seed(authed_cass)
+    got = cassandra_read(
+        spark, _conf(authed_cass, username="app", password="s3cret"))
+    assert got.count() == 24
+
+
+def test_auth_write_end_to_end(spark, authed_cass):
+    df = spark.createDataFrame([("rA", "x.py")], "repo string, path string")
+    cassandra_write(df, {
+        "host": "127.0.0.1", "port": authed_cass.port,
+        "keyspace": "code", "table": "repos",
+        "column": ["repo", "path"],
+        "username": "app", "password": "s3cret",
+    })
+    with authed_cass.lock:
+        assert authed_cass.tables[("code", "repos")]["rows"][0]["repo"] == "rA"
+
+
+def test_auth_missing_or_wrong_credentials(spark, authed_cass):
+    from datax_spark.sources.cassandra import CqlConnection, CqlError
+
+    with pytest.raises(ValueError, match="requires authentication"):
+        CqlConnection("127.0.0.1", authed_cass.port)
+    with pytest.raises(CqlError, match="incorrect"):
+        CqlConnection("127.0.0.1", authed_cass.port,
+                      username="app", password="wrong")
+    # unauthenticated commands on an auth-required server are refused
+    # (the fake enforces login like a real coordinator)
+    with pytest.raises(Exception, match="authentication|logged in"):
+        cassandra_read(spark, _conf(authed_cass))

@@ -22,6 +22,7 @@ import threading
 import pytest
 
 from datax_spark.sources.mongo import (
+    MongoCommandError,
     MongoWire,
     ObjectId,
     bson_decode,
@@ -37,12 +38,17 @@ from datax_spark.sources.readers import read_source
 # ------------------------------------------------------------- fake mongod
 
 class FakeMongod:
-    def __init__(self, deny_split_vector: bool = False):
+    def __init__(self, deny_split_vector: bool = False,
+                 users: dict[str, str] | None = None,
+                 bad_server_sig: bool = False):
         self.colls: dict[tuple, list[dict]] = {}
         self.lock = threading.Lock()
         self.cursors: dict[int, list[dict]] = {}
         self._cur = 0
+        self._conv = 0
         self.deny_split_vector = deny_split_vector
+        self.users = users or {}
+        self.bad_server_sig = bad_server_sig
         self.srv = socket.create_server(("127.0.0.1", 0))
         self.port = self.srv.getsockname()[1]
         self._accepting = True
@@ -63,6 +69,7 @@ class FakeMongod:
     # ---- request handling
 
     def _serve(self, conn: socket.socket):
+        state: dict = {}  # per-connection auth/conversation state
         with conn:
             while True:
                 try:
@@ -73,7 +80,7 @@ class FakeMongod:
                 rest = self._recv_exact(conn, mlen - 16)
                 assert opcode == 2013 and rest[4] == 0
                 cmd, _ = bson_decode(rest, 5)
-                reply = self.handle(cmd)
+                reply = self.handle(cmd, state)
                 body = bson_encode(reply)
                 payload = struct.pack("<i", 0) + b"\x00" + body
                 conn.sendall(
@@ -120,7 +127,84 @@ class FakeMongod:
                     return False
         return True
 
-    def handle(self, cmd: dict) -> dict:
+    # ---- SCRAM-SHA-256 verifier (RFC 7677 server side)
+
+    def _sasl_start(self, cmd: dict, state: dict) -> dict:
+        import base64
+        import hashlib
+        import os
+
+        payload = bytes(cmd["payload"]).decode()
+        if not payload.startswith("n,,") or cmd.get("mechanism") != "SCRAM-SHA-256":
+            return {"ok": 0.0, "code": 18, "errmsg": "authentication failed"}
+        bare = payload[3:]
+        attrs = dict(kv.split("=", 1) for kv in bare.split(","))
+        user = attrs["n"].replace("=2C", ",").replace("=3D", "=")
+        if user not in self.users:
+            return {"ok": 0.0, "code": 18, "errmsg": "authentication failed"}
+        snonce = attrs["r"] + base64.b64encode(os.urandom(12)).decode()
+        salt = os.urandom(16)
+        iters = 4096
+        server_first = (
+            f"r={snonce},s={base64.b64encode(salt).decode()},i={iters}"
+        )
+        with self.lock:
+            self._conv += 1
+            conv = self._conv
+        state["scram"] = {
+            "bare": bare,
+            "server_first": server_first,
+            "salted": hashlib.pbkdf2_hmac(
+                "sha256", self.users[user].encode(), salt, iters
+            ),
+            "nonce": snonce,
+        }
+        state["conv"] = conv
+        return {"ok": 1.0, "conversationId": conv, "done": False,
+                "payload": server_first.encode()}
+
+    def _sasl_continue(self, cmd: dict, state: dict) -> dict:
+        import base64
+        import hashlib
+        import hmac
+
+        sc = state.get("scram")
+        if sc is None or cmd.get("conversationId") != state.get("conv"):
+            return {"ok": 0.0, "code": 18, "errmsg": "no SASL conversation"}
+        payload = bytes(cmd["payload"]).decode()
+        if not payload:  # optional empty final exchange
+            return {"ok": 1.0, "conversationId": state["conv"],
+                    "done": True, "payload": b""}
+        attrs = dict(kv.split("=", 1) for kv in payload.split(","))
+        without_proof = payload[: payload.rindex(",p=")]
+        auth_msg = (
+            f"{sc['bare']},{sc['server_first']},{without_proof}".encode()
+        )
+        client_key = hmac.new(sc["salted"], b"Client Key", hashlib.sha256).digest()
+        stored = hashlib.sha256(client_key).digest()
+        sig = hmac.new(stored, auth_msg, hashlib.sha256).digest()
+        expected = bytes(a ^ b for a, b in zip(client_key, sig))
+        if attrs["r"] != sc["nonce"] or base64.b64decode(attrs["p"]) != expected:
+            return {"ok": 0.0, "code": 18, "errmsg": "authentication failed"}
+        server_key = hmac.new(sc["salted"], b"Server Key", hashlib.sha256).digest()
+        v = base64.b64encode(
+            hmac.new(server_key, auth_msg, hashlib.sha256).digest()
+        ).decode()
+        if self.bad_server_sig:
+            v = base64.b64encode(b"\x00" * 32).decode()
+        state["authed"] = True
+        return {"ok": 1.0, "conversationId": state["conv"], "done": True,
+                "payload": f"v={v}".encode()}
+
+    def handle(self, cmd: dict, state: dict | None = None) -> dict:
+        state = {"authed": True} if state is None else state
+        if "saslStart" in cmd:
+            return self._sasl_start(cmd, state)
+        if "saslContinue" in cmd:
+            return self._sasl_continue(cmd, state)
+        if self.users and not state.get("authed"):
+            return {"ok": 0.0, "code": 13,
+                    "errmsg": "command requires authentication"}
         db = cmd.get("$db", "test")
         with self.lock:
             if "find" in cmd:
@@ -418,7 +502,9 @@ def test_dispatch_and_guards(spark, mongod):
     df = read_source(spark, "mongodbreader", _read_conf(mongod, parallelism=2))
     assert df.count() == 40
     small = spark.createDataFrame([("x", 1)], "k string, n long")
-    with pytest.raises(NotImplementedError, match="SCRAM"):
+    # auth is SCRAM now: credentials against a server with no such
+    # user fail the handshake loudly (executor-side, Spark-wrapped)
+    with pytest.raises(Exception, match="authentication failed"):
         write_sink(small, "mongodbwriter", {
             "address": [f"127.0.0.1:{mongod.port}"], "dbName": "d",
             "collectionName": "c", "userName": "u", "userPassword": "p",
@@ -435,3 +521,95 @@ def test_dispatch_and_guards(spark, mongod):
         mongo_read(spark, _read_conf(
             mongod, column=[{"name": "tags", "type": "array"}]
         )).collect()
+
+
+# ------------------------------------------------------ SCRAM-SHA-256 auth
+
+
+def test_scram_auth_end_to_end_read(spark):
+    """Server demands auth (code 13 unauthenticated); SCRAM-SHA-256
+    over saslStart/saslContinue authenticates the planner AND every
+    executor connection; the read comes back complete."""
+    srv = FakeMongod(users={"app": "s3cret"})
+    try:
+        docs = _seed(srv)
+        conf = _read_conf(srv, userName="app", userPassword="s3cret")
+        got = mongo_read(spark, conf)
+        assert got.count() == len(docs)
+    finally:
+        srv.close()
+
+
+def test_scram_unauthenticated_rejected():
+    srv = FakeMongod(users={"app": "s3cret"})
+    try:
+        _seed(srv)
+        w = MongoWire("127.0.0.1", srv.port)
+        try:
+            with pytest.raises(MongoCommandError) as ei:
+                w.ok_command("code", {"find": "repos", "filter": {}})
+            assert ei.value.code == 13
+            # same connection works after authenticating
+            w.authenticate("app", "s3cret")
+            assert w.ok_command("code", {"find": "repos", "filter": {},
+                                         "batchSize": 5})["cursor"]["firstBatch"]
+        finally:
+            w.close()
+    finally:
+        srv.close()
+
+
+def test_scram_wrong_password_fails():
+    srv = FakeMongod(users={"app": "s3cret"})
+    try:
+        w = MongoWire("127.0.0.1", srv.port)
+        try:
+            with pytest.raises(MongoCommandError) as ei:
+                w.authenticate("app", "wrong")
+            assert ei.value.code == 18
+            with pytest.raises(MongoCommandError):
+                w.authenticate("ghost", "s3cret")
+        finally:
+            w.close()
+    finally:
+        srv.close()
+
+
+def test_scram_client_verifies_server_signature():
+    """A server that accepts the proof but cannot produce the right
+    ServerSignature (doesn't actually know the credentials) must be
+    rejected CLIENT-side."""
+    srv = FakeMongod(users={"app": "s3cret"}, bad_server_sig=True)
+    try:
+        w = MongoWire("127.0.0.1", srv.port)
+        try:
+            with pytest.raises(IOError, match="server signature"):
+                w.authenticate("app", "s3cret")
+        finally:
+            w.close()
+    finally:
+        srv.close()
+
+
+def test_scram_non_ascii_password_refused():
+    srv = FakeMongod(users={"app": "s3cret"})
+    try:
+        w = MongoWire("127.0.0.1", srv.port)
+        try:
+            with pytest.raises(NotImplementedError, match="SASLprep"):
+                w.authenticate("app", "päss")
+        finally:
+            w.close()
+    finally:
+        srv.close()
+
+
+def test_mongo_auth_config_validation():
+    from datax_spark.sources.mongo import _creds
+
+    assert _creds({}) is None
+    assert _creds({"userName": "u", "userPassword": "p"}) == ("u", "p", "admin")
+    assert _creds({"userName": "u", "userPassword": "p", "authDb": "code"}) == (
+        "u", "p", "code")
+    with pytest.raises(ValueError, match="BOTH"):
+        _creds({"userName": "u"})
