@@ -36,6 +36,7 @@ from __future__ import annotations
 
 from collections.abc import Callable
 
+import pandas as pd  # noqa: F401 — pandas_udf type hints resolve via module globals
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -77,14 +78,35 @@ def dx_encryption(
     joins on encrypted columns); pass ``cipher='GCM'`` for the
     IV-randomized authenticated mode when determinism is not needed.
     Returns base64 text for 'encrypt', decrypted string for 'decrypt'.
+
+    ``cipher='SM4'`` gives BYTE parity with the reference
+    (SM4/ECB/PKCS5Padding, hex key in, hex ciphertext out —
+    functions/sm4.py, validated against the GB/T 32907 vectors) via an
+    Arrow-batched pandas UDF. It exists for interop with data the
+    reference already encrypted; AES stays the performance path (JVM,
+    hardware AES-NI) for bulk columns.
     """
     c = F.col(col) if isinstance(col, str) else col
+    if mode not in ("encrypt", "decrypt"):
+        raise ValueError(
+            f"dx_encryption mode must be encrypt|decrypt, got {mode}"
+        )
+    if cipher.upper() == "SM4":
+        from pyspark.sql.functions import pandas_udf
+
+        from datax_spark.functions.sm4 import decrypt_ecb_hex, encrypt_ecb_hex
+
+        fn = encrypt_ecb_hex if mode == "encrypt" else decrypt_ecb_hex
+
+        @pandas_udf("string")
+        def _sm4(s: pd.Series) -> pd.Series:
+            return s.map(lambda v: None if v is None else fn(key, v))
+
+        return _sm4(c)
     k = F.lit(key)
     if mode == "encrypt":
         return F.base64(F.aes_encrypt(c, k, F.lit(cipher)))
-    if mode == "decrypt":
-        return F.aes_decrypt(F.unbase64(c), k, F.lit(cipher)).cast("string")
-    raise ValueError(f"dx_encryption mode must be encrypt|decrypt, got {mode}")
+    return F.aes_decrypt(F.unbase64(c), k, F.lit(cipher)).cast("string")
 
 
 def dx_json(col: Column | str, dot_path: str) -> Column:
