@@ -55,10 +55,25 @@ def _h(col, salt: int, seed: int):
     return F.abs(F.xxhash64(col, F.lit(seed * 1_000_003 + salt)))
 
 
-def events_df(spark: SparkSession, spec: ChangelogSpec) -> DataFrame:
-    """Build the change-event DataFrame (no writes, fully distributed)."""
-    n_parts = max(spark.sparkContext.defaultParallelism, spec.n_epochs)
-    df = spark.range(0, spec.n_events, 1, n_parts).withColumnRenamed("id", "lsn")
+def events_df(
+    spark: SparkSession,
+    spec: ChangelogSpec,
+    lsn_range: tuple[int, int] | None = None,
+) -> DataFrame:
+    """Build the change-event DataFrame (no writes, fully distributed).
+
+    Every column is a pure function of ``lsn``, so ``lsn_range``
+    generates an exact SLICE of the full log — the rows for
+    ``lo <= lsn < hi`` are bit-identical to the same rows of a full
+    generation. This is what lets disk-bounded scale ladders
+    (tools/scale_rolling.py) materialize one epoch at a time instead
+    of the whole 10^8+-event log."""
+    lo, hi = lsn_range if lsn_range is not None else (0, spec.n_events)
+    n_parts = max(
+        spark.sparkContext.defaultParallelism,
+        (hi - lo + spec.events_per_epoch - 1) // spec.events_per_epoch,
+    )
+    df = spark.range(lo, hi, 1, n_parts).withColumnRenamed("id", "lsn")
 
     # --- repo: explicit skewed CDF (top repo ~32%, next two ~10%/7%) ---
     u = (_h(F.col("lsn"), 1, spec.seed) % 1_000_000) / 1_000_000.0
