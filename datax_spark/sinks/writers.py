@@ -193,6 +193,12 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
             .option("topic", p["topic"])
             .save()
         )
+    elif name == "clickhousewriter" and (p.get("endpoint") or p.get("host")):
+        # native HTTP transport (sources/clickhouse.py); configs that
+        # carry only a jdbcUrl keep the generic JDBC path below
+        from datax_spark.sources.clickhouse import clickhouse_write
+
+        return clickhouse_write(df, p)
     elif name == "jdbcwriter":
         spark = df.sparkSession
         url, table = p["jdbcUrl"], p["table"]
