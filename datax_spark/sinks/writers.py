@@ -193,6 +193,14 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
             .option("topic", p["topic"])
             .save()
         )
+    elif name in ("adbpgwriter", "hologresjdbcwriter", "postgresqlwriter",
+                  "gpdbwriter") and p.get("host"):
+        # native protocol-v3 transport (sources/postgres.py): COPY bulk
+        # load / ON CONFLICT upsert; jdbcUrl-only configs keep the
+        # generic JDBC path below
+        from datax_spark.sources.postgres import pg_write
+
+        return pg_write(df, p)
     elif name == "clickhousewriter" and (p.get("endpoint") or p.get("host")):
         # native HTTP transport (sources/clickhouse.py); configs that
         # carry only a jdbcUrl keep the generic JDBC path below

@@ -1,0 +1,537 @@
+"""PostgreSQL-family reader/writer over the public wire protocol v3 —
+the transport behind the reference's adbpgwriter / hologresjdbcwriter
+/ postgresqlreader/writer (all PG-compatible endpoints).
+
+Reference parity:
+
+* **adbpgwriter** (adbpgwriter/.../AdbpgWriter.java + copy/): bulk
+  load via the COPY pipeline — here ``COPY table (cols) FROM STDIN``
+  text format, one stream per Spark partition, ``batchSize``-row
+  CopyData chunks.
+* **hologresjdbcwriter** (BaseWriter.java:52-68,279): ``writeMode``
+  IGNORE / UPDATE / REPLACE (default REPLACE) keyed on the table's
+  primary key → ``INSERT ... ON CONFLICT (keys) DO NOTHING`` /
+  ``DO UPDATE SET non-key-cols`` (UPDATE and REPLACE both rewrite the
+  full row, which is what INSERT_OR_UPDATE does when every column is
+  in the map — the reference's generated form).
+* **postgresqlreader**: splitPk even-range split + NULL bucket
+  (SingleTableSplitUtil parity via readers.bigint_split_points),
+  ranged SELECTs pushed into the server.
+
+Transport: the documented frontend/backend protocol v3 — startup,
+cleartext/MD5 password auth (SCRAM-SHA-256 endpoints fail loudly for
+now), the simple-query cycle (RowDescription/DataRow/CommandComplete/
+ReadyForQuery), COPY IN sub-protocol, text-format values with COPY
+escaping. No driver jar; drivable by an in-process fake in tests.
+
+Spark-first shape: the driver plans from cheap probes only; executors
+stream their split / COPY their partition inside ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import socket
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class PgError(IOError):
+    def __init__(self, fields: dict[str, str]):
+        self.code = fields.get("C", "")
+        super().__init__(
+            f"{fields.get('S', 'ERROR')} {self.code}: {fields.get('M', '')}"
+        )
+
+
+def _cstr(b: bytes, i: int) -> tuple[str, int]:
+    end = b.index(b"\x00", i)
+    return b[i:end].decode("utf-8"), end + 1
+
+
+class PgConnection:
+    """One protocol-v3 connection: startup + auth, then simple-query
+    and COPY IN cycles."""
+
+    def __init__(self, host: str, port: int, user: str, database: str,
+                 password: str | None = None, timeout: float = 30.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self.user = user
+        params = (
+            f"user\x00{user}\x00database\x00{database}\x00\x00".encode()
+        )
+        body = struct.pack(">i", 196608) + params
+        self.sock.sendall(struct.pack(">i", len(body) + 4) + body)
+        self._auth(password)
+
+    def close(self):
+        try:
+            self.sock.sendall(b"X" + struct.pack(">i", 4))  # Terminate
+        except OSError:
+            pass
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("postgres connection closed")
+            buf += chunk
+        return buf
+
+    def _read_msg(self) -> tuple[bytes, bytes]:
+        t = self._recv_exact(1)
+        (n,) = struct.unpack(">i", self._recv_exact(4))
+        return t, self._recv_exact(n - 4)
+
+    @staticmethod
+    def _error_fields(body: bytes) -> dict[str, str]:
+        fields = {}
+        i = 0
+        while i < len(body) and body[i] != 0:
+            k = chr(body[i])
+            v, i = _cstr(body, i + 1)
+            fields[k] = v
+        return fields
+
+    def _auth(self, password: str | None) -> None:
+        while True:
+            t, body = self._read_msg()
+            if t == b"E":
+                raise PgError(self._error_fields(body))
+            if t == b"R":
+                (kind,) = struct.unpack_from(">i", body, 0)
+                if kind == 0:
+                    continue  # AuthenticationOk
+                if password is None:
+                    raise ValueError(
+                        "server requires a password but none configured"
+                    )
+                if kind == 3:  # cleartext
+                    self._send_password(password)
+                elif kind == 5:  # md5(md5(pwd+user)+salt)
+                    salt = body[4:8]
+                    inner = hashlib.md5(
+                        password.encode() + self.user.encode()
+                    ).hexdigest()
+                    outer = hashlib.md5(inner.encode() + salt).hexdigest()
+                    self._send_password("md5" + outer)
+                elif kind == 10:
+                    raise NotImplementedError(
+                        "SCRAM-SHA-256 auth not implemented in this "
+                        "transport (cleartext/MD5 endpoints work)"
+                    )
+                else:
+                    raise NotImplementedError(f"auth method {kind} unsupported")
+            elif t in (b"S", b"K", b"N"):
+                continue  # ParameterStatus / BackendKeyData / Notice
+            elif t == b"Z":
+                return  # ReadyForQuery
+            else:
+                raise IOError(f"unexpected message {t!r} during startup")
+
+    def _send_password(self, pwd: str) -> None:
+        body = pwd.encode() + b"\x00"
+        self.sock.sendall(b"p" + struct.pack(">i", len(body) + 4) + body)
+
+    # ---- simple query cycle
+
+    def query(self, sql: str):
+        """-> (columns [(name, typoid)], rows [[str|None]], command_tag)"""
+        body = sql.encode() + b"\x00"
+        self.sock.sendall(b"Q" + struct.pack(">i", len(body) + 4) + body)
+        cols: list[tuple[str, int]] = []
+        rows: list[list[str | None]] = []
+        tag = ""
+        err: PgError | None = None
+        while True:
+            t, b = self._read_msg()
+            if t == b"T":
+                (n,) = struct.unpack_from(">h", b, 0)
+                i = 2
+                cols = []
+                for _ in range(n):
+                    name, i = _cstr(b, i)
+                    _toid, _attn, typoid, _tlen, _tmod, _fmt = struct.unpack_from(
+                        ">ihihih", b, i
+                    )
+                    i += 18
+                    cols.append((name, typoid))
+            elif t == b"D":
+                (n,) = struct.unpack_from(">h", b, 0)
+                i = 2
+                row: list[str | None] = []
+                for _ in range(n):
+                    (ln,) = struct.unpack_from(">i", b, i)
+                    i += 4
+                    if ln < 0:
+                        row.append(None)
+                    else:
+                        row.append(b[i : i + ln].decode("utf-8"))
+                        i += ln
+                rows.append(row)
+            elif t == b"C":
+                tag, _ = _cstr(b, 0)
+            elif t == b"E":
+                err = PgError(self._error_fields(b))
+            elif t in (b"S", b"N", b"I"):  # status / notice / empty query
+                continue
+            elif t == b"Z":
+                if err is not None:
+                    raise err
+                return cols, rows, tag
+            else:
+                raise IOError(f"unexpected message {t!r} in query cycle")
+
+    def copy_in(self, sql: str, lines) -> int:
+        """COPY ... FROM STDIN (text format); ``lines`` yields already-
+        escaped rows WITHOUT trailing newline. Returns rows copied."""
+        body = sql.encode() + b"\x00"
+        self.sock.sendall(b"Q" + struct.pack(">i", len(body) + 4) + body)
+        err: PgError | None = None
+        started = False
+        while True:
+            t, b = self._read_msg()
+            if t == b"G":  # CopyInResponse
+                started = True
+                break
+            if t == b"E":
+                err = PgError(self._error_fields(b))
+            elif t == b"Z":
+                raise err or IOError("COPY refused without error")
+        n = 0
+        buf: list[str] = []
+
+        def flush():
+            if not buf:
+                return
+            data = ("\n".join(buf) + "\n").encode("utf-8")
+            self.sock.sendall(b"d" + struct.pack(">i", len(data) + 4) + data)
+            buf.clear()
+
+        assert started
+        for line in lines:
+            buf.append(line)
+            n += 1
+            if len(buf) >= 512:
+                flush()
+        flush()
+        self.sock.sendall(b"c" + struct.pack(">i", 4))  # CopyDone
+        tag = ""
+        while True:
+            t, b = self._read_msg()
+            if t == b"C":
+                tag, _ = _cstr(b, 0)
+            elif t == b"E":
+                err = PgError(self._error_fields(b))
+            elif t == b"Z":
+                if err is not None:
+                    raise err
+                return int(tag.split()[-1]) if tag else n
+            elif t in (b"S", b"N"):
+                continue
+            else:
+                raise IOError(f"unexpected message {t!r} after COPY")
+
+
+# ------------------------------------------------- text format + literals
+
+_COPY_ESC = {"\\": "\\\\", "\t": "\\t", "\n": "\\n", "\r": "\\r"}
+_COPY_UNESC = {"\\": "\\", "t": "\t", "n": "\n", "r": "\r"}
+
+
+def copy_escape(v) -> str:
+    import datetime as _dt
+
+    if v is None:
+        return "\\N"
+    if isinstance(v, bool):
+        return "t" if v else "f"
+    if isinstance(v, _dt.datetime):
+        return v.strftime("%Y-%m-%d %H:%M:%S")
+    if isinstance(v, _dt.date):
+        return v.isoformat()
+    s = v if isinstance(v, str) else str(v)
+    return "".join(_COPY_ESC.get(c, c) for c in s)
+
+
+def copy_unescape(field: str) -> str | None:
+    if field == "\\N":
+        return None
+    out = []
+    i = 0
+    while i < len(field):
+        c = field[i]
+        if c == "\\" and i + 1 < len(field):
+            out.append(_COPY_UNESC.get(field[i + 1], field[i + 1]))
+            i += 2
+        else:
+            out.append(c)
+            i += 1
+    return "".join(out)
+
+
+def sql_literal(v) -> str:
+    """Render a value as a standard-conforming SQL literal (string
+    quotes doubled; backslash is NOT an escape in standard strings)."""
+    import datetime as _dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "TRUE" if v else "FALSE"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return "'" + v.strftime("%Y-%m-%d %H:%M:%S") + "'"
+    if isinstance(v, _dt.date):
+        return "'" + v.isoformat() + "'"
+    return "'" + str(v).replace("'", "''") + "'"
+
+
+# OID -> spark type (the types the reference's column mapping carries)
+_OID_SPARK = {
+    16: "boolean", 20: "long", 21: "int", 23: "int",
+    25: "string", 1043: "string", 18: "string", 19: "string",
+    700: "double", 701: "double", 1700: "double",
+    1082: "date", 1114: "timestamp", 1184: "timestamp",
+}
+
+
+def oid_to_spark_type(oid: int) -> str:
+    t = _OID_SPARK.get(oid)
+    if t is None:
+        raise ValueError(f"unsupported PostgreSQL type oid {oid}")
+    return t
+
+
+def _conn_of(p: dict) -> dict:
+    host = p.get("host")
+    if not host:
+        raise ValueError("postgres config needs host")
+    return {
+        "host": host,
+        "port": int(p.get("port", 5432)),
+        "user": str(p.get("username", p.get("user", "postgres"))),
+        "password": p.get("password"),
+        "database": str(p.get("database", p.get("dbName", "postgres"))),
+    }
+
+
+# ------------------------------------------------------------------ writer
+
+def pg_write(df: DataFrame, p: dict) -> dict:
+    """adbpg/hologres/postgresql writer: COPY bulk load for plain
+    inserts, ON CONFLICT upsert for writeMode ignore/update/replace
+    (conflictKeys = the target table's primary key columns)."""
+    table = p.get("table")
+    if not table:
+        raise ValueError("pg writer requires table")
+    columns = list(p.get("column") or df.columns)
+    if columns == ["*"]:
+        columns = df.columns
+    write_mode = str(p.get("writeMode", "insert")).lower()
+    if write_mode not in ("insert", "copy", "ignore", "update", "replace"):
+        raise ValueError(f"writeMode must be insert|ignore|update|replace, got {write_mode}")
+    keys = [k for k in (p.get("conflictKeys") or p.get("keys") or [])]
+    if write_mode in ("ignore", "update", "replace") and not keys:
+        raise ValueError(f"writeMode {write_mode!r} requires conflictKeys")
+    batch_rows = int(p.get("batchSize", 2048))
+    ci = _conn_of(p)
+
+    pre = p.get("preSql") or []
+    if pre:
+        drv = PgConnection(**ci)
+        try:
+            for q in pre if isinstance(pre, list) else [pre]:
+                drv.query(q)
+        finally:
+            drv.close()
+
+    col_list = ", ".join(columns)
+    if write_mode in ("insert", "copy"):
+        head = None
+    elif write_mode == "ignore":
+        head = (
+            f"INSERT INTO {table} ({col_list}) VALUES %s "
+            f"ON CONFLICT ({', '.join(keys)}) DO NOTHING"
+        )
+    else:  # update / replace: full-row upsert, the reference's form
+        sets = ", ".join(
+            f"{c} = EXCLUDED.{c}" for c in columns if c not in keys
+        )
+        head = (
+            f"INSERT INTO {table} ({col_list}) VALUES %s "
+            f"ON CONFLICT ({', '.join(keys)}) DO UPDATE SET {sets}"
+        )
+
+    def put_partition(batches):
+        import pandas as pd
+
+        conn = PgConnection(**ci)
+        written = 0
+        dirty = 0
+        buf: list[str] = []
+
+        def norm(row):
+            vals = []
+            for v in row:
+                try:
+                    if v is not None and pd.isna(v):
+                        v = None
+                except (TypeError, ValueError):
+                    pass
+                vals.append(v)
+            return vals
+
+        def flush():
+            nonlocal written
+            if not buf:
+                return
+            if head is None:
+                written += conn.copy_in(
+                    f"COPY {table} ({col_list}) FROM STDIN", list(buf)
+                )
+            else:
+                values = ", ".join(buf)
+                _, _, tag = conn.query(head.replace("%s", values, 1))
+                written += len(buf)
+            buf.clear()
+
+        try:
+            for pdf in batches:
+                for row in pdf[columns].itertuples(index=False):
+                    try:
+                        vals = norm(row)
+                        if head is None:
+                            buf.append(
+                                "\t".join(copy_escape(v) for v in vals)
+                            )
+                        else:
+                            buf.append(
+                                "(" + ", ".join(sql_literal(v) for v in vals) + ")"
+                            )
+                    except Exception:
+                        dirty += 1
+                        continue
+                    if len(buf) >= batch_rows:
+                        flush()
+            flush()
+        finally:
+            conn.close()
+        yield pd.DataFrame({"written": [written], "dirty": [dirty]})
+
+    totals = (
+        df.mapInPandas(put_partition, schema="written long, dirty long")
+        .groupBy().sum("written", "dirty").collect()[0]
+    )
+    post = p.get("postSql") or []
+    if post:
+        drv = PgConnection(**ci)
+        try:
+            for q in post if isinstance(post, list) else [post]:
+                drv.query(q)
+        finally:
+            drv.close()
+    return {"written": int(totals[0] or 0), "dirty": int(totals[1] or 0)}
+
+
+# ------------------------------------------------------------------ reader
+
+def pg_read(spark: SparkSession, p: dict) -> DataFrame:
+    from datax_spark.sources.readers import bigint_split_points
+
+    table = p.get("table")
+    if not table:
+        raise ValueError("pg reader requires table")
+    columns = list(p.get("column") or [])
+    if not columns or columns == ["*"]:
+        raise ValueError("pg reader requires an explicit column list")
+    where = p.get("where")
+    split_pk = p.get("splitPk")
+    advice = int(p.get("parallelism", 4))
+    ci = _conn_of(p)
+    col_list = ", ".join(columns)
+
+    conn = PgConnection(**ci)
+    try:
+        cols, _, _ = conn.query(
+            f"SELECT {col_list} FROM {table} WHERE 1 = 0"
+        )
+        conds: list[str] = []
+        if split_pk and advice > 1:
+            _, mm, _ = conn.query(
+                f"SELECT min({split_pk}), max({split_pk}) FROM {table}"
+                + (f" WHERE {where}" if where else "")
+            )
+            lo, hi = (mm[0] if mm else (None, None))
+            if lo is None:
+                conds = ["1 = 1"]
+            else:
+                pts = bigint_split_points(int(lo), int(hi), advice)
+                edges = [int(lo)] + list(pts) + [int(hi)]
+                for i in range(len(edges) - 1):
+                    op_hi = "<=" if i == len(edges) - 2 else "<"
+                    conds.append(
+                        f"{split_pk} >= {edges[i]} AND "
+                        f"{split_pk} {op_hi} {edges[i + 1]}"
+                    )
+                conds.append(f"{split_pk} IS NULL")
+        else:
+            conds = ["1 = 1"]
+    finally:
+        conn.close()
+    if where:
+        conds = [f"({c}) AND ({where})" for c in conds]
+
+    names = [n for n, _ in cols]
+    spark_types = [oid_to_spark_type(t) for _, t in cols]
+    schema = ", ".join(f"`{n}` {t}" for n, t in zip(names, spark_types))
+    tasks_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(conds)], "task_id int, cond string"
+    ).repartition(len(conds), "task_id")
+
+    def scan(batches):
+        import datetime as _dt
+
+        import pandas as pd
+
+        def conv(st: str, v: str | None):
+            if v is None:
+                return None
+            if st in ("int", "long"):
+                return int(v)
+            if st == "double":
+                return float(v)
+            if st == "boolean":
+                return v in ("t", "true", "1")
+            if st == "date":
+                return _dt.date.fromisoformat(v)
+            if st == "timestamp":
+                return _dt.datetime.fromisoformat(v)
+            return v
+
+        c2 = PgConnection(**ci)
+        try:
+            for pdf in batches:
+                for t in pdf.itertuples(index=False):
+                    _, rows, _ = c2.query(
+                        f"SELECT {col_list} FROM {table} WHERE {t.cond}"
+                    )
+                    recs = [
+                        {n: conv(st, v)
+                         for n, st, v in zip(names, spark_types, row)}
+                        for row in rows
+                    ]
+                    if recs:
+                        yield pd.DataFrame(recs)
+        finally:
+            c2.close()
+
+    return tasks_df.mapInPandas(scan, schema=schema)

@@ -654,6 +654,10 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
     elif name in ("jsonreader", "restfulapireader"):
         # list passed whole: json's second positional is `schema` too
         df = spark.read.json(path if isinstance(path, list) else [path])
+    elif name in ("postgresqlreader", "adbpgreader", "gpdbreader") and p.get("host"):
+        from datax_spark.sources.postgres import pg_read
+
+        return pg_read(spark, p)
     elif name == "clickhousereader" and (p.get("endpoint") or p.get("host")):
         from datax_spark.sources.clickhouse import clickhouse_read
 
