@@ -193,6 +193,14 @@ def write_sink(df: DataFrame, name: str, parameter: dict) -> dict:
             .option("topic", p["topic"])
             .save()
         )
+    elif name in ("mysqlwriter", "oceanbasev10writer", "adswriter",
+                  "drdswriter", "tddlwriter") and p.get("host"):
+        # native MySQL-protocol transport (sources/mysql.py) with the
+        # reference's exact INSERT/REPLACE/ON DUPLICATE KEY templates;
+        # jdbcUrl-only configs keep the generic JDBC path below
+        from datax_spark.sources.mysql import mysql_write
+
+        return mysql_write(df, p)
     elif name in ("adbpgwriter", "hologresjdbcwriter", "postgresqlwriter",
                   "gpdbwriter") and p.get("host"):
         # native protocol-v3 transport (sources/postgres.py): COPY bulk

@@ -1,0 +1,494 @@
+"""MySQL-family reader/writer over the public client/server protocol
+(v10 handshake, protocol-41 text resultsets) — the transport behind
+the reference's flagship mysqlreader/mysqlwriter and the
+MySQL-compatible family (oceanbase, ads/adb, drds, tddl).
+
+Reference parity:
+
+* **writer** (plugin-rdbms-util/.../WriterUtil.java:121-166): the
+  exact generated statement forms — ``insert`` → ``INSERT INTO``,
+  ``replace`` → ``REPLACE INTO``, ``update`` (MySQL only) →
+  ``INSERT INTO ... ON DUPLICATE KEY UPDATE col=VALUES(col)`` over
+  EVERY column — batched ``batchSize`` rows per statement per Spark
+  partition, preSql/postSql driver-side
+  (CommonRdbmsWriter.java:281-330 batching shape).
+* **reader** (SingleTableSplitUtil.java:33-127): splitPk even bigint
+  ranges + NULL bucket, ranged SELECTs pushed into the server; schema
+  from the column-definition type codes.
+
+Transport: the documented wire format — 3-byte-length/1-byte-seq
+packets, v10 handshake with ``mysql_native_password``
+(SHA1(pwd) XOR SHA1(scramble + SHA1(SHA1(pwd)))); ``caching_sha2``
+servers fail loudly (use ``mysql_native_password`` accounts, still
+the cross-version interop default). COM_QUERY text protocol:
+OK/ERR/resultset with lenenc integers/strings and 0xFB NULLs.
+Drivable by an in-process fake speaking the same frames in tests.
+
+Spark-first shape: the driver plans from cheap probes only; executors
+stream their split / batch their partition inside ``mapInPandas``.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import socket
+import struct
+
+from pyspark.sql import DataFrame, SparkSession
+
+CLIENT_LONG_PASSWORD = 0x00000001
+CLIENT_PROTOCOL_41 = 0x00000200
+CLIENT_SECURE_CONNECTION = 0x00008000
+CLIENT_PLUGIN_AUTH = 0x00080000
+CLIENT_CONNECT_WITH_DB = 0x00000008
+
+FT_TINY, FT_LONG, FT_FLOAT, FT_DOUBLE = 0x01, 0x03, 0x04, 0x05
+FT_LONGLONG, FT_DATE, FT_DATETIME, FT_TIMESTAMP = 0x08, 0x0A, 0x0C, 0x07
+FT_NEWDECIMAL, FT_VARCHAR, FT_VAR_STRING, FT_STRING, FT_BLOB = (
+    0xF6, 0x0F, 0xFD, 0xFE, 0xFC,
+)
+
+_TYPE_SPARK = {
+    FT_TINY: "int", 0x02: "int", FT_LONG: "int", 0x09: "int",
+    FT_LONGLONG: "long",
+    FT_FLOAT: "double", FT_DOUBLE: "double", FT_NEWDECIMAL: "double",
+    FT_DATE: "date", FT_DATETIME: "timestamp", FT_TIMESTAMP: "timestamp",
+    FT_VARCHAR: "string", FT_VAR_STRING: "string", FT_STRING: "string",
+    FT_BLOB: "string",
+}
+
+
+class MySqlError(IOError):
+    def __init__(self, code: int, msg: str):
+        super().__init__(f"MySQL error {code}: {msg}")
+        self.code = code
+
+
+def native_password_scramble(password: str, nonce: bytes) -> bytes:
+    """mysql_native_password: SHA1(p) XOR SHA1(nonce + SHA1(SHA1(p)))."""
+    if not password:
+        return b""
+    p1 = hashlib.sha1(password.encode()).digest()
+    p2 = hashlib.sha1(p1).digest()
+    mix = hashlib.sha1(nonce + p2).digest()
+    return bytes(a ^ b for a, b in zip(p1, mix))
+
+
+def _lenenc_int(v: int) -> bytes:
+    if v < 0xFB:
+        return bytes([v])
+    if v < 1 << 16:
+        return b"\xfc" + struct.pack("<H", v)
+    if v < 1 << 24:
+        return b"\xfd" + struct.pack("<I", v)[:3]
+    return b"\xfe" + struct.pack("<Q", v)
+
+
+def _read_lenenc_int(b: bytes, i: int) -> tuple[int | None, int]:
+    c = b[i]
+    if c < 0xFB:
+        return c, i + 1
+    if c == 0xFB:
+        return None, i + 1  # NULL marker in row data
+    if c == 0xFC:
+        return struct.unpack_from("<H", b, i + 1)[0], i + 3
+    if c == 0xFD:
+        return int.from_bytes(b[i + 1 : i + 4], "little"), i + 4
+    return struct.unpack_from("<Q", b, i + 1)[0], i + 9
+
+
+def _read_lenenc_str(b: bytes, i: int) -> tuple[bytes | None, int]:
+    n, i = _read_lenenc_int(b, i)
+    if n is None:
+        return None, i
+    return b[i : i + n], i + n
+
+
+class MySqlConnection:
+    """One connection: v10 handshake + COM_QUERY text protocol."""
+
+    def __init__(self, host: str, port: int, user: str,
+                 password: str = "", database: str | None = None,
+                 timeout: float = 30.0):
+        self.sock = socket.create_connection((host, port), timeout=timeout)
+        self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
+        self._seq = 0
+        self._handshake(user, password, database)
+
+    def close(self):
+        try:
+            self._seq = 0
+            self._send_packet(b"\x01")  # COM_QUIT
+        except OSError:
+            pass
+        try:
+            self.sock.close()
+        except OSError:
+            pass
+
+    def _recv_exact(self, n: int) -> bytes:
+        buf = b""
+        while len(buf) < n:
+            chunk = self.sock.recv(n - len(buf))
+            if not chunk:
+                raise ConnectionError("mysql connection closed")
+            buf += chunk
+        return buf
+
+    def _read_packet(self) -> bytes:
+        hdr = self._recv_exact(4)
+        n = int.from_bytes(hdr[:3], "little")
+        self._seq = (hdr[3] + 1) & 0xFF
+        return self._recv_exact(n)
+
+    def _send_packet(self, body: bytes) -> None:
+        self.sock.sendall(
+            len(body).to_bytes(3, "little") + bytes([self._seq]) + body
+        )
+        self._seq = (self._seq + 1) & 0xFF
+
+    @staticmethod
+    def _err(body: bytes) -> MySqlError:
+        code = struct.unpack_from("<H", body, 1)[0]
+        i = 3
+        if body[i : i + 1] == b"#":
+            i += 6  # sql state marker + 5 chars
+        return MySqlError(code, body[i:].decode("utf-8", "replace"))
+
+    def _handshake(self, user: str, password: str, database: str | None):
+        b = self._read_packet()
+        if b[0] == 0xFF:
+            raise self._err(b)
+        if b[0] != 10:
+            raise IOError(f"unsupported handshake protocol {b[0]}")
+        i = 1
+        i = b.index(b"\x00", i) + 1  # server version
+        i += 4  # thread id
+        nonce = b[i : i + 8]
+        i += 9  # auth data part 1 + filler
+        cap_low = struct.unpack_from("<H", b, i)[0]
+        i += 2
+        plugin = "mysql_native_password"
+        if len(b) > i:
+            i += 1 + 2  # charset + status
+            cap_high = struct.unpack_from("<H", b, i)[0]
+            i += 2
+            auth_len = b[i]
+            i += 1 + 10  # auth data len + reserved
+            caps = cap_low | (cap_high << 16)
+            if caps & CLIENT_SECURE_CONNECTION:
+                extra = max(13, auth_len - 8)
+                nonce = nonce + b[i : i + extra].rstrip(b"\x00")
+                i += extra
+            if caps & CLIENT_PLUGIN_AUTH:
+                end = b.index(b"\x00", i)
+                plugin = b[i:end].decode()
+        if plugin != "mysql_native_password":
+            raise NotImplementedError(
+                f"auth plugin {plugin!r} not supported — create the "
+                "account with mysql_native_password"
+            )
+        token = native_password_scramble(password, nonce[:20])
+        caps = (
+            CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
+            | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
+        )
+        if database:
+            caps |= CLIENT_CONNECT_WITH_DB
+        resp = (
+            struct.pack("<IIB", caps, 1 << 24, 45)  # caps, max packet, utf8mb4
+            + b"\x00" * 23
+            + user.encode() + b"\x00"
+            + bytes([len(token)]) + token
+        )
+        if database:
+            resp += database.encode() + b"\x00"
+        resp += b"mysql_native_password\x00"
+        self._send_packet(resp)
+        b = self._read_packet()
+        if b[0] == 0xFF:
+            raise self._err(b)
+        if b[0] == 0xFE:
+            raise NotImplementedError(
+                "server requested an auth method switch — use a "
+                "mysql_native_password account"
+            )
+        if b[0] != 0x00:
+            raise IOError(f"unexpected handshake reply 0x{b[0]:02x}")
+
+    # ---- COM_QUERY
+
+    def query(self, sql: str):
+        """-> (columns [(name, type_code)], rows [[str|None]],
+        affected_rows) — resultset or OK."""
+        self._seq = 0
+        self._send_packet(b"\x03" + sql.encode("utf-8"))
+        b = self._read_packet()
+        if b[0] == 0xFF:
+            raise self._err(b)
+        if b[0] == 0x00:  # OK packet
+            affected, i = _read_lenenc_int(b, 1)
+            return [], [], affected or 0
+        ncols, _ = _read_lenenc_int(b, 0)
+        cols = []
+        for _ in range(ncols):
+            cb = self._read_packet()
+            i = 0
+            for _f in range(6):  # catalog..org_name lenenc strings
+                s, i = _read_lenenc_str(cb, i)
+                if _f == 4:
+                    name = (s or b"").decode()
+            i += 1 + 2 + 4  # filler 0x0c, charset, column length
+            type_code = cb[i]
+            cols.append((name, type_code))
+        b = self._read_packet()
+        if b[0] != 0xFE:
+            raise IOError("expected EOF after column definitions")
+        rows = []
+        while True:
+            rb = self._read_packet()
+            if rb[0] == 0xFE and len(rb) < 9:
+                return cols, rows, len(rows)
+            if rb[0] == 0xFF:
+                raise self._err(rb)
+            i = 0
+            row: list[str | None] = []
+            for _ in range(ncols):
+                s, i = _read_lenenc_str(rb, i)
+                row.append(None if s is None else s.decode("utf-8"))
+            rows.append(row)
+
+
+# ------------------------------------------------------------- literals
+
+_MYSQL_ESC = {
+    "\\": "\\\\", "'": "\\'", '"': '\\"', "\n": "\\n", "\r": "\\r",
+    "\0": "\\0", "\x1a": "\\Z",
+}
+
+
+def mysql_literal(v) -> str:
+    import datetime as _dt
+
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, (int, float)):
+        return repr(v)
+    if isinstance(v, _dt.datetime):
+        return "'" + v.strftime("%Y-%m-%d %H:%M:%S") + "'"
+    if isinstance(v, _dt.date):
+        return "'" + v.isoformat() + "'"
+    s = v if isinstance(v, str) else str(v)
+    return "'" + "".join(_MYSQL_ESC.get(c, c) for c in s) + "'"
+
+
+def write_template(table: str, columns: list[str], write_mode: str) -> str:
+    """WriterUtil.getWriteTemplate parity (the %s VALUES part is
+    appended per batch)."""
+    wm = write_mode.strip().lower()
+    col_list = ", ".join(columns)
+    if wm.startswith("update"):
+        dup = ", ".join(f"{c}=VALUES({c})" for c in columns)
+        return (
+            f"INSERT INTO {table} ({col_list}) VALUES %s "
+            f"ON DUPLICATE KEY UPDATE {dup}"
+        )
+    if wm.startswith("replace"):
+        return f"REPLACE INTO {table} ({col_list}) VALUES %s"
+    if wm.startswith("insert"):
+        return f"INSERT INTO {table} ({col_list}) VALUES %s"
+    raise ValueError(
+        f"writeMode must be insert|replace|update, got {write_mode!r}"
+    )
+
+
+def _conn_of(p: dict) -> dict:
+    host = p.get("host")
+    if not host:
+        raise ValueError("mysql config needs host")
+    return {
+        "host": host,
+        "port": int(p.get("port", 3306)),
+        "user": str(p.get("username", p.get("user", "root"))),
+        "password": str(p.get("password") or ""),
+        "database": p.get("database", p.get("dbName")),
+    }
+
+
+# ------------------------------------------------------------------ writer
+
+def mysql_write(df: DataFrame, p: dict) -> dict:
+    table = p.get("table")
+    if not table:
+        raise ValueError("mysqlwriter requires table")
+    columns = list(p.get("column") or df.columns)
+    if columns == ["*"]:
+        columns = df.columns
+    head = write_template(table, columns, str(p.get("writeMode", "insert")))
+    batch_rows = int(p.get("batchSize", 1024))
+    ci = _conn_of(p)
+
+    pre = p.get("preSql") or []
+    if pre:
+        drv = MySqlConnection(**ci)
+        try:
+            for q in pre if isinstance(pre, list) else [pre]:
+                drv.query(q)
+        finally:
+            drv.close()
+
+    def put_partition(batches):
+        import pandas as pd
+
+        conn = MySqlConnection(**ci)
+        written = 0
+        dirty = 0
+        buf: list[str] = []
+
+        def flush():
+            nonlocal written
+            if not buf:
+                return
+            conn.query(head.replace("%s", ", ".join(buf), 1))
+            written += len(buf)
+            buf.clear()
+
+        try:
+            for pdf in batches:
+                for row in pdf[columns].itertuples(index=False):
+                    try:
+                        vals = []
+                        for v in row:
+                            try:
+                                if v is not None and pd.isna(v):
+                                    v = None
+                            except (TypeError, ValueError):
+                                pass
+                            vals.append(v)
+                        buf.append(
+                            "(" + ", ".join(mysql_literal(v) for v in vals) + ")"
+                        )
+                    except Exception:
+                        dirty += 1
+                        continue
+                    if len(buf) >= batch_rows:
+                        flush()
+            flush()
+        finally:
+            conn.close()
+        yield pd.DataFrame({"written": [written], "dirty": [dirty]})
+
+    totals = (
+        df.mapInPandas(put_partition, schema="written long, dirty long")
+        .groupBy().sum("written", "dirty").collect()[0]
+    )
+    post = p.get("postSql") or []
+    if post:
+        drv = MySqlConnection(**ci)
+        try:
+            for q in post if isinstance(post, list) else [post]:
+                drv.query(q)
+        finally:
+            drv.close()
+    return {"written": int(totals[0] or 0), "dirty": int(totals[1] or 0)}
+
+
+# ------------------------------------------------------------------ reader
+
+def mysql_read(spark: SparkSession, p: dict) -> DataFrame:
+    from datax_spark.sources.readers import bigint_split_points
+
+    table = p.get("table")
+    if not table:
+        raise ValueError("mysqlreader requires table")
+    columns = list(p.get("column") or [])
+    if not columns or columns == ["*"]:
+        raise ValueError("mysqlreader requires an explicit column list")
+    where = p.get("where")
+    split_pk = p.get("splitPk")
+    advice = int(p.get("parallelism", 4))
+    ci = _conn_of(p)
+    col_list = ", ".join(columns)
+
+    conn = MySqlConnection(**ci)
+    try:
+        cols, _, _ = conn.query(
+            f"SELECT {col_list} FROM {table} WHERE 1 = 0"
+        )
+        conds: list[str] = []
+        if split_pk and advice > 1:
+            _, mm, _ = conn.query(
+                f"SELECT min({split_pk}), max({split_pk}) FROM {table}"
+                + (f" WHERE {where}" if where else "")
+            )
+            lo, hi = (mm[0] if mm else (None, None))
+            if lo is None:
+                conds = ["1 = 1"]
+            else:
+                edges = [int(lo)] + list(
+                    bigint_split_points(int(lo), int(hi), advice)
+                ) + [int(hi)]
+                for i in range(len(edges) - 1):
+                    op_hi = "<=" if i == len(edges) - 2 else "<"
+                    conds.append(
+                        f"{split_pk} >= {edges[i]} AND "
+                        f"{split_pk} {op_hi} {edges[i + 1]}"
+                    )
+                conds.append(f"{split_pk} IS NULL")
+        else:
+            conds = ["1 = 1"]
+    finally:
+        conn.close()
+    if where:
+        conds = [f"({c}) AND ({where})" for c in conds]
+
+    names = [n for n, _ in cols]
+    spark_types = []
+    for n, tc in cols:
+        st = _TYPE_SPARK.get(tc)
+        if st is None:
+            raise ValueError(f"column {n!r}: unsupported MySQL type 0x{tc:02x}")
+        spark_types.append(st)
+    schema = ", ".join(f"`{n}` {t}" for n, t in zip(names, spark_types))
+    tasks_df = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(conds)], "task_id int, cond string"
+    ).repartition(len(conds), "task_id")
+
+    def scan(batches):
+        import datetime as _dt
+
+        import pandas as pd
+
+        def conv(st: str, v: str | None):
+            if v is None:
+                return None
+            if st in ("int", "long"):
+                return int(v)
+            if st == "double":
+                return float(v)
+            if st == "date":
+                return _dt.date.fromisoformat(v)
+            if st == "timestamp":
+                return _dt.datetime.strptime(v, "%Y-%m-%d %H:%M:%S")
+            return v
+
+        c2 = MySqlConnection(**ci)
+        try:
+            for pdf in batches:
+                for t in pdf.itertuples(index=False):
+                    _, rows, _ = c2.query(
+                        f"SELECT {col_list} FROM {table} WHERE {t.cond}"
+                    )
+                    recs = [
+                        {n: conv(st, v)
+                         for n, st, v in zip(names, spark_types, row)}
+                        for row in rows
+                    ]
+                    if recs:
+                        yield pd.DataFrame(recs)
+        finally:
+            c2.close()
+
+    return tasks_df.mapInPandas(scan, schema=schema)

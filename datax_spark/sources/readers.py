@@ -654,6 +654,11 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
     elif name in ("jsonreader", "restfulapireader"):
         # list passed whole: json's second positional is `schema` too
         df = spark.read.json(path if isinstance(path, list) else [path])
+    elif name in ("mysqlreader", "oceanbasev10reader", "drdsreader",
+                  "tddlreader") and p.get("host"):
+        from datax_spark.sources.mysql import mysql_read
+
+        return mysql_read(spark, p)
     elif name in ("postgresqlreader", "adbpgreader", "gpdbreader") and p.get("host"):
         from datax_spark.sources.postgres import pg_read
 
