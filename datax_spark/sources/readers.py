@@ -14,7 +14,13 @@ Readers covered (SURVEY.md §2.1):
   parquet-based lake scans            → parquet
   restfulapireader-style JSON         → json
   streamreader (synthetic)            → fixtures.changelog / range
-  mysqlreader & rdbms family          → jdbc (split semantics below)
+  mysqlreader & rdbms family          → jdbc (split semantics below);
+                                        host-configured mysql/oceanbase/
+                                        drds/tddl → native wire client
+                                        (sources/mysql.py); postgresql/
+                                        adbpg/gpdb → protocol v3
+                                        (sources/postgres.py); clickhouse
+                                        → HTTP (sources/clickhouse.py)
 """
 
 from __future__ import annotations
