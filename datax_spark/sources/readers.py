@@ -585,10 +585,54 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
         # whole .gz file per task — so shard source files if they are
         # large; bzip2 is splittable.
         compress = str(p.get("compress", "")).lower()
-        if compress in ("zip", "lzo"):
+        if compress == "zip":
+            # DFSUtil's ZipCycleInputStream analog (DFSUtil.java:
+            # 244-290): every member of each .zip archive streams its
+            # text lines through the same delimiter engine. NOT
+            # splittable — one whole archive per task (binaryFile
+            # scan) — so this is the legacy long-tail path, not the
+            # scale path; skipHeader drops the first line PER member,
+            # matching the reference's per-file semantics.
+            paths = path if isinstance(path, list) else [path]
+            bin_df = spark.read.format("binaryFile").load(paths)
+            enc = p.get("encoding", "utf-8")
+            skip_header = bool(p.get("skipHeader", False))
+
+            def unzip(batches):
+                import io
+                import zipfile
+
+                import pandas as pd
+
+                for pdf in batches:
+                    for row in pdf.itertuples(index=False):
+                        with zipfile.ZipFile(io.BytesIO(row.content)) as zf:
+                            for m in zf.namelist():
+                                if m.endswith("/"):
+                                    continue
+                                lines = zf.read(m).decode(enc).splitlines()
+                                if skip_header:
+                                    lines = lines[1:]
+                                if lines:
+                                    yield pd.DataFrame({"value": lines})
+
+            lines_df = bin_df.select("path", "content").mapInPandas(
+                unzip, "value string"
+            )
+            df = (
+                spark.read.option("sep", p.get("fieldDelimiter", ","))
+                .option("nullValue", p.get("nullFormat", "\\N"))
+                .csv(lines_df.rdd.map(lambda r: r.value))
+            )
+            if where:
+                df = df.filter(where)
+            if columns:
+                df = df.select(*columns)
+            return df
+        if compress == "lzo":
             raise NotImplementedError(
-                f"compress={compress}: no splittable codec available; "
-                "repack as gzip/bzip2 (both auto-detected by extension)"
+                "compress=lzo: no LZO codec available; repack as "
+                "gzip/bzip2 (both auto-detected by extension)"
             )
         if compress not in ("", "none", "gzip", "bzip2", "deflate", "lz4", "auto"):
             raise ValueError(f"unknown compress option: {compress}")

@@ -371,8 +371,35 @@ def test_csvreader_gzip(spark, tmp_path):
 
     df = read_source(spark, "csvreader", {"path": str(gz), "compress": "gzip"})
     assert df.count() == 2
-    with pytest.raises(NotImplementedError, match="zip"):
-        read_source(spark, "csvreader", {"path": str(gz), "compress": "zip"})
+    with pytest.raises(NotImplementedError, match="lzo"):
+        read_source(spark, "csvreader", {"path": str(gz), "compress": "lzo"})
+
+
+def test_csvreader_zip_archives(spark, tmp_path):
+    """compress=zip (r4): every member of each archive streams through
+    the delimiter engine; skipHeader drops line 1 PER member (the
+    reference's per-file semantics, DFSUtil's ZipCycleInputStream)."""
+    import zipfile
+
+    z1 = tmp_path / "a.zip"
+    with zipfile.ZipFile(z1, "w") as zf:
+        zf.writestr("one.csv", "id,name\n1,alpha\n2,beta\n")
+        zf.writestr("sub/two.csv", "id,name\n3,gamma\n")
+    z2 = tmp_path / "b.zip"
+    with zipfile.ZipFile(z2, "w") as zf:
+        zf.writestr("three.csv", "id,name\n4,delta\n")
+    from datax_spark.sources.readers import read_source
+
+    df = read_source(spark, "csvreader", {
+        "path": [str(z1), str(z2)], "compress": "zip", "skipHeader": True,
+    })
+    got = sorted((r["_c0"], r["_c1"]) for r in df.collect())
+    assert got == [("1", "alpha"), ("2", "beta"), ("3", "gamma"), ("4", "delta")]
+    # without skipHeader the member headers surface as rows
+    df2 = read_source(spark, "csvreader", {
+        "path": str(z1), "compress": "zip",
+    })
+    assert df2.count() == 5
 
 
 def test_jdbcreader_shard_union(spark, tmp_path):
