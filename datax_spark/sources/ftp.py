@@ -33,7 +33,40 @@ import tempfile
 import uuid
 
 
-class FtpFs:
+class _TraversalMixin:
+    """FtpHelper.getListFiles parity — shared by the FTP and SFTP
+    filesystems (file | dir recursion | last-segment wildcard)."""
+
+    def get_list_files(self, path: str, level: int, max_level: int) -> set[str]:
+        if level > max_level:
+            raise ValueError(
+                f"traversal beyond maxTraversalLevel={max_level} at {path!r}"
+            )
+        out: set[str] = set()
+        base, last = posixpath.split(path.rstrip("/"))
+        if any(ch in last for ch in "*?["):
+            for entry in self.list_dir(base or "/"):
+                name = posixpath.basename(entry)
+                if fnmatch.fnmatch(name, last):
+                    full = posixpath.join(base or "/", name)
+                    out |= self.get_list_files(full, level + 1, max_level)
+            return out
+        if self.is_dir(path):
+            for entry in self.list_dir(path):
+                name = posixpath.basename(entry)
+                full = posixpath.join(path, name)
+                out |= self.get_list_files(full, level + 1, max_level)
+            return out
+        return {path}
+
+    def get_all_files(self, paths: list[str], max_level: int = 5) -> list[str]:
+        out: set[str] = set()
+        for p in paths:
+            out |= self.get_list_files(p, 0, max_level)
+        return sorted(out)
+
+
+class FtpFs(_TraversalMixin):
     """Thin ftplib wrapper with the reference helper's surface."""
 
     def __init__(
@@ -69,36 +102,6 @@ class FtpFs:
             return self.ftp.nlst(path)
         except ftplib.all_errors:
             return []
-
-    def get_list_files(self, path: str, level: int, max_level: int) -> set[str]:
-        """FtpHelper.getListFiles parity: file | dir recursion | last-
-        segment wildcard."""
-        if level > max_level:
-            raise ValueError(
-                f"traversal beyond maxTraversalLevel={max_level} at {path!r}"
-            )
-        out: set[str] = set()
-        base, last = posixpath.split(path.rstrip("/"))
-        if any(ch in last for ch in "*?["):
-            for entry in self.list_dir(base or "/"):
-                name = posixpath.basename(entry)
-                if fnmatch.fnmatch(name, last):
-                    full = posixpath.join(base or "/", name)
-                    out |= self.get_list_files(full, level + 1, max_level)
-            return out
-        if self.is_dir(path):
-            for entry in self.list_dir(path):
-                name = posixpath.basename(entry)
-                full = posixpath.join(path, name)
-                out |= self.get_list_files(full, level + 1, max_level)
-            return out
-        return {path}
-
-    def get_all_files(self, paths: list[str], max_level: int = 5) -> list[str]:
-        out: set[str] = set()
-        for p in paths:
-            out |= self.get_list_files(p, 0, max_level)
-        return sorted(out)
 
     # -- transfer
     def download(self, remote_files: list[str], local_dir: str | None = None) -> list[str]:
@@ -153,12 +156,85 @@ class FtpFs:
             self.ftp.close()
 
 
-def _connect(p: dict) -> FtpFs:
+class SftpFs(_TraversalMixin):
+    """SFTP filesystem over the from-scratch SSH2 transport
+    (sources/ssh.py) — the reference's SftpHelperImpl.java surface.
+    Host keys are NOT verified (no trust store here; see ssh.py)."""
+
+    def __init__(self, host: str, port: int = 22, username: str = "",
+                 password: str = "", timeout: float = 60.0):
+        from datax_spark.sources.ssh import SftpClient
+
+        self.c = SftpClient(host, port, username, password, timeout)
+
+    def is_dir(self, path: str) -> bool:
+        return self.c.is_dir(path)
+
+    def list_dir(self, path: str) -> list[str]:
+        try:
+            return [posixpath.join(path, n) for n in self.c.listdir(path)]
+        except OSError:
+            return []
+
+    def download(self, remote_files: list[str],
+                 local_dir: str | None = None) -> list[str]:
+        local_dir = local_dir or tempfile.mkdtemp(prefix="sftp_stage_")
+        os.makedirs(local_dir, exist_ok=True)
+        locals_: list[str] = []
+        for i, rf in enumerate(remote_files):
+            lf = os.path.join(local_dir, f"{i:05d}_{posixpath.basename(rf)}")
+            with open(lf, "wb") as f:
+                f.write(self.c.read_file(rf))
+            locals_.append(lf)
+        return locals_
+
+    def upload(self, local_files: list[str], remote_dir: str,
+               prefix: str) -> list[str]:
+        self.mkdirs(remote_dir)
+        remotes: list[str] = []
+        for i, lf in enumerate(local_files):
+            rf = posixpath.join(
+                remote_dir, f"{prefix}__{i:05d}_{uuid.uuid4().hex[:8]}"
+            )
+            with open(lf, "rb") as f:
+                self.c.write_file(rf, f.read())
+            remotes.append(rf)
+        return remotes
+
+    def mkdirs(self, path: str) -> None:
+        parts = [p for p in path.split("/") if p]
+        cur = "/"
+        for p in parts:
+            cur = posixpath.join(cur, p)
+            if not self.is_dir(cur):
+                self.c.mkdir(cur)
+
+    def delete_prefixed(self, remote_dir: str, prefix: str) -> int:
+        n = 0
+        for entry in self.list_dir(remote_dir):
+            if posixpath.basename(entry).startswith(prefix):
+                self.c.remove(entry)
+                n += 1
+        return n
+
+    def prefixed_files(self, remote_dir: str, prefix: str) -> list[str]:
+        return [
+            e for e in self.list_dir(remote_dir)
+            if posixpath.basename(e).startswith(prefix)
+        ]
+
+    def close(self) -> None:
+        self.c.close()
+
+
+def _connect(p: dict) -> FtpFs | SftpFs:
     if str(p.get("protocol", "ftp")).lower() == "sftp":
-        raise NotImplementedError(
-            "protocol=sftp requires an SSH client library not present in "
-            "this environment; use protocol=ftp (SftpHelperImpl.java is "
-            "the reference's paramiko-equivalent path)"
+        return SftpFs(
+            host=p["host"],
+            port=int(p.get("port", 22)),
+            username=p.get("username", ""),
+            password=p.get("password", ""),
+            timeout=float(p.get("timeout", 60)),
         )
     return FtpFs(
         host=p["host"],

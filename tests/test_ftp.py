@@ -208,8 +208,14 @@ def test_stage_read_missing_raises(ftp_server):
         ftp_stage_read(_cfg(ftp_server, path="/data/*.parquet"))
 
 
-def test_sftp_fails_loudly(ftp_server):
-    with pytest.raises(NotImplementedError, match="sftp"):
+def test_sftp_routes_to_ssh_transport(ftp_server):
+    """protocol=sftp dispatches to the SSH2 transport (r4,
+    sources/ssh.py — full e2e in tests/test_sftp.py); pointing it at a
+    plain FTP server fails loudly at the version exchange rather than
+    talking FTP."""
+    from datax_spark.sources.ssh import SshError
+
+    with pytest.raises((SshError, OSError)):
         ftp_stage_read(_cfg(ftp_server, path="/data", protocol="sftp"))
 
 
