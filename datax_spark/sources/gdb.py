@@ -35,7 +35,11 @@ WebSocket protocol directly with the documented ``application/json``
 (masked frames, handshake accept-key verification) carrying request
 messages ``{requestId, op: "eval", processor: "", args: {gremlin,
 bindings, language}}`` and draining 206-partial result frames.
-Credentials/SASL fail loudly. Drivable by an in-process fake Gremlin
+Auth: the Tinkerpop SASL challenge flow — a 407 AUTHENTICATE status
+is answered with an ``op=authentication`` message carrying the PLAIN
+initial response (``\\0user\\0password`` base64'd), after which the
+server resumes the pending request; configured credentials ride every
+driver and executor connection. Drivable by an in-process fake Gremlin
 server speaking the same frames in tests.
 
 Spark-first shape: the driver only lists labels; each label's id
@@ -183,19 +187,23 @@ class GremlinConnection:
 
     def __init__(self, host: str, port: int, username: str | None = None,
                  password: str | None = None, path: str = "/gremlin"):
-        if username or password:
-            raise NotImplementedError(
-                "SASL authentication is not implemented in this transport"
-            )
+        self._user = username
+        self._pwd = password
         self.ws = WebSocketClient(host, port, path=path)
 
     def close(self):
         self.ws.close()
 
+    def _send_msg(self, msg: dict) -> None:
+        payload = json.dumps(msg).encode("utf-8")
+        self.ws.send_binary(
+            struct.pack(">B", len(MIME)) + MIME.encode() + payload
+        )
+
     def submit(self, gremlin: str, bindings: dict | None = None,
                batch_size: int = 64) -> list:
         rid = str(uuid.uuid4())
-        msg = {
+        self._send_msg({
             "requestId": rid,
             "op": "eval",
             "processor": "",
@@ -205,17 +213,40 @@ class GremlinConnection:
                 "language": "gremlin-groovy",
                 "batchSize": batch_size,
             },
-        }
-        payload = json.dumps(msg).encode("utf-8")
-        self.ws.send_binary(
-            struct.pack(">B", len(MIME)) + MIME.encode() + payload
-        )
+        })
         data: list = []
+        authed = False
         while True:
             frame = json.loads(self.ws.recv_message().decode("utf-8"))
             if frame.get("requestId") != rid:
                 raise IOError("response for a different request")
             code = frame["status"]["code"]
+            if code == 407:
+                # SASL challenge (Tinkerpop AUTHENTICATE): reply with
+                # op=authentication carrying the PLAIN initial response
+                # \0user\0password base64'd (gremlin-python parity: the
+                # auth message has its own id, replies keep the eval's);
+                # the server then resumes the pending eval
+                if self._user is None or self._pwd is None:
+                    raise GremlinError(
+                        407, "server requests authentication but no "
+                             "username/password configured")
+                if authed:
+                    raise GremlinError(407, "authentication loop")
+                authed = True
+                import base64 as _b64
+
+                token = b"\x00" + self._user.encode() + b"\x00" + self._pwd.encode()
+                self._send_msg({
+                    "requestId": str(uuid.uuid4()),
+                    "op": "authentication",
+                    "processor": "",
+                    "args": {
+                        "sasl": _b64.b64encode(token).decode(),
+                        "saslMechanism": "PLAIN",
+                    },
+                })
+                continue
             if code == 204:
                 return data
             if code in (200, 206):
@@ -368,13 +399,14 @@ def gdb_read(spark: SparkSession, p: dict) -> DataFrame:
     ).repartition(len(labels), "task_id")
     mapper = _mk_mapper(columns)
     names = [c["name"] for c in columns]
+    rd_user, rd_pwd = p.get("username"), p.get("password")
 
     def scan(batches):
         import pandas as pd
 
         for pdf in batches:
             for t in pdf.itertuples(index=False):
-                conn = GremlinConnection(host, port)
+                conn = GremlinConnection(host, port, rd_user, rd_pwd)
                 try:
                     rows = []
                     start = ""
@@ -445,8 +477,7 @@ def gdb_write(df: DataFrame, p: dict) -> dict:
     columns = list(p.get("column") or [])
     if not columns:
         raise ValueError("gdbwriter requires a column list")
-    if p.get("username") or p.get("password"):
-        raise NotImplementedError("SASL auth not implemented")
+    gdb_user, gdb_pwd = p.get("username"), p.get("password")
 
     idx = {c["columnType"]: i for i, c in enumerate(columns)}
     if "primaryKey" not in idx:
@@ -460,7 +491,7 @@ def gdb_write(df: DataFrame, p: dict) -> dict:
     def put_partition(batches):
         import pandas as pd
 
-        conn = GremlinConnection(host, port)
+        conn = GremlinConnection(host, port, gdb_user, gdb_pwd)
         written = 0
         dirty = 0
         try:

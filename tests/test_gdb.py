@@ -36,36 +36,74 @@ class FakeGremlinHandler(socketserver.BaseRequestHandler):
                 mlen = payload[0]
                 assert payload[1 : 1 + mlen] == b"application/json"
                 msg = json.loads(payload[1 + mlen :].decode())
-                assert msg["op"] == "eval" and msg["processor"] == ""
-                rid = msg["requestId"]
-                try:
-                    data = self._eval(
-                        msg["args"]["gremlin"], msg["args"].get("bindings", {})
+                users = getattr(self.server, "users", None)
+                if msg["op"] == "authentication":
+                    # PLAIN initial response \0user\0pwd (base64)
+                    tok = base64.b64decode(msg["args"]["sasl"]).split(b"\x00")
+                    ok = (
+                        users and len(tok) == 3
+                        and users.get(tok[1].decode()) == tok[2].decode()
                     )
-                    # exercise partial draining: first chunk as 206
-                    if isinstance(data, list) and len(data) > 2:
+                    if ok:
+                        self._authed = True
+                        pend = self._pending
+                        self._pending = None
+                        if pend is not None:
+                            self._serve_eval(*pend)
+                    else:
+                        rid = (self._pending or (msg["requestId"], None))[0]
+                        self._pending = None
                         self._send_json({
                             "requestId": rid,
-                            "status": {"code": 206, "message": ""},
-                            "result": {"data": data[:2], "meta": {}},
+                            "status": {"code": 401,
+                                       "message": "Username and/or password are incorrect"},
+                            "result": {"data": None, "meta": {}},
                         })
-                        data = data[2:]
+                    continue
+                assert msg["op"] == "eval" and msg["processor"] == ""
+                rid = msg["requestId"]
+                if users and not getattr(self, "_authed", False):
+                    self._pending = (rid, msg)
                     self._send_json({
                         "requestId": rid,
-                        "status": {"code": 200, "message": ""},
-                        "result": {"data": data, "meta": {}},
-                    })
-                except _Dup as e:
-                    self._send_json({
-                        "requestId": rid,
-                        "status": {
-                            "code": 500,
-                            "message": f"GraphDuplicateIdException: {e}",
-                        },
+                        "status": {"code": 407, "message": "authenticate"},
                         "result": {"data": None, "meta": {}},
                     })
+                    continue
+                self._serve_eval(rid, msg)
         except (ConnectionError, OSError, AssertionError):
             pass
+
+    _pending = None
+    _authed = False
+
+    def _serve_eval(self, rid, msg):
+        try:
+            data = self._eval(
+                msg["args"]["gremlin"], msg["args"].get("bindings", {})
+            )
+            # exercise partial draining: first chunk as 206
+            if isinstance(data, list) and len(data) > 2:
+                self._send_json({
+                    "requestId": rid,
+                    "status": {"code": 206, "message": ""},
+                    "result": {"data": data[:2], "meta": {}},
+                })
+                data = data[2:]
+            self._send_json({
+                "requestId": rid,
+                "status": {"code": 200, "message": ""},
+                "result": {"data": data, "meta": {}},
+            })
+        except _Dup as e:
+            self._send_json({
+                "requestId": rid,
+                "status": {
+                    "code": 500,
+                    "message": f"GraphDuplicateIdException: {e}",
+                },
+                "result": {"data": None, "meta": {}},
+            })
 
     # ---- websocket plumbing (server side)
 
@@ -236,10 +274,11 @@ class FakeGremlinServer(socketserver.ThreadingTCPServer):
     allow_reuse_address = True
     daemon_threads = True
 
-    def __init__(self):
+    def __init__(self, users: dict[str, str] | None = None):
         super().__init__(("127.0.0.1", 0), FakeGremlinHandler)
         self.vertices: dict[str, dict] = {}
         self.edges: dict[str, dict] = {}
+        self.users = users  # None = open server; dict = SASL required
         self.lock = threading.Lock()
         threading.Thread(target=self.serve_forever, daemon=True).start()
 
@@ -302,9 +341,44 @@ def test_partial_206_frames_are_drained(server):
         conn.close()
 
 
-def test_auth_fails_loudly(server):
-    with pytest.raises(NotImplementedError):
-        GremlinConnection(**_addr(server), username="u", password="p")
+def test_sasl_auth_challenge_flow(spark):
+    """r4: the Tinkerpop 407 challenge is answered with op=
+    authentication (PLAIN \\0user\\0pwd), after which the pending eval
+    resumes; wrong/missing credentials fail loudly on every path."""
+    from datax_spark.sources.gdb import GremlinError
+
+    s = FakeGremlinServer(users={"app": "s3cret"})
+    try:
+        s.add_vertex("p1", "person", name="ann", age=31)
+        c = GremlinConnection(**_addr(s), username="app", password="s3cret")
+        try:
+            assert c.submit("g.V().groupCount().by(label)") == [{"person": 1}]
+        finally:
+            c.close()
+        bad = GremlinConnection(**_addr(s), username="app", password="wrong")
+        try:
+            with pytest.raises(GremlinError, match="incorrect"):
+                bad.submit("g.V().groupCount().by(label)")
+        finally:
+            bad.close()
+        none = GremlinConnection(**_addr(s))
+        try:
+            with pytest.raises(GremlinError, match="no\\s+username/password"):
+                none.submit("g.V().groupCount().by(label)")
+        finally:
+            none.close()
+        # full authed read end-to-end (driver + executor connections)
+        df = gdb_read(spark, {
+            **_addr(s), "labelType": "VERTEX", "labels": ["person"],
+            "username": "app", "password": "s3cret",
+            "column": [
+                {"name": "vid", "columnType": "primaryKey", "type": "string"},
+                {"name": "name", "columnType": "vertexProperty", "type": "string"},
+            ],
+        })
+        assert [(r["vid"], r["name"]) for r in df.collect()] == [("p1", "ann")]
+    finally:
+        s.stop()
 
 
 # ------------------------------------------------------------------ read
