@@ -159,13 +159,17 @@ class FtpFs(_TraversalMixin):
 class SftpFs(_TraversalMixin):
     """SFTP filesystem over the from-scratch SSH2 transport
     (sources/ssh.py) — the reference's SftpHelperImpl.java surface.
-    Host keys are NOT verified (no trust store here; see ssh.py)."""
+    Pass ``hostKeyFingerprint`` (base64 SHA-256 of the host key blob)
+    to pin the server's key; without it the key is accepted blind
+    (documented fail-open; see ssh.py)."""
 
     def __init__(self, host: str, port: int = 22, username: str = "",
-                 password: str = "", timeout: float = 60.0):
+                 password: str = "", timeout: float = 60.0,
+                 host_key_fingerprint: str | None = None):
         from datax_spark.sources.ssh import SftpClient
 
-        self.c = SftpClient(host, port, username, password, timeout)
+        self.c = SftpClient(host, port, username, password, timeout,
+                            host_key_fingerprint=host_key_fingerprint)
 
     def is_dir(self, path: str) -> bool:
         return self.c.is_dir(path)
@@ -235,6 +239,7 @@ def _connect(p: dict) -> FtpFs | SftpFs:
             username=p.get("username", ""),
             password=p.get("password", ""),
             timeout=float(p.get("timeout", 60)),
+            host_key_fingerprint=p.get("hostKeyFingerprint"),
         )
     return FtpFs(
         host=p["host"],

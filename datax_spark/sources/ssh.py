@@ -122,7 +122,14 @@ class SshTransport:
     """One SSH connection carrying one sftp channel."""
 
     def __init__(self, host: str, port: int, username: str, password: str,
-                 timeout: float = 30.0):
+                 timeout: float = 30.0,
+                 host_key_fingerprint: str | None = None):
+        """``host_key_fingerprint``: base64 SHA-256 of the server's
+        host key blob (the ``SHA256:...`` value ``ssh-keyscan`` +
+        ``ssh-keygen -lf`` print, with or without the prefix). When
+        set, a mismatching server is refused — the pinned-key
+        equivalent of a known_hosts entry. When unset the key is
+        accepted blind (documented fail-open)."""
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._seq_out = 0
@@ -130,6 +137,7 @@ class SshTransport:
         self._enc_out = self._enc_in = None
         self._mac_out = self._mac_in = None
         self._inbuf = b""
+        self._pin = host_key_fingerprint
         self._version_exchange()
         self._kex()
         self._userauth(username, password)
@@ -259,7 +267,19 @@ class SshTransport:
         if rep[0] != MSG_KEXDH_REPLY:
             raise SshError(f"expected KEXDH_REPLY, got {rep[0]}")
         rr = _Reader(rep, 1)
-        k_s = rr.string()  # host key blob: parsed, NOT verified (see module doc)
+        k_s = rr.string()  # host key blob; verified iff a pin is configured
+        if self._pin:
+            import base64
+
+            got = base64.b64encode(
+                hashlib.sha256(k_s).digest()
+            ).decode().rstrip("=")
+            want = self._pin.removeprefix("SHA256:").rstrip("=")
+            if got != want:
+                raise SshError(
+                    f"host key fingerprint mismatch: server presented "
+                    f"SHA256:{got}, pinned SHA256:{want} — possible MITM"
+                )
         f = rr.mpint()
         _sig = rr.string()
         if not 1 < f < GROUP14_P - 1:
@@ -415,8 +435,10 @@ class SftpClient:
     at a time (simple and sufficient for staging transfers)."""
 
     def __init__(self, host: str, port: int = 22, username: str = "",
-                 password: str = "", timeout: float = 30.0):
-        self.t = SshTransport(host, port, username, password, timeout)
+                 password: str = "", timeout: float = 30.0,
+                 host_key_fingerprint: str | None = None):
+        self.t = SshTransport(host, port, username, password, timeout,
+                              host_key_fingerprint=host_key_fingerprint)
         self.t.open_sftp_channel()
         self._id = 0
         self._buf = b""

@@ -501,3 +501,24 @@ def test_sftp_traversal_level_guard(sshd):
             fs.get_all_files(["/data"], max_level=1)
     finally:
         fs.close()
+
+
+def test_host_key_pinning(sshd):
+    """r4: hostKeyFingerprint pins the server's host key (base64
+    SHA-256 of the key blob, ssh-keygen -lf form); a mismatch is
+    refused before auth — the known_hosts equivalent."""
+    import base64 as b64
+    import hashlib as hl
+
+    k_s = ssh_string(b"ssh-rsa") + ssh_string(b"\x01") + ssh_string(b"\x02")
+    good = "SHA256:" + b64.b64encode(hl.sha256(k_s).digest()).decode().rstrip("=")
+    fs = SftpFs("127.0.0.1", sshd.port, "app", "s3cret",
+                host_key_fingerprint=good)
+    fs.close()
+    with pytest.raises(Exception, match="fingerprint mismatch"):
+        SftpFs("127.0.0.1", sshd.port, "app", "s3cret",
+               host_key_fingerprint="SHA256:AAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAAA")
+    # config-key plumbing through the reader surface
+    with pytest.raises(Exception, match="fingerprint mismatch"):
+        ftp_stage_read(_conf(sshd, path=["/data/in/*.csv"],
+                             hostKeyFingerprint="SHA256:bogus"))
