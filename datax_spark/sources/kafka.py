@@ -32,8 +32,10 @@ formats are supported end-to-end:
   over the batch, offset/timestamp deltas, headers) over Fetch v4 /
   Produce v3 — the on-disk format of every broker since 0.11/2017,
   REQUIRED by brokers that no longer down-convert (Kafka 4.0 removed
-  pre-v4 Fetch). gzip-compressed batches decode (pure zlib); snappy/
-  lz4/zstd are refused loudly (no pure-stdlib codec); control batches
+  pre-v4 Fetch). gzip batches decode via zlib and snappy via a
+  from-scratch raw-block decoder (magic-1 wrapper messages unwrap
+  both, incl. snappy-java's xerial framing); lz4/zstd are refused
+  loudly; control batches
   (transaction markers) are skipped like a read_committed consumer
   skips them.
 
@@ -178,15 +180,33 @@ def decode_message_set(buf: bytes):
         r.i = 4
         magic = r.i8()
         attrs = r.i8()
-        if attrs & 0x07:
-            raise NotImplementedError(
-                f"compressed message set (codec {attrs & 0x07}) not supported"
-            )
+        codec = attrs & 0x07
         ts = r.i64() if magic >= 1 else -1
         klen = r.i32()
         key = r.raw(klen) if klen >= 0 else None
         vlen = r.i32()
         value = r.raw(vlen) if vlen >= 0 else b""
+        if codec:
+            # compressed wrapper message: the value is an INNER message
+            # set (gzip, or snappy in snappy-java's xerial framing);
+            # magic-1 inner offsets are 0..n-1 relative, the wrapper
+            # carries the LAST inner message's absolute offset
+            if codec == 1:
+                inner_raw = zlib.decompress(value, wbits=31)
+            elif codec == 2:
+                inner_raw = xerial_decompress(value)
+            else:
+                raise NotImplementedError(
+                    f"compressed message set codec {codec} not supported "
+                    "(gzip/snappy only)"
+                )
+            inner = decode_message_set(inner_raw)
+            if inner:
+                base = offset - inner[-1][0] if magic >= 1 else offset
+                out.extend(
+                    (base + io_, its, ik, iv) for io_, its, ik, iv in inner
+                )
+            continue
         out.append((offset, ts, key, value))
     return out
 
@@ -251,6 +271,74 @@ def _read_zigzag(buf: bytes, i: int) -> tuple[int, int]:
 
 
 _V2_CODECS = {1: "gzip", 2: "snappy", 3: "lz4", 4: "zstd"}
+
+
+def snappy_decompress(data: bytes) -> bytes:
+    """Raw snappy block DECOMPRESSION (the format is public and tiny:
+    a varint uncompressed length, then literal/copy tagged elements).
+    Decode-only — consuming snappy-compressed topics needs no
+    compressor. Kafka wraps snappy two ways: v2 record batches carry
+    one raw block; magic-1 message sets historically used snappy-java's
+    xerial framing (magic ``\\x82SNAPPY\\x00`` + chunked blocks), which
+    :func:`xerial_decompress` unwraps."""
+    n, i = _read_uvarint(data, 0)
+    out = bytearray()
+    ln = len(data)
+    while i < ln:
+        tag = data[i]
+        i += 1
+        t = tag & 3
+        if t == 0:  # literal
+            size = tag >> 2
+            if size >= 60:
+                nb = size - 59
+                size = int.from_bytes(data[i : i + nb], "little")
+                i += nb
+            size += 1
+            out += data[i : i + size]
+            i += size
+            continue
+        if t == 1:  # copy with 1-byte offset
+            size = ((tag >> 2) & 0x7) + 4
+            off = ((tag >> 5) << 8) | data[i]
+            i += 1
+        elif t == 2:  # copy with 2-byte offset
+            size = (tag >> 2) + 1
+            off = int.from_bytes(data[i : i + 2], "little")
+            i += 2
+        else:  # copy with 4-byte offset
+            size = (tag >> 2) + 1
+            off = int.from_bytes(data[i : i + 4], "little")
+            i += 4
+        if off == 0 or off > len(out):
+            raise ValueError("snappy: invalid back-reference offset")
+        # overlapping copies are the RLE idiom: copy byte-at-a-time
+        start = len(out) - off
+        for j in range(size):
+            out.append(out[start + j])
+    if len(out) != n:
+        raise ValueError(
+            f"snappy: declared {n} uncompressed bytes, produced {len(out)}"
+        )
+    return bytes(out)
+
+
+XERIAL_MAGIC = b"\x82SNAPPY\x00"
+
+
+def xerial_decompress(data: bytes) -> bytes:
+    """snappy-java stream framing: 8-byte magic + two int32 versions,
+    then [int32-BE block length + raw snappy block]*."""
+    if not data.startswith(XERIAL_MAGIC):
+        return snappy_decompress(data)  # bare block
+    i = 16
+    out = bytearray()
+    while i < len(data):
+        (bn,) = struct.unpack_from(">i", data, i)
+        i += 4
+        out += snappy_decompress(data[i : i + bn])
+        i += bn
+    return bytes(out)
 
 
 def encode_record_batch_v2(
@@ -324,10 +412,12 @@ def _decode_record_batch_v2(seg: bytes):
     codec = attrs & 0x07
     if codec == 1:
         recs = zlib.decompress(recs, wbits=31)
+    elif codec == 2:
+        recs = snappy_decompress(recs)
     elif codec:
         raise NotImplementedError(
             f"compressed record batch (codec "
-            f"{_V2_CODECS.get(codec, codec)}) not supported — gzip only"
+            f"{_V2_CODECS.get(codec, codec)}) not supported — gzip/snappy only"
         )
     out = []
     i = 0

@@ -305,12 +305,99 @@ def test_decode_stops_at_truncated_trailer():
     assert [(o, v) for o, _, _, v in got] == [(0, b"a")]
 
 
-def test_decode_rejects_compressed():
-    body = struct.pack(">bbq", 1, 2, 0) + struct.pack(">i", -1) + struct.pack(">i", 1) + b"x"
+def test_decode_rejects_unsupported_codec():
+    # codec 3 (lz4) still refuses loudly; gzip/snappy now decode
+    body = struct.pack(">bbq", 1, 3, 0) + struct.pack(">i", -1) + struct.pack(">i", 1) + b"x"
     msg = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
     ms = struct.pack(">qi", 0, len(msg)) + msg
     with pytest.raises(NotImplementedError):
         decode_message_set(ms)
+
+
+def _snappy_literal(data: bytes) -> bytes:
+    """Hand-built raw snappy block: varint length + literal elements
+    (a compressor is not needed to test the decoder)."""
+    out = bytearray()
+    n = len(data)
+    while True:
+        out.append(n & 0x7F | (0x80 if n > 0x7F else 0))
+        n >>= 7
+        if not n:
+            break
+    i = 0
+    while i < len(data):
+        chunk = data[i : i + 60]
+        out.append((len(chunk) - 1) << 2)
+        out += chunk
+        i += 60
+    return bytes(out)
+
+
+def test_snappy_decompress_literals_and_copies():
+    from datax_spark.sources.kafka import snappy_decompress, xerial_decompress
+
+    assert snappy_decompress(_snappy_literal(b"hello world")) == b"hello world"
+    assert snappy_decompress(_snappy_literal(b"x" * 200)) == b"x" * 200
+    # copy element with overlap (RLE): literal 'ab' + copy1 len 8 off 2
+    blk = bytes([10]) + bytes([(2 - 1) << 2]) + b"ab" + bytes([((8 - 4) << 2) | 1, 2])
+    assert snappy_decompress(blk) == b"ababababab"
+    # copy2 form: literal 'abcd' + 2-byte-offset copy of 4
+    blk = bytes([8]) + bytes([(4 - 1) << 2]) + b"abcd" + bytes([((4 - 1) << 2) | 2, 4, 0])
+    assert snappy_decompress(blk) == b"abcdabcd"
+    with pytest.raises(ValueError, match="offset"):
+        snappy_decompress(bytes([4, ((4 - 4) << 2) | 1, 9]))  # off > produced
+    with pytest.raises(ValueError, match="declared"):
+        snappy_decompress(bytes([5]) + bytes([(2 - 1) << 2]) + b"ab")
+    # xerial framing: magic + versions + one chunked block
+    import struct as _s
+    inner = _snappy_literal(b"framed payload")
+    framed = (b"\x82SNAPPY\x00" + _s.pack(">ii", 1, 1)
+              + _s.pack(">i", len(inner)) + inner)
+    assert xerial_decompress(framed) == b"framed payload"
+    assert xerial_decompress(_snappy_literal(b"bare")) == b"bare"
+
+
+def test_magic1_compressed_wrapper_messages():
+    """gzip and snappy(xerial) wrapper messages unwrap with correct
+    absolute offsets (inner offsets are 0..n-1 relative; the wrapper
+    carries the last inner message's absolute offset)."""
+    from datax_spark.sources.kafka import decode_message_set
+
+    inner = encode_message_set(
+        [(10, None, b"v5"), (11, b"k", b"v6")], base_offset=0)
+    for codec, payload in (
+        (1, (lambda co: co.compress(inner) + co.flush())(
+            zlib.compressobj(wbits=31))),
+        (2, b"\x82SNAPPY\x00" + struct.pack(">ii", 1, 1)
+            + struct.pack(">i", len(_snappy_literal(inner)))
+            + _snappy_literal(inner)),
+    ):
+        body = (
+            struct.pack(">bbq", 1, codec, 10)
+            + struct.pack(">i", -1)
+            + struct.pack(">i", len(payload)) + payload
+        )
+        msg = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
+        ms = struct.pack(">qi", 6, len(msg)) + msg  # wrapper offset = 6
+        got = decode_message_set(ms)
+        assert [(o, v) for o, _t, _k, v in got] == [(5, b"v5"), (6, b"v6")]
+
+
+def test_record_batch_v2_snappy_payload():
+    """A v2 batch whose records section is raw-snappy decodes (fixture
+    built by hand-compressing the canonical uncompressed section)."""
+    from datax_spark.sources.kafka import crc32c as _crc
+
+    plain = encode_record_batch_v2([(7, b"k", b"snappy-val")], base_offset=3)
+    payload = bytearray(plain[21:])
+    comp = _snappy_literal(bytes(payload[40:]))
+    payload[1] = (payload[1] & ~0x07) | 2  # codec = snappy
+    new_payload = bytes(payload[:40]) + comp
+    # reframe: base_offset + batch_len + (leader_epoch, magic, crc) + payload
+    body = struct.pack(">ibI", 0, 2, _crc(new_payload)) + new_payload
+    batch = plain[:8] + struct.pack(">i", len(body)) + body
+    out = decode_records(batch)
+    assert out == [(3, 7, b"k", b"snappy-val")]
 
 
 # -------------------------------------------------- unit: value projection
@@ -527,13 +614,13 @@ def test_record_batch_v2_bad_crc_rejected():
 def test_record_batch_v2_unsupported_codec_refused():
     buf = bytearray(encode_record_batch_v2([(0, None, b"x")]))
     # attributes live at offset 21 (after base_offset, batch_len,
-    # leader_epoch, magic, crc); set codec bits to snappy(2) and
+    # leader_epoch, magic, crc); set codec bits to lz4(3) and
     # re-stamp the crc so the codec check is what fires
     payload = bytearray(buf[21:])
-    payload[1] = (payload[1] & ~0x07) | 2
+    payload[1] = (payload[1] & ~0x07) | 3
     struct.pack_into(">I", buf, 17, crc32c(bytes(payload)))
     buf[21:] = payload
-    with pytest.raises(NotImplementedError, match="snappy"):
+    with pytest.raises(NotImplementedError, match="lz4"):
         decode_records(bytes(buf))
 
 
