@@ -23,6 +23,7 @@ Job kinds:
 * ``{"tail": {...}}`` — kafka changelog tail + apply in one job (the
   scheduled binlog-tail shape): ``{"tail": {"bootstrap_servers":
   "host:9092", "topic": ..., "value_format": "flat" | "debezium",
+  "message_format": "v1" | "v2" (KIP-98 record batches, Fetch v4),
   "events_root": ..., "table_root": ..., "metrics_root": ...,
   "max_rounds": null, ...same engine keys as replay...}}`` — each
   invocation drains the topic in bounded rounds (crash-safe spool +
@@ -148,6 +149,7 @@ def main(argv: list[str] | None = None) -> int:
                 topic=r["topic"],
                 long_cols=tuple(r.get("long_cols", ("lsn",))),
                 value_format=r.get("value_format", "flat"),
+                message_format=r.get("message_format", "v1"),
             )
             eng = ReplayEngine(
                 spark,

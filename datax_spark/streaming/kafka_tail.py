@@ -92,7 +92,8 @@ class KafkaTail:
                  bootstrap_servers: str, topic: str,
                  long_cols: tuple[str, ...] = ("lsn",),
                  fetch_max_bytes: int = 1 << 20,
-                 value_format: str = "flat"):
+                 value_format: str = "flat",
+                 message_format: str = "v1"):
         if value_format not in ("flat", "debezium"):
             raise ValueError(
                 f"value_format must be 'flat' or 'debezium', got {value_format!r}"
@@ -102,6 +103,9 @@ class KafkaTail:
         self.topic = topic
         self.long_cols = tuple(long_cols)
         self.fetch_max_bytes = fetch_max_bytes
+        # "v1" = Fetch v2 / magic-1 sets; "v2" = Fetch v4 / KIP-98
+        # record batches (post-2017 brokers, Kafka 4.0's minimum)
+        self.message_format = message_format
         # "flat": each value is already an engine event object.
         # "debezium": each value is the Kafka-Connect CDC envelope
         # ({before, after, source, op}, optionally payload-wrapped) —
@@ -166,6 +170,7 @@ class KafkaTail:
         long_cols = set(self.long_cols)
         max_bytes = self.fetch_max_bytes
         value_format = self.value_format
+        fmt = self.message_format
 
         def scan(batches):
             import pandas as pd
@@ -179,7 +184,7 @@ class KafkaTail:
                         rows = []
                         off = int(t.start)
                         while off < t.end:
-                            msgs, _hw = c.fetch(topic, int(t.partition), off,
+                            msgs, _hw = c.fetch(topic, int(t.partition), off, fmt=fmt,
                                                 max_bytes=max_bytes)
                             if not msgs:
                                 raise IOError(f"empty fetch at offset {off}")
@@ -244,7 +249,7 @@ class KafkaTail:
             if start >= end:
                 continue
             for probe_off in {start, end - 1}:
-                msgs, _ = conn.fetch(self.topic, pid, probe_off,
+                msgs, _ = conn.fetch(self.topic, pid, probe_off, fmt=self.message_format,
                                      max_bytes=self.fetch_max_bytes)
                 if not msgs:
                     raise IOError(f"probe fetch at {probe_off} was empty")

@@ -38,14 +38,14 @@ def _ev(repo, path, op, n, lang="py", content=None, **extra):
     return e
 
 
-def _produce(broker, events, start_pid=0):
+def _produce(broker, events, start_pid=0, fmt="v1"):
     """Spread events round-robin over the topic's partitions."""
     c = KafkaConnection(*broker.server_address)
     try:
         for i, e in enumerate(events):
             pid = (start_pid + i) % 3
             c.produce("changelog", pid,
-                      [(0, None, json.dumps(e).encode())])
+                      [(0, None, json.dumps(e).encode())], fmt=fmt)
     finally:
         c.close()
 
@@ -74,11 +74,12 @@ def _table_state(engine):
     )
 
 
-def _mk(spark, tmp_path, broker, **cfg):
+def _mk(spark, tmp_path, broker, message_format="v1", **cfg):
     roots = {n: str(tmp_path / n) for n in ("events", "table", "metrics")}
     tail = KafkaTail(
         spark, roots["events"],
         bootstrap_servers=broker.bootstrap, topic="changelog",
+        message_format=message_format,
     )
     eng = ReplayEngine(
         spark, roots["events"], roots["table"], roots["metrics"],
@@ -309,3 +310,14 @@ def test_cli_tail_job_kind(spark, tmp_path, broker, capsys):
     assert main(["--job", str(spec)]) == 0
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["epochs_applied"] == [] and out["rows_after"] == 4
+
+
+def test_tail_v2_record_batches(spark, tmp_path, broker):
+    """r4: message_format='v2' tails a topic written as KIP-98 record
+    batches (Fetch v4 path) into the same exactly-once apply."""
+    r1 = [_ev("r1", f"g{i}.py", "I", i) for i in range(6)]
+    r1 += [_ev("r1", "g0.py", "D", 6)]
+    _produce(broker, r1, fmt="v2")
+    tail, eng = _mk(spark, tmp_path, broker, message_format="v2")
+    assert tail.run(eng) == [0]
+    assert _table_state(eng) == _expected_lww(r1)
