@@ -195,10 +195,12 @@ def decode_message_set(buf: bytes):
                 inner_raw = zlib.decompress(value, wbits=31)
             elif codec == 2:
                 inner_raw = xerial_decompress(value)
+            elif codec == 3:
+                inner_raw = lz4_frame_decompress(value)
             else:
                 raise NotImplementedError(
                     f"compressed message set codec {codec} not supported "
-                    "(gzip/snappy only)"
+                    "(gzip/snappy/lz4 only)"
                 )
             inner = decode_message_set(inner_raw)
             if inner:
@@ -323,6 +325,89 @@ def snappy_decompress(data: bytes) -> bytes:
     return bytes(out)
 
 
+def lz4_block_decompress(data: bytes, out: bytearray | None = None) -> bytearray:
+    """Raw LZ4 block decode (public format: token byte = literal-len
+    nibble + match-len nibble, LSIC length extension, LE16 match
+    offset, overlap copies byte-wise)."""
+    out = bytearray() if out is None else out
+    i = 0
+    n = len(data)
+    while i < n:
+        token = data[i]
+        i += 1
+        lit = token >> 4
+        if lit == 15:
+            while True:
+                b = data[i]
+                i += 1
+                lit += b
+                if b != 255:
+                    break
+        out += data[i : i + lit]
+        i += lit
+        if i >= n:
+            break  # last sequence has no match part
+        off = int.from_bytes(data[i : i + 2], "little")
+        i += 2
+        if off == 0 or off > len(out):
+            raise ValueError("lz4: invalid match offset")
+        mlen = token & 0x0F
+        if mlen == 15:
+            while True:
+                b = data[i]
+                i += 1
+                mlen += b
+                if b != 255:
+                    break
+        mlen += 4
+        start = len(out) - off
+        for j in range(mlen):
+            out.append(out[start + j])
+    return out
+
+
+LZ4_FRAME_MAGIC = b"\x04\x22\x4d\x18"
+
+
+def lz4_frame_decompress(data: bytes) -> bytes:
+    """LZ4 FRAME format (what Kafka's lz4 codec writes): magic, FLG/BD
+    descriptor (+optional content size, +header checksum byte), then
+    [LE32 block size | high bit = stored uncompressed] blocks until
+    the 0 end mark. Checksums are skipped, not verified (xxhash32 is
+    out of scope; the SSH/Kafka MACs already cover transport
+    integrity)."""
+    if not data.startswith(LZ4_FRAME_MAGIC):
+        raise ValueError("lz4: missing frame magic")
+    flg = data[4]
+    if (flg >> 6) != 0b01:
+        raise ValueError(f"lz4: unsupported frame version {flg >> 6}")
+    content_checksum = bool(flg & 0x04)
+    content_size = bool(flg & 0x08)
+    block_checksum = bool(flg & 0x10)
+    i = 6  # magic(4) + FLG + BD
+    if content_size:
+        i += 8
+    i += 1  # header checksum byte
+    out = bytearray()
+    while True:
+        (word,) = struct.unpack_from("<I", data, i)
+        i += 4
+        if word == 0:  # EndMark
+            break
+        size = word & 0x7FFFFFFF
+        block = data[i : i + size]
+        i += size
+        if block_checksum:
+            i += 4
+        if word & 0x80000000:
+            out += block  # stored uncompressed
+        else:
+            lz4_block_decompress(block, out)
+    if content_checksum:
+        i += 4
+    return bytes(out)
+
+
 XERIAL_MAGIC = b"\x82SNAPPY\x00"
 
 
@@ -414,10 +499,13 @@ def _decode_record_batch_v2(seg: bytes):
         recs = zlib.decompress(recs, wbits=31)
     elif codec == 2:
         recs = snappy_decompress(recs)
+    elif codec == 3:
+        recs = lz4_frame_decompress(recs)
     elif codec:
         raise NotImplementedError(
             f"compressed record batch (codec "
-            f"{_V2_CODECS.get(codec, codec)}) not supported — gzip/snappy only"
+            f"{_V2_CODECS.get(codec, codec)}) not supported — "
+            "gzip/snappy/lz4 only"
         )
     out = []
     i = 0

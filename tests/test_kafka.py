@@ -306,8 +306,8 @@ def test_decode_stops_at_truncated_trailer():
 
 
 def test_decode_rejects_unsupported_codec():
-    # codec 3 (lz4) still refuses loudly; gzip/snappy now decode
-    body = struct.pack(">bbq", 1, 3, 0) + struct.pack(">i", -1) + struct.pack(">i", 1) + b"x"
+    # codec 4 (zstd) refuses loudly; gzip/snappy/lz4 now decode
+    body = struct.pack(">bbq", 1, 4, 0) + struct.pack(">i", -1) + struct.pack(">i", 1) + b"x"
     msg = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
     ms = struct.pack(">qi", 0, len(msg)) + msg
     with pytest.raises(NotImplementedError):
@@ -614,14 +614,70 @@ def test_record_batch_v2_bad_crc_rejected():
 def test_record_batch_v2_unsupported_codec_refused():
     buf = bytearray(encode_record_batch_v2([(0, None, b"x")]))
     # attributes live at offset 21 (after base_offset, batch_len,
-    # leader_epoch, magic, crc); set codec bits to lz4(3) and
+    # leader_epoch, magic, crc); set codec bits to zstd(4) and
     # re-stamp the crc so the codec check is what fires
     payload = bytearray(buf[21:])
-    payload[1] = (payload[1] & ~0x07) | 3
+    payload[1] = (payload[1] & ~0x07) | 4
     struct.pack_into(">I", buf, 17, crc32c(bytes(payload)))
     buf[21:] = payload
-    with pytest.raises(NotImplementedError, match="lz4"):
+    with pytest.raises(NotImplementedError, match="zstd"):
         decode_records(bytes(buf))
+
+
+def _lz4_frame(blocks) -> bytes:
+    """Hand-built LZ4 frame: [(compressed: bool, data)] blocks."""
+    out = bytearray(b"\x04\x22\x4d\x18")
+    out += bytes([0x40, 0x40, 0x00])  # FLG v01, BD, header checksum byte
+    for compressed, data in blocks:
+        word = len(data) | (0 if compressed else 0x80000000)
+        out += struct.pack("<I", word) + data
+    out += struct.pack("<I", 0)  # EndMark
+    return bytes(out)
+
+
+def test_lz4_block_and_frame_decode():
+    from datax_spark.sources.kafka import (
+        lz4_block_decompress,
+        lz4_frame_decompress,
+    )
+
+    # literal-only sequence (last sequence carries no match)
+    blk = bytes([5 << 4]) + b"hello"
+    assert bytes(lz4_block_decompress(blk)) == b"hello"
+    # match copy: 'abcd' then off=4 len=4 -> abcdabcd (end literal req'd)
+    blk = bytes([(4 << 4) | 0]) + b"abcd" + struct.pack("<H", 4) + bytes([1 << 4]) + b"!"
+    assert bytes(lz4_block_decompress(blk)) == b"abcdabcd!"
+    # overlap RLE: 'ab' + off=2 len=8
+    blk = bytes([(2 << 4) | (8 - 4)]) + b"ab" + struct.pack("<H", 2) + bytes([0])
+    assert bytes(lz4_block_decompress(blk)) == b"ab" + b"ab" * 4
+    # LSIC extension: 20-byte literal needs 15 + 5
+    blk = bytes([15 << 4, 5]) + b"y" * 20
+    assert bytes(lz4_block_decompress(blk)) == b"y" * 20
+    with pytest.raises(ValueError, match="offset"):
+        lz4_block_decompress(bytes([(1 << 4) | 0]) + b"a" + struct.pack("<H", 9))
+    # frame: one compressed + one stored block concatenate
+    frame = _lz4_frame([
+        (True, bytes([5 << 4]) + b"part1"),
+        (False, b"|stored"),
+    ])
+    assert lz4_frame_decompress(frame) == b"part1|stored"
+    with pytest.raises(ValueError, match="magic"):
+        lz4_frame_decompress(b"nope")
+
+
+def test_record_batch_v2_lz4_payload():
+    from datax_spark.sources.kafka import crc32c as _crc
+
+    plain = encode_record_batch_v2([(9, None, b"lz4-value")], base_offset=5)
+    payload = bytearray(plain[21:])
+    recs = bytes(payload[40:])
+    comp = _lz4_frame([(True, bytes([len(recs) << 4]) + recs)]) \
+        if len(recs) < 15 else _lz4_frame([(False, recs)])
+    payload[1] = (payload[1] & ~0x07) | 3  # codec = lz4
+    new_payload = bytes(payload[:40]) + comp
+    body = struct.pack(">ibI", 0, 2, _crc(new_payload)) + new_payload
+    batch = plain[:8] + struct.pack(">i", len(body)) + body
+    assert decode_records(batch) == [(5, 9, None, b"lz4-value")]
 
 
 def test_record_batch_v2_control_batch_skipped():
