@@ -88,7 +88,10 @@ class LocalFSBackend:
     def commit_lock(self, root: str):
         os.makedirs(root, exist_ok=True)
         path = self._lock_path(root)
-        if fcntl is not None:
+        # DATAX_LOCKFILE_MODE=excl forces the O_EXCL fallback even on
+        # POSIX — lets the cross-process tests exercise the path
+        # non-flock deployments will actually run
+        if fcntl is not None and os.environ.get("DATAX_LOCKFILE_MODE") != "excl":
             fd = os.open(path, os.O_CREAT | os.O_RDWR, 0o644)
             try:
                 self._flock_acquire(fd, path)
@@ -98,7 +101,7 @@ class LocalFSBackend:
                     fcntl.flock(fd, fcntl.LOCK_UN)
                 finally:
                     os.close(fd)
-        else:  # pragma: no cover - exercised only on non-POSIX hosts
+        else:
             nonce = self._excl_acquire(path)
             try:
                 yield

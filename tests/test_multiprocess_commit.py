@@ -292,3 +292,36 @@ def test_two_process_replay_and_compaction(spark, tmp_path):
     )
     assert got.exceptAll(exp).count() == 0
     assert exp.exceptAll(got).count() == 0
+
+
+def test_two_process_metadata_cas_excl_fallback(spark, tmp_path):
+    """The O_EXCL lockfile fallback (non-flock filesystems) holds the
+    same no-lost-update guarantee: the CAS hammer re-run with
+    DATAX_LOCKFILE_MODE=excl in every process."""
+    from datax_spark.lake.table import LakeTable
+
+    schema = T.StructType([
+        T.StructField("repo", T.StringType()),
+        T.StructField("path", T.StringType()),
+        T.StructField("lsn", T.LongType()),
+    ])
+    root = str(tmp_path / "t")
+    LakeTable.create(spark, root, schema, ["repo", "path"], num_buckets=4)
+    env = {**os.environ, "PYTHONPATH": REPO, "DATAX_LOCKFILE_MODE": "excl"}
+    ws = []
+    for tag in ("a", "b"):
+        p = tmp_path / f"cas_{tag}.py"
+        p.write_text(textwrap.dedent(_CAS_WORKER))
+        ws.append(subprocess.Popen(
+            [sys.executable, str(p), root, tag],
+            cwd=str(tmp_path), env=env,
+            stdout=subprocess.PIPE, stderr=subprocess.PIPE, text=True,
+        ))
+    for w in ws:
+        out, err = w.communicate(timeout=300)
+        assert w.returncode == 0, f"worker failed: {out}\n{err}"
+        assert "DONE 25" in out
+    t = LakeTable(spark, root)
+    assert t.manifest().summary["hits"] == 50
+    # the lockfile is released (no stale holder left behind)
+    assert not os.path.exists(os.path.join(root, "_commit.lock"))
