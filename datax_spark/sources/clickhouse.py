@@ -103,7 +103,10 @@ def tsv_escape(v, ch_array: bool = True) -> str:
                 items.append(tsv_escape(x, ch_array=False))
         return "[" + ",".join(items) + "]"
     if isinstance(v, _dt.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        # whole seconds for DateTime; fractional kept when present so
+        # DateTime64(n) columns don't silently truncate (CH's basic
+        # date_time_input_format parses both)
+        return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
     s = v if isinstance(v, str) else str(v)
@@ -322,7 +325,8 @@ def clickhouse_read(spark: SparkSession, p: dict) -> DataFrame:
             if st == "date":
                 return _dt.date.fromisoformat(v)
             if st == "timestamp":
-                return _dt.datetime.strptime(v, "%Y-%m-%d %H:%M:%S")
+                # fromisoformat handles DateTime64's fractional seconds
+                return _dt.datetime.fromisoformat(v)
             return v
 
         ch2 = ClickHouseHttp(endpoint, database, user, pwd)

@@ -261,13 +261,20 @@ class MySqlConnection:
 
 # ------------------------------------------------------------- literals
 
+# Quote escaping is by DOUBLING ('' ) — the one form that is valid both
+# with and without NO_BACKSLASH_ESCAPES in the server's sql_mode.
+# Backslash/control escapes are only emitted when the session sql_mode
+# treats backslash as an escape (the default); under
+# NO_BACKSLASH_ESCAPES a backslash is a literal character and escaping
+# it would corrupt the value (or worse, let a crafted value terminate
+# the string → data-driven SQL injection).
 _MYSQL_ESC = {
-    "\\": "\\\\", "'": "\\'", '"': '\\"', "\n": "\\n", "\r": "\\r",
+    "\\": "\\\\", "'": "''", '"': '\\"', "\n": "\\n", "\r": "\\r",
     "\0": "\\0", "\x1a": "\\Z",
 }
 
 
-def mysql_literal(v) -> str:
+def mysql_literal(v, no_backslash_escapes: bool = False) -> str:
     import datetime as _dt
 
     if v is None:
@@ -277,11 +284,28 @@ def mysql_literal(v) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, _dt.datetime):
-        return "'" + v.strftime("%Y-%m-%d %H:%M:%S") + "'"
+        # isoformat(sep=" ") keeps fractional seconds when present —
+        # DATETIME(n)/TIMESTAMP(n) round-trip at full precision, like
+        # the reference's PreparedStatement.setTimestamp
+        # (plugin-rdbms-util CommonRdbmsWriter.java fillPreparedStatement).
+        return "'" + v.isoformat(sep=" ") + "'"
     if isinstance(v, _dt.date):
         return "'" + v.isoformat() + "'"
     s = v if isinstance(v, str) else str(v)
+    if no_backslash_escapes:
+        return "'" + s.replace("'", "''") + "'"
     return "'" + "".join(_MYSQL_ESC.get(c, c) for c in s) + "'"
+
+
+def _probe_no_backslash_escapes(conn) -> bool:
+    """One round-trip sql_mode probe so literal rendering matches the
+    server's escape rules; servers/fakes without @@sql_mode fall back to
+    the default (backslash IS an escape)."""
+    try:
+        _, rows, _ = conn.query("SELECT @@sql_mode")
+        return bool(rows) and "NO_BACKSLASH_ESCAPES" in (rows[0][0] or "")
+    except Exception:
+        return False
 
 
 def write_template(table: str, columns: list[str], write_mode: str) -> str:
@@ -343,6 +367,7 @@ def mysql_write(df: DataFrame, p: dict) -> dict:
         import pandas as pd
 
         conn = MySqlConnection(**ci)
+        nbe = _probe_no_backslash_escapes(conn)
         written = 0
         dirty = 0
         buf: list[str] = []
@@ -368,7 +393,9 @@ def mysql_write(df: DataFrame, p: dict) -> dict:
                                 pass
                             vals.append(v)
                         buf.append(
-                            "(" + ", ".join(mysql_literal(v) for v in vals) + ")"
+                            "(" + ", ".join(
+                                mysql_literal(v, no_backslash_escapes=nbe)
+                                for v in vals) + ")"
                         )
                     except Exception:
                         dirty += 1
@@ -471,7 +498,9 @@ def mysql_read(spark: SparkSession, p: dict) -> DataFrame:
             if st == "date":
                 return _dt.date.fromisoformat(v)
             if st == "timestamp":
-                return _dt.datetime.strptime(v, "%Y-%m-%d %H:%M:%S")
+                # fromisoformat handles optional fractional seconds, so
+                # DATETIME(n)/TIMESTAMP(n) values don't fail the task
+                return _dt.datetime.fromisoformat(v)
             return v
 
         c2 = MySqlConnection(**ci)

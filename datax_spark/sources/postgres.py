@@ -254,7 +254,9 @@ def copy_escape(v) -> str:
     if isinstance(v, bool):
         return "t" if v else "f"
     if isinstance(v, _dt.datetime):
-        return v.strftime("%Y-%m-%d %H:%M:%S")
+        # keep fractional seconds when present — timestamp(n) columns
+        # round-trip at full precision through COPY
+        return v.isoformat(sep=" ")
     if isinstance(v, _dt.date):
         return v.isoformat()
     s = v if isinstance(v, str) else str(v)
@@ -289,7 +291,7 @@ def sql_literal(v) -> str:
     if isinstance(v, (int, float)):
         return repr(v)
     if isinstance(v, _dt.datetime):
-        return "'" + v.strftime("%Y-%m-%d %H:%M:%S") + "'"
+        return "'" + v.isoformat(sep=" ") + "'"
     if isinstance(v, _dt.date):
         return "'" + v.isoformat() + "'"
     return "'" + str(v).replace("'", "''") + "'"

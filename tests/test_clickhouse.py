@@ -217,6 +217,9 @@ def test_tsv_escape_roundtrip():
     assert tsv_escape(["a", "b's", None]) == "['a','b\\'s',NULL]"
     assert tsv_escape(dt.date(2024, 3, 1)) == "2024-03-01"
     assert tsv_escape(dt.datetime(2024, 3, 1, 12, 30, 5)) == "2024-03-01 12:30:05"
+    # DateTime64 fidelity: fractional seconds kept when present
+    assert (tsv_escape(dt.datetime(2024, 3, 1, 12, 30, 5, 123456))
+            == "2024-03-01 12:30:05.123456")
 
 
 def test_type_mapping():

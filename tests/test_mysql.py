@@ -47,7 +47,7 @@ def _lstr(s: str) -> bytes:
     return _lenenc(len(b)) + b
 
 
-def _unquote(tok: str):
+def _unquote(tok: str, nbe: bool = False):
     if tok == "NULL":
         return None
     if tok.startswith("'"):
@@ -56,7 +56,10 @@ def _unquote(tok: str):
         esc = {"\\": "\\", "'": "'", '"': '"', "n": "\n", "r": "\r",
                "0": "\0", "Z": "\x1a"}
         while i < len(body):
-            if body[i] == "\\" and i + 1 < len(body):
+            if body[i] == "'" and i + 1 < len(body) and body[i + 1] == "'":
+                out.append("'")          # '' doubling, valid in all modes
+                i += 2
+            elif not nbe and body[i] == "\\" and i + 1 < len(body):
                 out.append(esc.get(body[i + 1], body[i + 1]))
                 i += 2
             else:
@@ -68,19 +71,26 @@ def _unquote(tok: str):
     return float(tok)
 
 
-def _split_tuples(s: str):
-    """Split `(a, 'b,c'), (d, e)` respecting quotes/escapes."""
+def _split_tuples(s: str, nbe: bool = False):
+    """Split `(a, 'b,c'), (d, e)` respecting quotes/escapes.
+
+    With nbe (NO_BACKSLASH_ESCAPES) backslash is an ordinary character
+    and only '' doubling escapes a quote."""
     rows, cur, tok = [], [], []
     depth, inq, i = 0, False, 0
     while i < len(s):
         c = s[i]
         if inq:
             tok.append(c)
-            if c == "\\":
+            if c == "\\" and not nbe:
                 tok.append(s[i + 1])
                 i += 1
             elif c == "'":
-                inq = False
+                if i + 1 < len(s) and s[i + 1] == "'":
+                    tok.append("'")      # doubled quote stays in token
+                    i += 1
+                else:
+                    inq = False
         elif c == "'":
             inq = True
             tok.append(c)
@@ -95,7 +105,7 @@ def _split_tuples(s: str):
             depth = 0
             if tok:
                 cur.append("".join(tok).strip())
-            rows.append(tuple(_unquote(t) for t in cur))
+            rows.append(tuple(_unquote(t, nbe) for t in cur))
         elif c == "," and depth == 1:
             cur.append("".join(tok).strip())
             tok = []
@@ -106,9 +116,11 @@ def _split_tuples(s: str):
 
 
 class FakeMySql:
-    def __init__(self, users: dict[str, str] | None = None):
+    def __init__(self, users: dict[str, str] | None = None,
+                 sql_mode: str = ""):
         self.tables: dict[str, dict] = {}
         self.users = users if users is not None else {"root": ""}
+        self.sql_mode = sql_mode
         self.lock = threading.Lock()
         self.queries: list[str] = []
         self.srv = socket.create_server(("127.0.0.1", 0))
@@ -274,6 +286,10 @@ class FakeMySql:
         with self.lock:
             self.queries.append(sql)
             q = sql.strip().rstrip(";")
+            if q == "SELECT @@sql_mode":
+                self._resultset(conn, [("@@sql_mode", 0xFD)],
+                                [[self.sql_mode]])
+                return
             m = re.fullmatch(r"TRUNCATE TABLE (\w+)", q)
             if m:
                 self.tables[m.group(1)]["rows"] = {}
@@ -287,7 +303,8 @@ class FakeMySql:
                 cols = [c.strip() for c in m.group(3).split(",")]
                 dup = m.group(5)
                 n = 0
-                for vals in _split_tuples(m.group(4)):
+                nbe = "NO_BACKSLASH_ESCAPES" in self.sql_mode
+                for vals in _split_tuples(m.group(4), nbe):
                     rec = dict(zip(cols, vals))
                     for c, _ in t["cols"]:
                         rec.setdefault(c, None)
@@ -378,9 +395,16 @@ def test_write_template_reference_forms():
 
 
 def test_mysql_literal_escaping():
-    assert mysql_literal("it's\na\\b") == "'it\\'s\\na\\\\b'"
+    # quotes double ('' — valid in every sql_mode); backslash escapes
+    # only in the default mode
+    assert mysql_literal("it's\na\\b") == "'it''s\\na\\\\b'"
+    assert (mysql_literal("it's\na\\b", no_backslash_escapes=True)
+            == "'it''s\na\\b'")
     assert mysql_literal(None) == "NULL" and mysql_literal(True) == "1"
     assert mysql_literal(dt.datetime(2024, 1, 2, 3, 4, 5)) == "'2024-01-02 03:04:05'"
+    # fractional seconds survive (DATETIME(6)/TIMESTAMP(6) fidelity)
+    assert (mysql_literal(dt.datetime(2024, 1, 2, 3, 4, 5, 123456))
+            == "'2024-01-02 03:04:05.123456'")
 
 
 def test_native_password_vector():
@@ -417,6 +441,47 @@ def test_insert_write_and_ranged_read(spark, my):
     assert got[1]["at"] == dt.datetime(2024, 1, 1, 8, 0, 0)
     assert back.schema["score"].dataType.simpleString() == "double"
     assert any("id IS NULL" in qq for qq in my.queries)
+
+
+def test_microsecond_timestamp_roundtrip(spark, my):
+    # DATETIME(6) fidelity: fractional seconds must survive the wire
+    # writer (mysql_literal) AND the reader (fromisoformat)
+    ts = dt.datetime(2024, 3, 4, 5, 6, 7, 123456)
+    write_sink(_df(spark, [(9, "micro", 1.0, dt.date(2024, 3, 4), ts)]),
+               "mysqlwriter", {
+        "host": "127.0.0.1", "port": my.port, "table": "events",
+        "column": [c for c, _ in COLS],
+    })
+    stored = {r["id"]: r for r in my.rows("events")}[9]
+    assert stored["at"] == "2024-03-04 05:06:07.123456"
+    back = read_source(spark, "mysqlreader", {
+        "host": "127.0.0.1", "port": my.port, "table": "events",
+        "column": [c for c, _ in COLS],
+    })
+    got = {r["id"]: r for r in back.collect()}
+    assert got[9]["at"] == ts
+    # whole-second values keep the short form (server-agnostic)
+    assert mysql_literal(dt.datetime(2024, 3, 4)) == "'2024-03-04 00:00:00'"
+
+
+def test_no_backslash_escapes_roundtrip(spark):
+    # A server in NO_BACKSLASH_ESCAPES mode: the writer must probe
+    # @@sql_mode and render quotes by doubling with raw backslashes,
+    # else values corrupt (or a crafted value terminates the string).
+    srv = FakeMySql(sql_mode="NO_BACKSLASH_ESCAPES")
+    srv.create_table("events", COLS, pk=["id"])
+    try:
+        tricky = "it's a \\' backslash-quote"
+        write_sink(_df(spark, [(1, tricky, None, None, None)]),
+                   "mysqlwriter", {
+            "host": "127.0.0.1", "port": srv.port, "table": "events",
+            "column": [c for c, _ in COLS],
+        })
+        stored = {r["id"]: r for r in srv.rows("events")}[1]
+        assert stored["repo"] == tricky
+        assert any(q == "SELECT @@sql_mode" for q in srv.queries)
+    finally:
+        srv.close()
 
 
 def test_replace_and_on_duplicate_update(spark, my):

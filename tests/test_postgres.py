@@ -391,6 +391,11 @@ def test_copy_escape_roundtrip():
     assert copy_escape(True) == "t"
     assert sql_literal("it's") == "'it''s'"
     assert sql_literal(None) == "NULL" and sql_literal(2.5) == "2.5"
+    # timestamp(n) fidelity: fractional seconds survive both renderers
+    us = dt.datetime(2024, 3, 4, 5, 6, 7, 123456)
+    assert copy_escape(us) == "2024-03-04 05:06:07.123456"
+    assert sql_literal(us) == "'2024-03-04 05:06:07.123456'"
+    assert copy_escape(dt.datetime(2024, 3, 4)) == "2024-03-04 00:00:00"
     assert oid_to_spark_type(1114) == "timestamp"
     with pytest.raises(ValueError):
         oid_to_spark_type(600)  # point
@@ -418,6 +423,21 @@ def test_copy_write_and_read_roundtrip(spark, pg):
     assert rows[1]["day"] == dt.date(2024, 1, 1)
     assert rows[1]["at"] == dt.datetime(2024, 1, 1, 8, 0, 0)
     assert back.schema["score"].dataType.simpleString() == "double"
+
+
+def test_microsecond_timestamp_roundtrip(spark, pg):
+    ts = dt.datetime(2024, 3, 4, 5, 6, 7, 123456)
+    write_sink(_df(spark, [(9, "micro", 1.0, True, dt.date(2024, 3, 4), ts)]),
+               "adbpgwriter", {
+        "host": "127.0.0.1", "port": pg.port, "table": "events",
+        "column": [c for c, _ in COLS],
+    })
+    assert pg.rows("events")[0]["at"] == "2024-03-04 05:06:07.123456"
+    back = read_source(spark, "postgresqlreader", {
+        "host": "127.0.0.1", "port": pg.port, "table": "events",
+        "column": [c for c, _ in COLS],
+    })
+    assert back.collect()[0]["at"] == ts
 
 
 def test_hologres_write_modes(spark, pg):
