@@ -59,17 +59,35 @@ class LocalFSBackend:
 
     Locking strategy: ``flock`` when available (auto-released by the
     kernel on process death — no stale state possible), else an
-    O_EXCL lockfile carrying ``{pid, host, nonce}`` with two-tier
-    staleness: a same-host holder whose pid is gone is broken
-    immediately; otherwise the lock expires after ``stale_after``
-    seconds without mtime refresh. Lockfile breaking goes through an
-    atomic rename (only one waiter can win the rename), closing the
-    unlink/unlink race between two waiters.
+    O_EXCL lockfile carrying ``{pid, host, nonce}``. Breaking a held
+    lockfile requires positive evidence the holder is gone:
+
+    * same-host holder: broken iff its pid no longer exists. A LIVE
+      same-host holder is never broken, however stale its mtime — it
+      may be paused (GC, SIGSTOP) or in a long critical section. The
+      price is that a recycled pid can pin the lock until ``timeout``
+      raises ``CommitLockTimeout`` (operator unwedges by deleting the
+      lockfile) — availability traded for never re-admitting the
+      lost-update race the lock exists to prevent.
+    * cross-host holder: no pid probe is possible, so the holder runs
+      a refresh thread touching the lockfile every ``stale_after/4``;
+      a cross-host lock is broken only after ``stale_after`` seconds
+      WITHOUT refresh — i.e. the holder must be dead, partitioned, or
+      frozen longer than ``stale_after`` (the documented cross-host
+      liveness bound; size it ≫ worst-case stop-the-world pauses).
+
+    Lockfile breaking goes through an atomic rename (only one waiter
+    can win the rename), closing the unlink/unlink race between two
+    waiters.
     """
 
     def __init__(self, stale_after: float = 120.0, timeout: float = 120.0):
         self.stale_after = stale_after
         self.timeout = timeout
+        # (path, nonce) -> (stop Event, refresher Thread) for held
+        # O_EXCL locks; holder-side mtime refresh keeps live cross-host
+        # locks from ever looking stale
+        self._refreshers: dict = {}
 
     # -- blob publish ------------------------------------------------
     def atomic_write(self, path: str, data: str) -> None:
@@ -139,6 +157,7 @@ class LocalFSBackend:
                     os.fsync(fd)
                 finally:
                     os.close(fd)
+                self._start_refresher(path, nonce)
                 return nonce
             except FileExistsError:
                 self._excl_break_if_stale(path)
@@ -148,6 +167,29 @@ class LocalFSBackend:
                 )
             time.sleep(0.02)
 
+    def _start_refresher(self, path: str, nonce: str) -> None:
+        import threading
+
+        stop = threading.Event()
+        t = threading.Thread(
+            target=self._excl_refresh, args=(path, nonce, stop), daemon=True
+        )
+        t.start()
+        self._refreshers[(path, nonce)] = (stop, t)
+
+    def _excl_refresh(self, path: str, nonce: str, stop) -> None:
+        # touch at stale_after/4 so a LIVE holder is never mtime-stale;
+        # stops itself if the lock vanished or was broken+reacquired
+        interval = max(0.05, self.stale_after / 4)
+        while not stop.wait(interval):
+            try:
+                with open(path) as fh:
+                    if json.loads(fh.read() or "{}").get("nonce") != nonce:
+                        return  # not ours anymore
+                os.utime(path, None)
+            except (FileNotFoundError, ValueError, OSError):
+                return
+
     def _excl_break_if_stale(self, path: str) -> None:
         try:
             st = os.stat(path)
@@ -155,25 +197,30 @@ class LocalFSBackend:
                 holder = json.loads(fh.read() or "{}")
         except (FileNotFoundError, ValueError):
             return  # released or mid-write; retry the acquire loop
-        stale = time.time() - st.st_mtime > self.stale_after
-        if not stale and holder.get("host") == socket.gethostname():
+        if holder.get("host") == socket.gethostname():
+            # positive evidence of death required: break iff pid gone
             try:
                 os.kill(int(holder.get("pid", -1)), 0)
+                return  # alive — never break, regardless of mtime
             except (ProcessLookupError, ValueError):
-                stale = True  # same-host holder is dead: break now
+                pass  # dead: break now
             except PermissionError:
-                pass  # alive under another uid
-        if stale:
-            # break via atomic rename: only ONE waiter wins the rename,
-            # so two waiters can never free two successive holders
-            try:
-                grave = f"{path}.stale.{uuid.uuid4().hex}"
-                os.rename(path, grave)
-                os.unlink(grave)
-            except FileNotFoundError:
-                pass
+                return  # alive under another uid
+        elif time.time() - st.st_mtime <= self.stale_after:
+            return  # cross-host holder still refreshing: keep waiting
+        # break via atomic rename: only ONE waiter wins the rename,
+        # so two waiters can never free two successive holders
+        try:
+            grave = f"{path}.stale.{uuid.uuid4().hex}"
+            os.rename(path, grave)
+            os.unlink(grave)
+        except FileNotFoundError:
+            pass
 
     def _excl_release(self, path: str, nonce: str) -> None:
+        ent = self._refreshers.pop((path, nonce), None)
+        if ent is not None:
+            ent[0].set()
         try:
             with open(path) as fh:
                 if json.loads(fh.read() or "{}").get("nonce") == nonce:

@@ -118,6 +118,53 @@ def test_excl_lockfile_stale_break(tmp_path):
     b._excl_release(path, nonce)
 
 
+def test_excl_live_same_host_holder_never_broken(tmp_path):
+    """A LIVE same-host holder is not broken even past stale_after —
+    breaking needs positive evidence of death (pid gone), so a holder
+    in a long pause/critical section can't lose its lock to a waiter
+    (the lost-update race the commit lock exists to prevent)."""
+    import socket
+
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    b = LocalFSBackend(stale_after=0.1, timeout=0.6)
+    path = b._lock_path(root)
+    with open(path, "w") as fh:
+        fh.write(json.dumps(
+            {"pid": os.getpid(), "host": socket.gethostname(), "nonce": "me"}))
+    old = time.time() - 7200
+    os.utime(path, (old, old))  # way past stale_after, but pid is alive
+    with pytest.raises(CommitLockTimeout):
+        b._excl_acquire(path)
+    assert os.path.exists(path)  # untouched
+    with open(path) as fh:
+        assert json.loads(fh.read())["nonce"] == "me"
+
+
+def test_excl_holder_refreshes_mtime(tmp_path):
+    """The holder-side refresher touches the lockfile, so a live
+    CROSS-host holder never looks mtime-stale to waiters."""
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    b = LocalFSBackend(stale_after=0.4, timeout=5)
+    path = b._lock_path(root)
+    nonce = b._excl_acquire(path)
+    try:
+        first = os.stat(path).st_mtime
+        deadline = time.time() + 3
+        while os.stat(path).st_mtime <= first and time.time() < deadline:
+            time.sleep(0.05)
+        assert os.stat(path).st_mtime > first  # refreshed while held
+        # a cross-host waiter judging by mtime would NOT see it stale
+        assert time.time() - os.stat(path).st_mtime <= b.stale_after
+    finally:
+        b._excl_release(path, nonce)
+    assert not os.path.exists(path)
+    # refresher must stop after release: no lockfile resurrection
+    time.sleep(0.3)
+    assert not os.path.exists(path)
+
+
 # ---------------------------------------------------------------------------
 # metadata CAS hammer: 2 processes x 25 counter commits, zero Spark
 # ---------------------------------------------------------------------------
