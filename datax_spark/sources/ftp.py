@@ -159,17 +159,27 @@ class FtpFs(_TraversalMixin):
 class SftpFs(_TraversalMixin):
     """SFTP filesystem over the from-scratch SSH2 transport
     (sources/ssh.py) — the reference's SftpHelperImpl.java surface.
-    Pass ``hostKeyFingerprint`` (base64 SHA-256 of the host key blob)
-    to pin the server's key; without it the key is accepted blind
-    (documented fail-open; see ssh.py)."""
+    Secure by default: configure ``hostKeyFingerprint`` (base64
+    SHA-256 of the host key blob) or ``knownHostsFile`` (OpenSSH
+    format — what JSch consults for the reference), or explicitly opt
+    out with ``insecureAcceptAnyHostKey: true`` (loud RuntimeWarning).
+    ``privateKeyPath`` switches to publickey auth (unencrypted
+    openssh-key-v1 ed25519)."""
 
     def __init__(self, host: str, port: int = 22, username: str = "",
                  password: str = "", timeout: float = 60.0,
-                 host_key_fingerprint: str | None = None):
+                 host_key_fingerprint: str | None = None,
+                 known_hosts: str | None = None,
+                 insecure_accept_any_host_key: bool = False,
+                 private_key_path: str | None = None):
         from datax_spark.sources.ssh import SftpClient
 
-        self.c = SftpClient(host, port, username, password, timeout,
-                            host_key_fingerprint=host_key_fingerprint)
+        self.c = SftpClient(
+            host, port, username, password, timeout,
+            host_key_fingerprint=host_key_fingerprint,
+            known_hosts=known_hosts,
+            insecure_accept_any_host_key=insecure_accept_any_host_key,
+            private_key_path=private_key_path)
 
     def is_dir(self, path: str) -> bool:
         return self.c.is_dir(path)
@@ -240,6 +250,10 @@ def _connect(p: dict) -> FtpFs | SftpFs:
             password=p.get("password", ""),
             timeout=float(p.get("timeout", 60)),
             host_key_fingerprint=p.get("hostKeyFingerprint"),
+            known_hosts=p.get("knownHostsFile"),
+            insecure_accept_any_host_key=bool(
+                p.get("insecureAcceptAnyHostKey", False)),
+            private_key_path=p.get("privateKeyPath"),
         )
     return FtpFs(
         host=p["host"],

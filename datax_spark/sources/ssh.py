@@ -11,10 +11,15 @@ Scope and guarantees:
   modular exponentiation), cipher ``aes128-ctr`` (sshcrypto.py,
   FIPS-197-validated), MAC ``hmac-sha2-256`` (stdlib hmac). A server
   that cannot speak this suite fails loudly with its offered lists.
-* **Host keys are parsed but NOT verified** — there is no trust store
-  in this environment. That is fail-open against an active MITM and
-  is stated here deliberately; production use should front this with
-  a known_hosts check. Password userauth only (RFC 4252).
+* **Host keys are verified, secure by default** (r5): the server's
+  signature over the exchange hash is checked (ssh-ed25519 via
+  ``ed25519.py``, rsa-sha2-256/512 + ssh-rsa via RSASSA-PKCS1-v1_5 in
+  ``hostkeys.py``), and the key must be anchored by a pinned
+  ``hostKeyFingerprint``, an OpenSSH ``knownHostsFile`` (plain,
+  ``[host]:port`` and hashed entries), or an explicit
+  ``insecureAcceptAnyHostKey: true`` opt-out that warns loudly.
+  Userauth: password, or ``publickey`` with an unencrypted
+  openssh-key-v1 ed25519 key (RFC 4252 §7).
 * **SFTP v3** (draft-ietf-secsh-filexfer-02): REALPATH, STAT,
   OPENDIR/READDIR, OPEN/READ/WRITE/CLOSE, MKDIR, REMOVE, RENAME —
   the surface the reference helper uses.
@@ -123,13 +128,29 @@ class SshTransport:
 
     def __init__(self, host: str, port: int, username: str, password: str,
                  timeout: float = 30.0,
-                 host_key_fingerprint: str | None = None):
-        """``host_key_fingerprint``: base64 SHA-256 of the server's
-        host key blob (the ``SHA256:...`` value ``ssh-keyscan`` +
-        ``ssh-keygen -lf`` print, with or without the prefix). When
-        set, a mismatching server is refused — the pinned-key
-        equivalent of a known_hosts entry. When unset the key is
-        accepted blind (documented fail-open)."""
+                 host_key_fingerprint: str | None = None,
+                 known_hosts: str | None = None,
+                 insecure_accept_any_host_key: bool = False,
+                 private_key_path: str | None = None):
+        """Host-key trust is SECURE BY DEFAULT: the server's key
+        signature over the exchange hash is always verified
+        (ssh-ed25519 / rsa-sha2-* / ssh-rsa), and the key itself must
+        be anchored by exactly one of
+
+        * ``host_key_fingerprint`` — base64 SHA-256 of the host key
+          blob (the ``SHA256:...`` value ``ssh-keyscan`` +
+          ``ssh-keygen -lf`` print, with or without the prefix);
+        * ``known_hosts`` — path to an OpenSSH known_hosts file
+          (plain, ``[host]:port`` and hashed ``|1|`` entries); a
+          changed key or an unknown host is refused loudly;
+        * ``insecure_accept_any_host_key=True`` — explicit opt-out,
+          accepted with a loud RuntimeWarning (MITM can read
+          credentials and data).
+
+        None of the three → the connection is refused before any
+        credential is sent.  ``private_key_path`` switches userauth to
+        ``publickey`` with an unencrypted openssh-key-v1 ed25519 key
+        (RFC 4252 §7); otherwise password auth is used."""
         self.sock = socket.create_connection((host, port), timeout=timeout)
         self.sock.setsockopt(socket.IPPROTO_TCP, socket.TCP_NODELAY, 1)
         self._seq_out = 0
@@ -138,9 +159,12 @@ class SshTransport:
         self._mac_out = self._mac_in = None
         self._inbuf = b""
         self._pin = host_key_fingerprint
+        self._known_hosts = known_hosts
+        self._insecure = insecure_accept_any_host_key
+        self._host, self._port = host, port
         self._version_exchange()
         self._kex()
-        self._userauth(username, password)
+        self._userauth(username, password, private_key_path)
 
     # -- low-level framing --------------------------------------------
 
@@ -267,21 +291,9 @@ class SshTransport:
         if rep[0] != MSG_KEXDH_REPLY:
             raise SshError(f"expected KEXDH_REPLY, got {rep[0]}")
         rr = _Reader(rep, 1)
-        k_s = rr.string()  # host key blob; verified iff a pin is configured
-        if self._pin:
-            import base64
-
-            got = base64.b64encode(
-                hashlib.sha256(k_s).digest()
-            ).decode().rstrip("=")
-            want = self._pin.removeprefix("SHA256:").rstrip("=")
-            if got != want:
-                raise SshError(
-                    f"host key fingerprint mismatch: server presented "
-                    f"SHA256:{got}, pinned SHA256:{want} — possible MITM"
-                )
+        k_s = rr.string()  # host key blob
         f = rr.mpint()
-        _sig = rr.string()
+        sig = rr.string()
         if not 1 < f < GROUP14_P - 1:
             raise SshError("server DH public value out of range")
         k = pow(f, x, GROUP14_P)
@@ -290,6 +302,7 @@ class SshTransport:
             + ssh_string(ic) + ssh_string(is_) + ssh_string(k_s)
             + mpint(e) + mpint(f) + mpint(k)
         ).digest()
+        self._check_host_key(k_s, sig, h)
         self.session_id = h
         self._send_packet(bytes([MSG_NEWKEYS]))
         nk = self._read_msg()
@@ -304,25 +317,122 @@ class SshTransport:
         self._enc_out = AesCtr(key_c2s, iv_c2s)
         self._enc_in = AesCtr(key_s2c, iv_s2c)
 
+    # -- host key trust ----------------------------------------------
+
+    def _check_host_key(self, k_s: bytes, sig_blob: bytes,
+                        h: bytes) -> None:
+        from datax_spark.sources import ed25519, hostkeys
+
+        # 1) the signature over the exchange hash must verify — a key
+        # the peer cannot sign with is a replayed/forged blob, pinned
+        # or not
+        alg = hostkeys.blob_key_type(k_s)
+        sr = _Reader(sig_blob)
+        sig_alg = sr.string().decode()
+        raw_sig = sr.string()
+        if alg == "ssh-ed25519":
+            if sig_alg != "ssh-ed25519":
+                raise SshError(f"signature algorithm {sig_alg!r} does not "
+                               f"match host key type ssh-ed25519")
+            ok = ed25519.verify(hostkeys.parse_ed25519_blob(k_s), h, raw_sig)
+        elif alg == "ssh-rsa":
+            halg = hostkeys.RSA_SIG_HASH.get(sig_alg)
+            if halg is None:
+                raise SshError(f"unsupported rsa signature alg {sig_alg!r}")
+            e_pub, n_pub = hostkeys.parse_rsa_blob(k_s)
+            ok = hostkeys.rsa_verify(e_pub, n_pub, raw_sig, h, halg)
+        else:
+            raise SshError(f"unsupported host key type {alg!r}")
+        if not ok:
+            raise SshError(
+                f"host key signature verification FAILED ({alg}) — the "
+                f"peer does not hold the key it presented; possible MITM")
+        # 2) the (now proven) key must be anchored to something
+        if self._pin:
+            import base64
+
+            got = base64.b64encode(
+                hashlib.sha256(k_s).digest()
+            ).decode().rstrip("=")
+            want = self._pin.removeprefix("SHA256:").rstrip("=")
+            if got != want:
+                raise SshError(
+                    f"host key fingerprint mismatch: server presented "
+                    f"SHA256:{got}, pinned SHA256:{want} — possible MITM"
+                )
+            return
+        if self._known_hosts:
+            entries = hostkeys.load_known_hosts(self._known_hosts)
+            verdict = hostkeys.evaluate_known_hosts(
+                entries, self._host, self._port, alg, k_s)
+            if verdict == "match":
+                return
+            if verdict == "mismatch":
+                raise SshError(
+                    f"REMOTE HOST IDENTIFICATION HAS CHANGED for "
+                    f"{self._host}:{self._port} — known_hosts has a "
+                    f"different {alg} key (possible MITM); refusing")
+            raise SshError(
+                f"{self._host}:{self._port} is not in known_hosts "
+                f"({self._known_hosts}) — add its {alg} key (ssh-keyscan) "
+                f"or pin hostKeyFingerprint")
+        if self._insecure:
+            import warnings
+
+            warnings.warn(
+                f"SSH host key for {self._host}:{self._port} accepted "
+                f"WITHOUT verification (insecureAcceptAnyHostKey) — an "
+                f"active MITM can read credentials and data",
+                RuntimeWarning, stacklevel=4)
+            return
+        raise SshError(
+            "no host-key trust anchor configured — set hostKeyFingerprint "
+            "or knownHostsFile, or explicitly opt out with "
+            "insecureAcceptAnyHostKey: true")
+
     # -- auth + channel ----------------------------------------------
 
-    def _userauth(self, username: str, password: str) -> None:
+    def _userauth(self, username: str, password: str,
+                  private_key_path: str | None = None) -> None:
         self._send_packet(
             bytes([MSG_SERVICE_REQUEST]) + ssh_string(b"ssh-userauth")
         )
         acc = self._read_msg()
         if acc[0] != MSG_SERVICE_ACCEPT:
             raise SshError(f"service request refused ({acc[0]})")
-        self._send_packet(
-            bytes([MSG_USERAUTH_REQUEST])
-            + ssh_string(username.encode())
-            + ssh_string(b"ssh-connection")
-            + ssh_string(b"password") + b"\x00"
-            + ssh_string(password.encode())
-        )
+        if private_key_path:
+            from datax_spark.sources import ed25519, hostkeys
+
+            seed = hostkeys.load_openssh_ed25519_seed(private_key_path)
+            pub_blob = hostkeys.ed25519_blob(ed25519.publickey(seed))
+            req = (
+                ssh_string(username.encode())
+                + ssh_string(b"ssh-connection")
+                + ssh_string(b"publickey") + b"\x01"
+                + ssh_string(b"ssh-ed25519")
+                + ssh_string(pub_blob)
+            )
+            # RFC 4252 §7: sign over session id + the request itself
+            signed = ssh_string(self.session_id) \
+                + bytes([MSG_USERAUTH_REQUEST]) + req
+            sig = ssh_string(b"ssh-ed25519") \
+                + ssh_string(ed25519.sign(seed, signed))
+            self._send_packet(
+                bytes([MSG_USERAUTH_REQUEST]) + req + ssh_string(sig)
+            )
+            failure_hint = "publickey rejected"
+        else:
+            self._send_packet(
+                bytes([MSG_USERAUTH_REQUEST])
+                + ssh_string(username.encode())
+                + ssh_string(b"ssh-connection")
+                + ssh_string(b"password") + b"\x00"
+                + ssh_string(password.encode())
+            )
+            failure_hint = "password rejected"
         rep = self._read_msg()
         if rep[0] == MSG_USERAUTH_FAILURE:
-            raise SshError("authentication failed (password rejected)")
+            raise SshError(f"authentication failed ({failure_hint})")
         if rep[0] != MSG_USERAUTH_SUCCESS:
             raise SshError(f"unexpected userauth reply {rep[0]}")
 
@@ -436,9 +546,16 @@ class SftpClient:
 
     def __init__(self, host: str, port: int = 22, username: str = "",
                  password: str = "", timeout: float = 30.0,
-                 host_key_fingerprint: str | None = None):
-        self.t = SshTransport(host, port, username, password, timeout,
-                              host_key_fingerprint=host_key_fingerprint)
+                 host_key_fingerprint: str | None = None,
+                 known_hosts: str | None = None,
+                 insecure_accept_any_host_key: bool = False,
+                 private_key_path: str | None = None):
+        self.t = SshTransport(
+            host, port, username, password, timeout,
+            host_key_fingerprint=host_key_fingerprint,
+            known_hosts=known_hosts,
+            insecure_accept_any_host_key=insecure_accept_any_host_key,
+            private_key_path=private_key_path)
         self.t.open_sftp_channel()
         self._id = 0
         self._buf = b""
