@@ -101,6 +101,118 @@ def rsa_sign(d: int, n: int, msg: bytes, halg: str) -> bytes:
     return pow(int.from_bytes(em, "big"), d, n).to_bytes(k, "big")
 
 
+# --------------------------- RSAES-OAEP (RFC 8017 §7.1) + SPKI PEM
+# Used by the MySQL caching_sha2_password full-auth exchange: the
+# server hands the client its RSA public key as an X.509
+# SubjectPublicKeyInfo PEM; the client OAEP-encrypts the
+# nonce-obfuscated password (MySQL uses OAEP with SHA-1/MGF1-SHA-1).
+
+def _mgf1(seed: bytes, length: int, halg: str = "sha1") -> bytes:
+    out = b""
+    for c in range((length + hashlib.new(halg).digest_size - 1)
+                   // hashlib.new(halg).digest_size):
+        out += hashlib.new(halg, seed + struct.pack(">I", c)).digest()
+    return out[:length]
+
+
+def rsa_oaep_encrypt(e: int, n: int, msg: bytes,
+                     halg: str = "sha1") -> bytes:
+    import os
+
+    k = (n.bit_length() + 7) // 8
+    hlen = hashlib.new(halg).digest_size
+    if len(msg) > k - 2 * hlen - 2:
+        raise ValueError("message too long for OAEP")
+    lhash = hashlib.new(halg, b"").digest()
+    ps = b"\x00" * (k - len(msg) - 2 * hlen - 2)
+    db = lhash + ps + b"\x01" + msg
+    seed = os.urandom(hlen)
+    masked_db = bytes(a ^ b for a, b in zip(db, _mgf1(seed, k - hlen - 1,
+                                                      halg)))
+    masked_seed = bytes(a ^ b for a, b in zip(seed, _mgf1(masked_db, hlen,
+                                                          halg)))
+    em = b"\x00" + masked_seed + masked_db
+    return pow(int.from_bytes(em, "big"), e, n).to_bytes(k, "big")
+
+
+def rsa_oaep_decrypt(d: int, n: int, ct: bytes,
+                     halg: str = "sha1") -> bytes:
+    """Test-double decryptor for in-process fakes."""
+    k = (n.bit_length() + 7) // 8
+    hlen = hashlib.new(halg).digest_size
+    em = pow(int.from_bytes(ct, "big"), d, n).to_bytes(k, "big")
+    masked_seed, masked_db = em[1 : 1 + hlen], em[1 + hlen :]
+    seed = bytes(a ^ b for a, b in zip(masked_seed,
+                                       _mgf1(masked_db, hlen, halg)))
+    db = bytes(a ^ b for a, b in zip(masked_db,
+                                     _mgf1(seed, k - hlen - 1, halg)))
+    lhash = hashlib.new(halg, b"").digest()
+    if em[0] != 0 or db[:hlen] != lhash:
+        raise ValueError("OAEP decoding error")
+    return db[hlen:].lstrip(b"\x00")[1:]
+
+
+def _der_read(b: bytes, i: int) -> tuple[int, bytes, int]:
+    tag = b[i]
+    ln = b[i + 1]
+    i += 2
+    if ln & 0x80:
+        nb = ln & 0x7F
+        ln = int.from_bytes(b[i : i + nb], "big")
+        i += nb
+    return tag, b[i : i + ln], i + ln
+
+
+def parse_spki_pem(pem: bytes | str) -> tuple[int, int]:
+    """X.509 SubjectPublicKeyInfo PEM → (e, n) for an RSA key."""
+    if isinstance(pem, bytes):
+        pem = pem.decode()
+    body = "".join(
+        ln.strip() for ln in pem.splitlines()
+        if ln and not ln.startswith("-----"))
+    der = base64.b64decode(body)
+    tag, spki, _ = _der_read(der, 0)
+    if tag != 0x30:
+        raise ValueError("not a DER SEQUENCE")
+    _t, _alg, j = _der_read(spki, 0)            # AlgorithmIdentifier
+    t, bits, _ = _der_read(spki, j)             # BIT STRING
+    if t != 0x03 or bits[:1] != b"\x00":
+        raise ValueError("bad SPKI bit string")
+    t, rsa, _ = _der_read(bits, 1)
+    if t != 0x30:
+        raise ValueError("bad RSAPublicKey")
+    t, n_b, j = _der_read(rsa, 0)
+    t2, e_b, _ = _der_read(rsa, j)
+    if t != 0x02 or t2 != 0x02:
+        raise ValueError("bad RSAPublicKey integers")
+    return int.from_bytes(e_b, "big"), int.from_bytes(n_b, "big")
+
+
+def spki_pem(e: int, n: int) -> bytes:
+    """Render (e, n) as an SPKI PEM (fake-server helper)."""
+    def der_int(x: int) -> bytes:
+        b = x.to_bytes((x.bit_length() + 8) // 8, "big")
+        return bytes([0x02]) + _der_len(len(b)) + b
+
+    def _der_len(ln: int) -> bytes:
+        if ln < 0x80:
+            return bytes([ln])
+        b = ln.to_bytes((ln.bit_length() + 7) // 8, "big")
+        return bytes([0x80 | len(b)]) + b
+
+    def seq(body: bytes) -> bytes:
+        return bytes([0x30]) + _der_len(len(body)) + body
+
+    rsa = seq(der_int(n) + der_int(e))
+    alg = seq(bytes.fromhex("06092a864886f70d010101") + b"\x05\x00")
+    bits = bytes([0x03]) + _der_len(len(rsa) + 1) + b"\x00" + rsa
+    der = seq(alg + bits)
+    b64 = base64.b64encode(der).decode()
+    lines = "\n".join(b64[i : i + 64] for i in range(0, len(b64), 64))
+    return (f"-----BEGIN PUBLIC KEY-----\n{lines}\n"
+            f"-----END PUBLIC KEY-----\n").encode()
+
+
 # ----------------------------------------------------------- known_hosts
 
 class KnownHostEntry:

@@ -237,67 +237,26 @@ class MongoWire:
 
     def authenticate(self, username: str, password: str,
                      auth_db: str = "admin") -> None:
-        """SCRAM-SHA-256 (RFC 7677) over saslStart/saslContinue.
-        hashlib/hmac only; verifies the SERVER signature too, so a
-        spoofed endpoint that merely says ok cannot pass. Passwords
-        are used as-is (SASLprep is the identity for ASCII); non-ASCII
-        passwords are refused rather than silently mis-normalized."""
-        import base64
-        import hashlib
-        import hmac as _hmac
-        import os as _os
+        """SCRAM-SHA-256 (RFC 7677) over saslStart/saslContinue, via
+        the shared scram.py client, which verifies the SERVER
+        signature too — a spoofed endpoint that merely says ok cannot
+        pass."""
+        from datax_spark.sources.scram import ScramSha256Client
 
-        try:
-            pwd = password.encode("ascii")
-        except UnicodeEncodeError:
-            raise NotImplementedError(
-                "non-ASCII SCRAM passwords need SASLprep normalization, "
-                "which this transport does not implement"
-            )
-        user = username.replace("=", "=3D").replace(",", "=2C")
-        cnonce = base64.b64encode(_os.urandom(18)).decode()
-        first_bare = f"n={user},r={cnonce}"
+        scram = ScramSha256Client(username, password)
         res = self.ok_command(auth_db, {
             "saslStart": 1,
             "mechanism": "SCRAM-SHA-256",
-            "payload": ("n,," + first_bare).encode(),
+            "payload": scram.client_first().encode(),
             "autoAuthorize": 1,
         })
         server_first = bytes(res["payload"]).decode()
-        attrs = dict(kv.split("=", 1) for kv in server_first.split(","))
-        nonce = attrs["r"]
-        if not nonce.startswith(cnonce):
-            raise IOError("SCRAM: server nonce does not extend client nonce")
-        salt = base64.b64decode(attrs["s"])
-        iterations = int(attrs["i"])
-        if iterations < 4096:
-            raise IOError(f"SCRAM: iteration count {iterations} below RFC minimum")
-        salted = hashlib.pbkdf2_hmac("sha256", pwd, salt, iterations)
-        client_key = _hmac.new(salted, b"Client Key", hashlib.sha256).digest()
-        stored_key = hashlib.sha256(client_key).digest()
-        without_proof = f"c=biws,r={nonce}"
-        auth_msg = f"{first_bare},{server_first},{without_proof}".encode()
-        client_sig = _hmac.new(stored_key, auth_msg, hashlib.sha256).digest()
-        proof = bytes(a ^ b for a, b in zip(client_key, client_sig))
         res = self.ok_command(auth_db, {
             "saslContinue": 1,
             "conversationId": res["conversationId"],
-            "payload": (
-                f"{without_proof},p={base64.b64encode(proof).decode()}"
-            ).encode(),
+            "payload": scram.client_final(server_first).encode(),
         })
-        final = dict(
-            kv.split("=", 1)
-            for kv in bytes(res["payload"]).decode().split(",")
-            if kv
-        )
-        server_key = _hmac.new(salted, b"Server Key", hashlib.sha256).digest()
-        server_sig = _hmac.new(server_key, auth_msg, hashlib.sha256).digest()
-        if base64.b64decode(final.get("v", "")) != server_sig:
-            raise IOError(
-                "SCRAM: server signature verification failed — the peer "
-                "does not know this user's credentials"
-            )
+        scram.verify_server_final(bytes(res["payload"]).decode())
         while not res.get("done"):
             res = self.ok_command(auth_db, {
                 "saslContinue": 1,

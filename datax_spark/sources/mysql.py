@@ -18,11 +18,13 @@ Reference parity:
 
 Transport: the documented wire format — 3-byte-length/1-byte-seq
 packets, v10 handshake with ``mysql_native_password``
-(SHA1(pwd) XOR SHA1(scramble + SHA1(SHA1(pwd)))); ``caching_sha2``
-servers fail loudly (use ``mysql_native_password`` accounts, still
-the cross-version interop default). COM_QUERY text protocol:
-OK/ERR/resultset with lenenc integers/strings and 0xFB NULLs.
-Drivable by an in-process fake speaking the same frames in tests.
+(SHA1(pwd) XOR SHA1(scramble + SHA1(SHA1(pwd)))) AND
+``caching_sha2_password`` (MySQL 8+'s default): SHA256 fast-path
+scramble, and on cache miss the full-auth exchange — RSA public key
+request + RSA-OAEP(password ⊕ nonce) — plus AuthSwitchRequest
+handling between the two. COM_QUERY text protocol: OK/ERR/resultset
+with lenenc integers/strings and 0xFB NULLs. Drivable by an
+in-process fake speaking the same frames in tests.
 
 Spark-first shape: the driver plans from cheap probes only; executors
 stream their split / batch their partition inside ``mapInPandas``.
@@ -62,6 +64,17 @@ class MySqlError(IOError):
     def __init__(self, code: int, msg: str):
         super().__init__(f"MySQL error {code}: {msg}")
         self.code = code
+
+
+def caching_sha2_scramble(password: str, nonce: bytes) -> bytes:
+    """caching_sha2_password fast-path token:
+    SHA256(pwd) XOR SHA256(SHA256(SHA256(pwd)) + nonce)."""
+    if password == "":
+        return b""
+    p1 = hashlib.sha256(password.encode()).digest()
+    p2 = hashlib.sha256(p1).digest()
+    p3 = hashlib.sha256(p2 + nonce).digest()
+    return bytes(a ^ b for a, b in zip(p1, p3))
 
 
 def native_password_scramble(password: str, nonce: bytes) -> bytes:
@@ -183,12 +196,12 @@ class MySqlConnection:
             if caps & CLIENT_PLUGIN_AUTH:
                 end = b.index(b"\x00", i)
                 plugin = b[i:end].decode()
-        if plugin != "mysql_native_password":
+        if plugin not in ("mysql_native_password", "caching_sha2_password"):
             raise NotImplementedError(
-                f"auth plugin {plugin!r} not supported — create the "
-                "account with mysql_native_password"
+                f"auth plugin {plugin!r} not supported — use a "
+                "mysql_native_password or caching_sha2_password account"
             )
-        token = native_password_scramble(password, nonce[:20])
+        token = self._auth_token(plugin, password, nonce[:20])
         caps = (
             CLIENT_LONG_PASSWORD | CLIENT_PROTOCOL_41
             | CLIENT_SECURE_CONNECTION | CLIENT_PLUGIN_AUTH
@@ -203,18 +216,75 @@ class MySqlConnection:
         )
         if database:
             resp += database.encode() + b"\x00"
-        resp += b"mysql_native_password\x00"
+        resp += plugin.encode() + b"\x00"
         self._send_packet(resp)
+        self._auth_finish(plugin, password, nonce[:20])
+
+    @staticmethod
+    def _auth_token(plugin: str, password: str, nonce: bytes) -> bytes:
+        if plugin == "caching_sha2_password":
+            return caching_sha2_scramble(password, nonce)
+        return native_password_scramble(password, nonce)
+
+    def _auth_finish(self, plugin: str, password: str,
+                     nonce: bytes) -> None:
+        """Drive the post-response auth dialog: OK/ERR, AuthSwitch
+        (0xFE), and caching_sha2's AuthMoreData (0x01) fast/full
+        paths (the full path = RSA-OAEP password exchange, what
+        Connector/J does over a non-TLS channel)."""
+        while True:
+            b = self._read_packet()
+            if b[0] == 0xFF:
+                raise self._err(b)
+            if b[0] == 0x00:
+                return  # OK
+            if b[0] == 0xFE:  # AuthSwitchRequest: plugin \0 new-nonce
+                end = b.index(b"\x00", 1)
+                plugin = b[1:end].decode()
+                nonce = b[end + 1 :].rstrip(b"\x00")[:20]
+                if plugin not in ("mysql_native_password",
+                                  "caching_sha2_password"):
+                    raise NotImplementedError(
+                        f"server switched to unsupported auth plugin "
+                        f"{plugin!r}")
+                self._send_packet(
+                    self._auth_token(plugin, password, nonce))
+                continue
+            if b[0] == 0x01 and plugin == "caching_sha2_password":
+                status = b[1] if len(b) > 1 else -1
+                if status == 3:  # fast_auth_success; OK follows
+                    continue
+                if status == 4:  # perform_full_authentication
+                    self._caching_sha2_full_auth(password, nonce)
+                    continue
+                raise IOError(
+                    f"unexpected caching_sha2 status 0x{status:02x}")
+            raise IOError(f"unexpected handshake reply 0x{b[0]:02x}")
+
+    def _caching_sha2_full_auth(self, password: str,
+                                nonce: bytes) -> None:
+        """Cache-miss path without TLS: request the server's RSA
+        public key (0x02), then send RSA-OAEP(password ⊕ nonce)."""
+        from datax_spark.sources.hostkeys import (
+            parse_spki_pem,
+            rsa_oaep_encrypt,
+        )
+
+        if password == "":
+            self._send_packet(b"\x00")  # empty password: single NUL
+            return
+        self._send_packet(b"\x02")  # public key request
         b = self._read_packet()
         if b[0] == 0xFF:
             raise self._err(b)
-        if b[0] == 0xFE:
-            raise NotImplementedError(
-                "server requested an auth method switch — use a "
-                "mysql_native_password account"
-            )
-        if b[0] != 0x00:
-            raise IOError(f"unexpected handshake reply 0x{b[0]:02x}")
+        if b[0] != 0x01:
+            raise IOError(
+                f"expected AuthMoreData with RSA key, got 0x{b[0]:02x}")
+        e_pub, n_pub = parse_spki_pem(b[1:])
+        pwd = password.encode() + b"\x00"
+        obfuscated = bytes(
+            c ^ nonce[i % len(nonce)] for i, c in enumerate(pwd))
+        self._send_packet(rsa_oaep_encrypt(e_pub, n_pub, obfuscated))
 
     # ---- COM_QUERY
 

@@ -19,8 +19,10 @@ Reference parity:
   ranged SELECTs pushed into the server.
 
 Transport: the documented frontend/backend protocol v3 — startup,
-cleartext/MD5 password auth (SCRAM-SHA-256 endpoints fail loudly for
-now), the simple-query cycle (RowDescription/DataRow/CommandComplete/
+cleartext/MD5/SCRAM-SHA-256 password auth (RFC 7677 via scram.py —
+the default on modern servers; SCRAM-…-PLUS-only endpoints are
+refused since this transport has no TLS channel binding), the
+simple-query cycle (RowDescription/DataRow/CommandComplete/
 ReadyForQuery), COPY IN sub-protocol, text-format values with COPY
 escaping. No driver jar; drivable by an in-process fake in tests.
 
@@ -122,11 +124,8 @@ class PgConnection:
                     ).hexdigest()
                     outer = hashlib.md5(inner.encode() + salt).hexdigest()
                     self._send_password("md5" + outer)
-                elif kind == 10:
-                    raise NotImplementedError(
-                        "SCRAM-SHA-256 auth not implemented in this "
-                        "transport (cleartext/MD5 endpoints work)"
-                    )
+                elif kind == 10:  # AuthenticationSASL (RFC 7677)
+                    self._auth_sasl(body[4:], password)
                 else:
                     raise NotImplementedError(f"auth method {kind} unsupported")
             elif t in (b"S", b"K", b"N"):
@@ -135,6 +134,40 @@ class PgConnection:
                 return  # ReadyForQuery
             else:
                 raise IOError(f"unexpected message {t!r} during startup")
+
+    def _auth_sasl(self, mechs_raw: bytes, password: str) -> None:
+        """SCRAM-SHA-256 over the SASL sub-protocol (modern PG's
+        default password_encryption).  Channel-binding-only servers
+        (SCRAM-SHA-256-PLUS alone) are refused — this transport does
+        not speak TLS."""
+        from datax_spark.sources.scram import ScramSha256Client
+
+        mechs = [m for m in mechs_raw.split(b"\x00") if m]
+        if b"SCRAM-SHA-256" not in mechs:
+            raise NotImplementedError(
+                f"server offers only {[m.decode() for m in mechs]} — "
+                "SCRAM-SHA-256 (no channel binding) is required")
+        scram = ScramSha256Client(self.user, password)
+        first = scram.client_first().encode()
+        body = (b"SCRAM-SHA-256\x00"
+                + struct.pack(">i", len(first)) + first)
+        self.sock.sendall(
+            b"p" + struct.pack(">i", len(body) + 4) + body)
+        t, rbody = self._read_msg()
+        if t == b"E":
+            raise PgError(self._error_fields(rbody))
+        if t != b"R" or struct.unpack_from(">i", rbody, 0)[0] != 11:
+            raise IOError(f"expected AuthenticationSASLContinue, got {t!r}")
+        final = scram.client_final(rbody[4:].decode()).encode()
+        self.sock.sendall(
+            b"p" + struct.pack(">i", len(final) + 4) + final)
+        t, rbody = self._read_msg()
+        if t == b"E":
+            raise PgError(self._error_fields(rbody))
+        if t != b"R" or struct.unpack_from(">i", rbody, 0)[0] != 12:
+            raise IOError(f"expected AuthenticationSASLFinal, got {t!r}")
+        scram.verify_server_final(rbody[4:].decode())
+        # AuthenticationOk + ReadyForQuery follow in the outer loop
 
     def _send_password(self, pwd: str) -> None:
         body = pwd.encode() + b"\x00"

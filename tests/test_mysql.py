@@ -117,10 +117,17 @@ def _split_tuples(s: str, nbe: bool = False):
 
 class FakeMySql:
     def __init__(self, users: dict[str, str] | None = None,
-                 sql_mode: str = ""):
+                 sql_mode: str = "",
+                 auth_plugin: str = "mysql_native_password",
+                 cached_users: tuple = (),
+                 rsa_key: tuple | None = None):
         self.tables: dict[str, dict] = {}
         self.users = users if users is not None else {"root": ""}
         self.sql_mode = sql_mode
+        self.auth_plugin = auth_plugin
+        self.cached_users = set(cached_users)  # fast-path hash cache
+        self.rsa_key = rsa_key                 # (e, d, n) for full auth
+        self.switch_to_native = False          # AuthSwitchRequest mode
         self.lock = threading.Lock()
         self.queries: list[str] = []
         self.srv = socket.create_server(("127.0.0.1", 0))
@@ -193,7 +200,7 @@ class FakeMySql:
                     + struct.pack("<H", 0x000F)      # caps high (incl plugin auth)
                     + bytes([21]) + b"\x00" * 10
                     + nonce[8:20] + b"\x00"
-                    + b"mysql_native_password\x00"
+                    + self.auth_plugin.encode() + b"\x00"
                 )
                 self._send(conn, 0, greet)
                 seq, resp = self._read(conn)
@@ -205,12 +212,35 @@ class FakeMySql:
                 tlen = resp[i]
                 token = resp[i + 1 : i + 1 + tlen]
                 expect_pwd = self.users.get(user)
-                ok = expect_pwd is not None and token == native_password_scramble(
-                    expect_pwd, nonce[:20])
-                if not ok:
-                    self._error(conn, seq + 1, 1045,
-                                f"Access denied for user '{user}'")
-                    return
+                if self.switch_to_native:
+                    # AuthSwitchRequest: ask the client to redo auth
+                    # with mysql_native_password and a FRESH nonce
+                    nonce2 = os.urandom(20).replace(b"\x00", b"\x01")
+                    seq = self._send(
+                        conn, seq + 1,
+                        b"\xfe" + b"mysql_native_password\x00"
+                        + nonce2 + b"\x00") - 1
+                    seq, token = self._read(conn)
+                    ok = expect_pwd is not None and \
+                        token == native_password_scramble(
+                            expect_pwd, nonce2)
+                    if not ok:
+                        self._error(conn, seq + 1, 1045,
+                                    f"Access denied for user '{user}'")
+                        return
+                elif self.auth_plugin == "caching_sha2_password":
+                    seq, ok = self._caching_sha2_auth(
+                        conn, seq, user, token, nonce, expect_pwd)
+                    if not ok:
+                        return
+                else:
+                    ok = expect_pwd is not None and \
+                        token == native_password_scramble(
+                            expect_pwd, nonce[:20])
+                    if not ok:
+                        self._error(conn, seq + 1, 1045,
+                                    f"Access denied for user '{user}'")
+                        return
                 self._ok(conn, seq + 1)
                 while True:
                     _seq, body = self._read(conn)
@@ -228,6 +258,45 @@ class FakeMySql:
                         self._error(conn, 1, 1064, f"fake: {e}")
         except (ConnectionError, OSError):
             return
+
+    def _caching_sha2_auth(self, conn, seq, user, token, nonce,
+                           expect_pwd):
+        """Server side of caching_sha2_password: fast path for cached
+        users, RSA full-auth exchange otherwise — demands the modern
+        plugin the way a stock MySQL 8 does."""
+        from datax_spark.sources.hostkeys import rsa_oaep_decrypt, spki_pem
+        from datax_spark.sources.mysql import caching_sha2_scramble
+
+        if expect_pwd is None:
+            self._error(conn, seq + 1, 1045,
+                        f"Access denied for user '{user}'")
+            return seq, False
+        if expect_pwd == "":
+            return seq, token == b""
+        if user in self.cached_users:
+            if token != caching_sha2_scramble(expect_pwd, nonce[:20]):
+                self._error(conn, seq + 1, 1045,
+                            f"Access denied for user '{user}'")
+                return seq, False
+            seq = self._send(conn, seq + 1, b"\x01\x03")  # fast_auth_success
+            return seq - 1, True
+        # cache miss: full authentication
+        seq = self._send(conn, seq + 1, b"\x01\x04")
+        rseq, req = self._read(conn)
+        if req == b"\x02":  # public key request
+            e_pub, _d, n = self.rsa_key
+            rseq = self._send(conn, rseq + 1, b"\x01" + spki_pem(e_pub, n))
+            rseq, ct = self._read(conn)
+            _e, d, n = self.rsa_key
+            obf = rsa_oaep_decrypt(d, n, ct)
+            pwd = bytes(c ^ nonce[i % 20] for i, c in enumerate(obf))
+            if pwd != expect_pwd.encode() + b"\x00":
+                self._error(conn, rseq + 1, 1045,
+                            f"Access denied for user '{user}'")
+                return rseq, False
+            return rseq, True
+        self._error(conn, rseq + 1, 1045, "full auth: unexpected reply")
+        return rseq, False
 
     # ---- constrained SQL evaluation
 
@@ -462,6 +531,71 @@ def test_microsecond_timestamp_roundtrip(spark, my):
     assert got[9]["at"] == ts
     # whole-second values keep the short form (server-agnostic)
     assert mysql_literal(dt.datetime(2024, 3, 4)) == "'2024-03-04 00:00:00'"
+
+
+_RSA_P = int("b945336bd51b1815aaf719f3fd68373b29acf1a57cbd1f5ae28af604"
+             "65f4298618189af4f3d74f82bf268ea03836e86577bd891ff7b103df"
+             "23231e1ee201552240cbacd0249a45845dbe3023a906922fa4b9a9c4"
+             "b753a1eef08360852789d059", 16)
+_RSA_Q = int("cd2146c2bbaa4c10cffe86958cf994bc40a1c44f2744593a4e98259e"
+             "b0f72119285a2a3ea4b2433afb1cc97710b369d1ce91bfd17add5913"
+             "1ab3b2065f245e2058c52816a5f1cf732c0539ef92a563bdf0832061"
+             "3a6f59a498309481ba17f3c7", 16)
+_RSA_N = _RSA_P * _RSA_Q
+_RSA_E = 65537
+_RSA_D = pow(_RSA_E, -1, (_RSA_P - 1) * (_RSA_Q - 1))
+
+
+def test_caching_sha2_fast_path():
+    """MySQL 8's default plugin, fast path: the server has the user's
+    hash cached and validates the SHA256 scramble."""
+    srv = FakeMySql(users={"app": "s3cret"},
+                    auth_plugin="caching_sha2_password",
+                    cached_users=("app",))
+    srv.create_table("t", [("id", "long")], pk=["id"])
+    try:
+        c = MySqlConnection("127.0.0.1", srv.port, "app", "s3cret")
+        _, rows, _ = c.query("SELECT id FROM t WHERE 1 = 1")
+        assert rows == []
+        c.close()
+        with pytest.raises(MySqlError, match="Access denied"):
+            MySqlConnection("127.0.0.1", srv.port, "app", "wrong")
+    finally:
+        srv.close()
+
+
+def test_caching_sha2_full_auth_rsa():
+    """Cache miss → perform_full_authentication: the client requests
+    the server's RSA key and sends RSA-OAEP(password ⊕ nonce)."""
+    srv = FakeMySql(users={"app": "s3cret"},
+                    auth_plugin="caching_sha2_password",
+                    rsa_key=(_RSA_E, _RSA_D, _RSA_N))
+    srv.create_table("t", [("id", "long")], pk=["id"])
+    try:
+        c = MySqlConnection("127.0.0.1", srv.port, "app", "s3cret")
+        c.query("TRUNCATE TABLE t")
+        c.close()
+        with pytest.raises(MySqlError, match="Access denied"):
+            MySqlConnection("127.0.0.1", srv.port, "app", "wrong")
+    finally:
+        srv.close()
+
+
+def test_auth_switch_request():
+    """Server answers the handshake with AuthSwitchRequest back to
+    mysql_native_password and a fresh nonce; the client re-scrambles."""
+    srv = FakeMySql(users={"app": "s3cret"},
+                    auth_plugin="caching_sha2_password")
+    srv.switch_to_native = True
+    srv.create_table("t", [("id", "long")], pk=["id"])
+    try:
+        c = MySqlConnection("127.0.0.1", srv.port, "app", "s3cret")
+        c.query("TRUNCATE TABLE t")
+        c.close()
+        with pytest.raises(MySqlError, match="Access denied"):
+            MySqlConnection("127.0.0.1", srv.port, "app", "wrong")
+    finally:
+        srv.close()
 
 
 def test_no_backslash_escapes_roundtrip(spark):

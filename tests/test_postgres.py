@@ -81,7 +81,9 @@ def _tokenize_values(s: str):
 
 
 class FakePg:
-    def __init__(self, users: dict[str, str] | None = None):
+    def __init__(self, users: dict[str, str] | None = None,
+                 auth: str = "md5"):
+        self.auth = auth
         # table -> {"cols": [(name, sparktype)], "pk": [names], "rows": {pk: dict}}
         self.tables: dict[str, dict] = {}
         self.users = users or {}
@@ -131,6 +133,67 @@ class FakePg:
     def _msg(self, t: bytes, body: bytes = b"") -> bytes:
         return t + struct.pack(">i", len(body) + 4) + body
 
+    def _scram_auth(self, conn, user: str) -> bool:
+        """Server side of RFC 7677: DEMANDS SCRAM-SHA-256 — an
+        md5-only client cannot pass this fake."""
+        import base64
+        import hmac as hmac_mod
+        import os as os_mod
+
+        expect_pwd = self.users.get(user)
+        conn.sendall(self._msg(
+            b"R", struct.pack(">i", 10) + b"SCRAM-SHA-256\x00\x00"))
+        t = self._recv_exact(conn, 1)
+        (m,) = struct.unpack(">i", self._recv_exact(conn, 4))
+        body = self._recv_exact(conn, m - 4)
+        assert t == b"p"
+        z = body.index(b"\x00")
+        assert body[:z] == b"SCRAM-SHA-256"
+        (ln,) = struct.unpack_from(">i", body, z + 1)
+        client_first = body[z + 5 : z + 5 + ln].decode()
+        assert client_first.startswith("n,,")
+        bare = client_first[3:]
+        cattrs = dict(kv.split("=", 1) for kv in bare.split(","))
+        cnonce = cattrs["r"]
+        salt = b"scram-salt-0123"
+        iters = 4096
+        snonce = cnonce + base64.b64encode(os_mod.urandom(9)).decode()
+        server_first = (f"r={snonce},s={base64.b64encode(salt).decode()},"
+                        f"i={iters}")
+        conn.sendall(self._msg(
+            b"R", struct.pack(">i", 11) + server_first.encode()))
+        t = self._recv_exact(conn, 1)
+        (m,) = struct.unpack(">i", self._recv_exact(conn, 4))
+        final = self._recv_exact(conn, m - 4).decode()
+        assert t == b"p"
+        fattrs = dict(kv.split("=", 1) for kv in final.split(","))
+        assert fattrs["c"] == "biws" and fattrs["r"] == snonce
+        proof = base64.b64decode(fattrs["p"])
+        salted = hashlib.pbkdf2_hmac(
+            "sha256", (expect_pwd or "").encode(), salt, iters)
+        client_key = hmac_mod.new(
+            salted, b"Client Key", hashlib.sha256).digest()
+        stored_key = hashlib.sha256(client_key).digest()
+        without_proof = final.rsplit(",p=", 1)[0]
+        auth_msg = f"{bare},{server_first},{without_proof}".encode()
+        client_sig = hmac_mod.new(
+            stored_key, auth_msg, hashlib.sha256).digest()
+        recovered = bytes(a ^ b for a, b in zip(proof, client_sig))
+        if expect_pwd is None or hashlib.sha256(
+                recovered).digest() != stored_key:
+            conn.sendall(self._msg(
+                b"E", b"SFATAL\x00C28P01\x00M"
+                b"password authentication failed\x00\x00"))
+            return False
+        server_key = hmac_mod.new(
+            salted, b"Server Key", hashlib.sha256).digest()
+        server_sig = hmac_mod.new(
+            server_key, auth_msg, hashlib.sha256).digest()
+        conn.sendall(self._msg(
+            b"R", struct.pack(">i", 12)
+            + b"v=" + base64.b64encode(server_sig)))
+        return True
+
     def _serve(self, conn):
         try:
             with conn:
@@ -141,7 +204,10 @@ class FakePg:
                 kv = startup[4:].decode().split("\x00")
                 params = dict(zip(kv[0::2], kv[1::2]))
                 user = params.get("user", "")
-                if self.users:
+                if self.users and self.auth == "scram":
+                    if not self._scram_auth(conn, user):
+                        return
+                elif self.users:
                     salt = b"ab12"
                     conn.sendall(self._msg(b"R", struct.pack(">i", 5) + salt))
                     t = self._recv_exact(conn, 1)
@@ -504,6 +570,57 @@ def test_md5_auth(spark):
         assert len(srv.rows("t")) == 3
     finally:
         srv.close()
+
+
+def test_scram_sha256_auth(spark):
+    """A server that DEMANDS SCRAM-SHA-256 (modern PG's default
+    password_encryption): full RFC 7677 round-trip incl. server
+    signature verification; wrong password and missing user fail."""
+    srv = FakePg(users={"app": "s3cret"}, auth="scram")
+    srv.create_table("t", [("id", "long")], pk=["id"])
+    try:
+        with pytest.raises(PgError, match="authentication failed"):
+            PgConnection("127.0.0.1", srv.port, "app", "db",
+                         password="wrong")
+        with pytest.raises(PgError, match="authentication failed"):
+            PgConnection("127.0.0.1", srv.port, "ghost", "db",
+                         password="s3cret")
+        ok = PgConnection("127.0.0.1", srv.port, "app", "db",
+                          password="s3cret")
+        ok.close()
+        # full writer path over a SCRAM-authenticated connection
+        pg_write(_df(spark, ROWS).select("id"), {
+            "host": "127.0.0.1", "port": srv.port, "table": "t",
+            "column": ["id"], "username": "app", "password": "s3cret",
+        })
+        assert len(srv.rows("t")) == 3
+    finally:
+        srv.close()
+
+
+def test_scram_plus_only_refused():
+    """Channel-binding-only servers are refused loudly (no TLS)."""
+    import socket as socket_mod
+    import threading as threading_mod
+
+    lsock = socket_mod.create_server(("127.0.0.1", 0))
+    port = lsock.getsockname()[1]
+
+    def serve():
+        conn, _ = lsock.accept()
+        with conn:
+            hdr = conn.recv(4)
+            (n,) = struct.unpack(">i", hdr)
+            conn.recv(n - 4)
+            body = struct.pack(">i", 10) + b"SCRAM-SHA-256-PLUS\x00\x00"
+            conn.sendall(b"R" + struct.pack(">i", len(body) + 4) + body)
+
+    threading_mod.Thread(target=serve, daemon=True).start()
+    try:
+        with pytest.raises(NotImplementedError, match="SCRAM-SHA-256"):
+            PgConnection("127.0.0.1", port, "app", "db", password="x")
+    finally:
+        lsock.close()
 
 
 def test_server_error_surfaces(pg):
