@@ -229,13 +229,25 @@ class LocalFSBackend:
             pass
 
 
-# The process-wide backend. Swap for an object-store implementation
-# with set_backend() before any table is opened; the whole suite runs
-# against LocalFSBackend unchanged.
-_BACKEND: LocalFSBackend = LocalFSBackend()
+# The process-wide backend. Swap for the object-store implementation
+# with set_backend() before any table is opened, or set
+# DATAX_OBJECTSTORE_ENDPOINT=host:port so every process (including
+# spawned workers, which inherit the environment) routes commits
+# through the conditional-put backend (lake/objectstore.py). The whole
+# suite runs against either backend unchanged.
+_BACKEND = None
 
 
-def get_backend() -> LocalFSBackend:
+def get_backend():
+    global _BACKEND
+    if _BACKEND is None:
+        endpoint = os.environ.get("DATAX_OBJECTSTORE_ENDPOINT")
+        if endpoint:
+            from datax_spark.lake.objectstore import ObjectStoreBackend
+
+            _BACKEND = ObjectStoreBackend(endpoint)
+        else:
+            _BACKEND = LocalFSBackend()
     return _BACKEND
 
 
