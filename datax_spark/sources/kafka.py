@@ -32,10 +32,10 @@ formats are supported end-to-end:
   over the batch, offset/timestamp deltas, headers) over Fetch v4 /
   Produce v3 — the on-disk format of every broker since 0.11/2017,
   REQUIRED by brokers that no longer down-convert (Kafka 4.0 removed
-  pre-v4 Fetch). gzip batches decode via zlib and snappy via a
-  from-scratch raw-block decoder (magic-1 wrapper messages unwrap
-  both, incl. snappy-java's xerial framing); lz4/zstd are refused
-  loudly; control batches
+  pre-v4 Fetch). gzip batches decode via zlib, and
+  snappy (raw block + xerial framing), lz4 (block + frame) and zstd
+  (full RFC 8878 frames, sources/zstd.py) via from-scratch decoders —
+  every codec a Kafka producer can set; control batches
   (transaction markers) are skipped like a read_committed consumer
   skips them.
 
@@ -197,10 +197,14 @@ def decode_message_set(buf: bytes):
                 inner_raw = xerial_decompress(value)
             elif codec == 3:
                 inner_raw = lz4_frame_decompress(value)
+            elif codec == 4:
+                from datax_spark.sources.zstd import decompress as _zstd
+
+                inner_raw = _zstd(value)
             else:
                 raise NotImplementedError(
                     f"compressed message set codec {codec} not supported "
-                    "(gzip/snappy/lz4 only)"
+                    "(gzip/snappy/lz4/zstd)"
                 )
             inner = decode_message_set(inner_raw)
             if inner:
@@ -501,11 +505,13 @@ def _decode_record_batch_v2(seg: bytes):
         recs = snappy_decompress(recs)
     elif codec == 3:
         recs = lz4_frame_decompress(recs)
+    elif codec == 4:
+        from datax_spark.sources.zstd import decompress as _zstd
+
+        recs = _zstd(recs)
     elif codec:
         raise NotImplementedError(
-            f"compressed record batch (codec "
-            f"{_V2_CODECS.get(codec, codec)}) not supported — "
-            "gzip/snappy/lz4 only"
+            f"compressed record batch codec {codec} unknown"
         )
     out = []
     i = 0

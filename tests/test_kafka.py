@@ -306,11 +306,19 @@ def test_decode_stops_at_truncated_trailer():
 
 
 def test_decode_rejects_unsupported_codec():
-    # codec 4 (zstd) refuses loudly; gzip/snappy/lz4 now decode
-    body = struct.pack(">bbq", 1, 4, 0) + struct.pack(">i", -1) + struct.pack(">i", 1) + b"x"
+    # codec 5 is unknown → refuses loudly; codec 4 (zstd) now decodes,
+    # so garbage zstd payload fails with the decoder's own error
+    body = struct.pack(">bbq", 1, 5, 0) + struct.pack(">i", -1) + struct.pack(">i", 1) + b"x"
     msg = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
     ms = struct.pack(">qi", 0, len(msg)) + msg
     with pytest.raises(NotImplementedError):
+        decode_message_set(ms)
+    from datax_spark.sources.zstd import ZstdError
+
+    body = struct.pack(">bbq", 1, 4, 0) + struct.pack(">i", -1) + struct.pack(">i", 1) + b"x"
+    msg = struct.pack(">I", zlib.crc32(body) & 0xFFFFFFFF) + body
+    ms = struct.pack(">qi", 0, len(msg)) + msg
+    with pytest.raises(ZstdError, match="magic|truncated"):
         decode_message_set(ms)
 
 
@@ -614,13 +622,14 @@ def test_record_batch_v2_bad_crc_rejected():
 def test_record_batch_v2_unsupported_codec_refused():
     buf = bytearray(encode_record_batch_v2([(0, None, b"x")]))
     # attributes live at offset 21 (after base_offset, batch_len,
-    # leader_epoch, magic, crc); set codec bits to zstd(4) and
-    # re-stamp the crc so the codec check is what fires
+    # leader_epoch, magic, crc); set codec bits to 5 (unknown) and
+    # re-stamp the crc so the codec check is what fires. zstd (4) is
+    # no longer refused — tests/test_zstd.py decodes it for real.
     payload = bytearray(buf[21:])
-    payload[1] = (payload[1] & ~0x07) | 4
+    payload[1] = (payload[1] & ~0x07) | 5
     struct.pack_into(">I", buf, 17, crc32c(bytes(payload)))
     buf[21:] = payload
-    with pytest.raises(NotImplementedError, match="zstd"):
+    with pytest.raises(NotImplementedError, match="unknown"):
         decode_records(bytes(buf))
 
 
