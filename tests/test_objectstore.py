@@ -166,6 +166,27 @@ def test_live_holder_is_not_broken(store, tmp_path):
         pass
 
 
+def test_takeover_mid_hold_raises_on_release(store, tmp_path):
+    """If the holder's lease is replaced under it (e.g. an operator
+    force-deleted the lock and another committer took it), the
+    release's conditional delete fails — surfaced loudly as
+    StoreIntegrityError, never a silent swallow."""
+    b = ObjectStoreBackend(store.endpoint, lease=300.0, timeout=5.0)
+    root = str(tmp_path / "t")
+    os.makedirs(root)
+    c = ObjectStoreClient(store.endpoint)
+    key = b._lock_key(root)
+    with pytest.raises(StoreIntegrityError, match="taken over"):
+        with b.commit_lock(root):
+            # force-break + foreign re-acquire while held
+            _, etag = c.get(key)
+            c.delete(key, if_match=etag)
+            c.put(key, json.dumps({"owner": "other", "host": "x",
+                                   "pid": 1,
+                                   "expires_at": time.time() + 300}
+                                  ).encode(), if_none_match=True)
+
+
 # --------------------------------------------------- adversarial store
 
 
