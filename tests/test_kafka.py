@@ -6,9 +6,11 @@ record batches incl. gzip)."""
 from __future__ import annotations
 
 import json
+import shutil
 import socket
 import socketserver
 import struct
+import subprocess
 import threading
 import zlib
 
@@ -179,10 +181,13 @@ class FakeKafkaHandler(socketserver.BaseRequestHandler):
         comp = "gzip" if getattr(srv, "serve_gzip", False) else None
         for j in range(0, len(msgs), 3):
             chunk = msgs[j : j + 3]
-            ms += encode_record_batch_v2(
+            seg = encode_record_batch_v2(
                 [(ts, key, val) for _off, ts, key, val in chunk],
                 base_offset=chunk[0][0], compression=comp,
             )
+            if getattr(srv, "serve_zstd", False):
+                seg = _zstd_splice(seg)
+            ms += seg
             if len(ms) >= max_bytes:
                 ms = ms[: max_bytes + 9]  # cut mid-batch like a broker
                 break
@@ -442,6 +447,20 @@ def test_client_metadata_offsets_produce_fetch(broker):
 
 
 # ------------------------------------------------------------------- e2e
+
+def _zstd_splice(seg: bytes) -> bytes:
+    """Rewrite an uncompressed v2 batch as codec-4 (zstd) using the
+    host zstd CLI as the reference compressor + a crc32c re-stamp —
+    byte-for-byte what a KIP-110 producer would have sent."""
+    payload = seg[21:]
+    (attrs,) = struct.unpack_from(">h", payload, 0)
+    comp = subprocess.run(["zstd", "-c"], input=payload[40:],
+                          capture_output=True).stdout
+    new_payload = struct.pack(">h", attrs | 4) + payload[2:40] + comp
+    return (seg[:8] + struct.pack(">i", 9 + len(new_payload))
+            + seg[12:17] + struct.pack(">I", crc32c(new_payload))
+            + new_payload)
+
 
 def _preload(broker, topic, per_partition):
     c = KafkaConnection(*broker.server_address)
@@ -757,6 +776,24 @@ def test_kafka_read_v2_format(broker, spark):
         "messageFormat": "v2",
     })
     assert sorted(int(r["id"]) for r in df.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_kafka_read_v2_zstd_served(broker, spark):
+    """End-to-end: the fake broker serves zstd (codec 4) v2 batches
+    — what a KIP-110 producer topic looks like — and the reader's
+    from-scratch RFC 8878 decoder unpacks them inside the scan."""
+    if shutil.which("zstd") is None:
+        pytest.skip("no zstd CLI to build reference batches")
+    broker.serve_zstd = True
+    _preload(broker, "events", {0: ['{"id": %d}' % i for i in range(10)]})
+    df = kafka_read(spark, {
+        "bootstrapServers": broker.bootstrap,
+        "topic": "events",
+        "column": ["id"],
+        "isList": 0,
+        "messageFormat": "v2",
+    })
+    assert sorted(int(r["id"]) for r in df.collect()) == list(range(10))
 
 
 def test_kafka_read_v2_gzip_served(broker, spark):
