@@ -66,11 +66,18 @@ def xxhash64(data: bytes, seed: int = 0) -> int:
         v2 = (seed + _P2) & _M64
         v3 = seed
         v4 = (seed - _P1) & _M64
-        while i + 32 <= n:
-            l1, l2, l3, l4 = struct.unpack_from("<QQQQ", data, i)
-            v1, v2 = _round(v1, l1), _round(v2, l2)
-            v3, v4 = _round(v3, l3), _round(v4, l4)
-            i += 32
+        p1, p2, m = _P1, _P2, _M64  # inlined _round: the hot loop
+        for l1, l2, l3, l4 in struct.iter_unpack(
+                "<QQQQ", data[: n - (n % 32)]):
+            v1 = (v1 + l1 * p2) & m
+            v1 = (((v1 << 31) | (v1 >> 33)) * p1) & m
+            v2 = (v2 + l2 * p2) & m
+            v2 = (((v2 << 31) | (v2 >> 33)) * p1) & m
+            v3 = (v3 + l3 * p2) & m
+            v3 = (((v3 << 31) | (v3 >> 33)) * p1) & m
+            v4 = (v4 + l4 * p2) & m
+            v4 = (((v4 << 31) | (v4 >> 33)) * p1) & m
+        i = n - (n % 32)
         h = (_rotl(v1, 1) + _rotl(v2, 7) + _rotl(v3, 12)
              + _rotl(v4, 18)) & _M64
         for v in (v1, v2, v3, v4):
@@ -145,16 +152,22 @@ class _BackwardBits:
     def read(self, nbits: int) -> int:
         """Reads the next nbits (MSB-first across the stream); reads
         past the start return zero bits (the FSE/Huffman decoders are
-        specified to tolerate final-state flushes)."""
+        specified to tolerate final-state flushes).
+
+        Bit p of the stream is bit ``p & 7`` of byte ``p >> 3``
+        (little-endian bit numbering), so an n-bit read is one slice
+        + shift, not n single-bit loops."""
         if nbits == 0:
             return 0
         take = min(nbits, self.avail)
-        v = 0
-        for _ in range(take):
-            self.avail -= 1
-            byte = self.avail >> 3
-            v = (v << 1) | ((self.data[byte] >> (self.avail & 7)) & 1)
-        return v << (nbits - take)
+        if take == 0:
+            return 0
+        lo = self.avail - take
+        chunk = int.from_bytes(
+            self.data[lo >> 3 : ((self.avail - 1) >> 3) + 1], "little")
+        self.avail = lo
+        return ((chunk >> (lo & 7)) & ((1 << take) - 1)) \
+            << (nbits - take)
 
     def exhausted(self) -> bool:
         return self.avail == 0
@@ -318,14 +331,30 @@ class _HuffTable:
             cur[w] = base + span
 
     def decode_stream(self, data: bytes, n_out: int) -> bytearray:
-        bits = _BackwardBits(data)
-        out = bytearray()
-        state = bits.read(self.max_bits)
-        for _ in range(n_out):
-            out.append(self.symbols[state])
-            nb = self.lengths[state]
-            state = ((state << nb) & ((1 << self.max_bits) - 1)) \
-                | bits.read(nb)
+        # hot loop: inlined backward bit cursor, locals only
+        if not data or data[-1] == 0:
+            raise ZstdError("huffman stream missing sentinel bit")
+        symbols, lengths, mb = self.symbols, self.lengths, self.max_bits
+        mask = (1 << mb) - 1
+        avail = (len(data) - 1) * 8 + data[-1].bit_length() - 1
+        out = bytearray(n_out)
+
+        def grab(n: int) -> int:
+            nonlocal avail
+            take = n if n <= avail else avail
+            if take == 0:
+                return 0
+            lo = avail - take
+            chunk = int.from_bytes(
+                data[lo >> 3 : ((avail - 1) >> 3) + 1], "little")
+            avail = lo
+            return ((chunk >> (lo & 7)) & ((1 << take) - 1)) << (n - take)
+
+        state = grab(mb)
+        for i in range(n_out):
+            out[i] = symbols[state]
+            nb = lengths[state]
+            state = ((state << nb) & mask) | grab(nb)
         return out
 
 
@@ -580,9 +609,11 @@ class _Decoder:
             start = len(out) - offset
             if offset >= ml:
                 out += out[start : start + ml]
-            else:  # overlapping copy: byte-at-a-time semantics
-                for k in range(ml):
-                    out.append(out[start + k])
+            else:
+                # overlapping copy == repeat the offset-long pattern
+                # (byte-at-a-time semantics, vectorized)
+                pattern = bytes(out[start:])
+                out += (pattern * (ml // offset + 1))[:ml]
             if i + 1 < nseq:
                 ll_state.update(bits)
                 ml_state.update(bits)
