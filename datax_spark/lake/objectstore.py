@@ -362,15 +362,6 @@ class FakeObjectStore:
         threading.Thread(target=self.httpd.serve_forever,
                          daemon=True).start()
 
-    def adopt_existing(self, root: str) -> None:
-        """Register objects already on disk under ``root`` (a table
-        created before the backend was swapped in)."""
-        for dirpath, _dirs, files in os.walk(root):
-            for f in files:
-                key = os.path.join(dirpath, f)
-                with self.mutex:
-                    self.etags.setdefault(key, uuid.uuid4().hex)
-
     def close(self):
         self.httpd.shutdown()
         self.httpd.server_close()

@@ -169,9 +169,6 @@ class _BackwardBits:
         return ((chunk >> (lo & 7)) & ((1 << take) - 1)) \
             << (nbits - take)
 
-    def exhausted(self) -> bool:
-        return self.avail == 0
-
 
 # ------------------------------------------------------------- FSE
 
