@@ -634,7 +634,52 @@ def read_source(spark: SparkSession, name: str, parameter: dict) -> DataFrame:
                 "compress=lzo: no LZO codec available; repack as "
                 "gzip/bzip2 (both auto-detected by extension)"
             )
-        if compress not in ("", "none", "gzip", "bzip2", "deflate", "lz4", "auto"):
+        if compress in ("zstd", "lz4"):
+            # Hadoop's zstd/lz4 codecs need the native-hadoop library
+            # (absent on this stack — NativeCodeLoader falls back to
+            # builtin-java, which has neither), and Hadoop's lz4
+            # container isn't the standard .lz4 FRAME format anyway.
+            # Decode standard frames with the repo's own RFC 8878 /
+            # LZ4-frame decoders instead: one whole file per task
+            # (binaryFile scan — like gzip, NOT splittable; shard
+            # large sources), lines through the same delimiter engine.
+            paths = path if isinstance(path, list) else [path]
+            bin_df = spark.read.format("binaryFile").load(paths)
+            enc = p.get("encoding", "utf-8")
+            skip_header = bool(p.get("skipHeader", False))
+            use_zstd = compress == "zstd"
+
+            def expand(batches):
+                import pandas as pd
+
+                from datax_spark.sources.kafka import lz4_frame_decompress
+                from datax_spark.sources.zstd import decompress as zstd_dec
+
+                dec = zstd_dec if use_zstd else (
+                    lambda b: bytes(lz4_frame_decompress(b)))
+                for pdf in batches:
+                    for row in pdf.itertuples(index=False):
+                        lines = dec(bytes(row.content)).decode(
+                            enc).splitlines()
+                        if skip_header:
+                            lines = lines[1:]
+                        if lines:
+                            yield pd.DataFrame({"value": lines})
+
+            lines_df = bin_df.select("path", "content").mapInPandas(
+                expand, "value string"
+            )
+            df = (
+                spark.read.option("sep", p.get("fieldDelimiter", ","))
+                .option("nullValue", p.get("nullFormat", "\\N"))
+                .csv(lines_df.rdd.map(lambda r: r.value))
+            )
+            if where:
+                df = df.filter(where)
+            if columns:
+                df = df.select(*columns)
+            return df
+        if compress not in ("", "none", "gzip", "bzip2", "deflate", "auto"):
             raise ValueError(f"unknown compress option: {compress}")
         df = (
             spark.read.option("sep", p.get("fieldDelimiter", ","))

@@ -375,6 +375,33 @@ def test_csvreader_gzip(spark, tmp_path):
         read_source(spark, "csvreader", {"path": str(gz), "compress": "lzo"})
 
 
+def test_csvreader_zstd_and_lz4_frames(spark, tmp_path):
+    """compress=zstd / lz4 (r5): standard .zst / .lz4 frame files —
+    what `zstd file.csv` / `lz4 file.csv` produce — decode through
+    the repo's own RFC 8878 / LZ4-frame decoders (the Hadoop codecs
+    need the absent native library), reference-compressed by the real
+    CLIs, skipHeader per file."""
+    import shutil as _shutil
+    import subprocess as _sp
+
+    from datax_spark.sources.readers import read_source
+
+    body = "id,name\n1,alpha\n2,beta\n3,gamma\n"
+    for tool, ext, compress in (("zstd", "zst", "zstd"),
+                                ("lz4", "lz4", "lz4")):
+        if _shutil.which(tool) is None:
+            pytest.skip(f"no {tool} CLI on host")
+        out = tmp_path / f"data_{ext}.csv.{ext}"
+        comp = _sp.run([tool, "-c"], input=body.encode(),
+                       capture_output=True).stdout
+        out.write_bytes(comp)
+        df = read_source(spark, "csvreader", {
+            "path": str(out), "compress": compress, "skipHeader": True,
+        })
+        rows = sorted((r[0], r[1]) for r in df.collect())
+        assert rows == [("1", "alpha"), ("2", "beta"), ("3", "gamma")]
+
+
 def test_csvreader_zip_archives(spark, tmp_path):
     """compress=zip (r4): every member of each archive streams through
     the delimiter engine; skipHeader drops line 1 PER member (the
